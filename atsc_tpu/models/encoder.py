@@ -1,0 +1,128 @@
+"""The 8VSB encoder model: the 7-stage pipeline over batched channels.
+
+This is the TPU analog of the reference's pipeline driver
+(reference src/atsc/atsc.cpp:79-90): one pure function
+``state, iq = encode_field(state, ts)`` instead of a mutable stage chain,
+so it jits once, vmaps/shards over channels, and scans over fields.
+
+Carried state per stream (the complete resumable state, SURVEY.md §5.4):
+previous field's RS output (interleaver double-buffer), 36 bits of trellis
+carries, 12 saved reserved symbols, field parity, oscillator phasor.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atsc_tpu import params as P
+from atsc_tpu.ops import (
+    apply_pilot_offset,
+    assemble_field,
+    interleave_field,
+    randomize_field,
+    rrc_filter_field,
+    rs_encode_field,
+    trellis_encode_field,
+)
+from atsc_tpu.tables.oscillator import phasor_for_field
+
+
+class EncoderState(NamedTuple):
+    """Pytree of carried per-channel state; every leaf is batched (B, ...)."""
+
+    prev_rs: jnp.ndarray        # (B, 64584) uint8
+    trellis_d: jnp.ndarray      # (B, 12) int32 differential precoder
+    trellis_d1: jnp.ndarray     # (B, 12) int32 conv encoder delay 1
+    trellis_d2: jnp.ndarray     # (B, 12) int32 conv encoder delay 2
+    saved: jnp.ndarray          # (B, 12) float32 reserved symbols
+    parity: jnp.ndarray         # (B,) int32 field parity (0 even, 1 odd)
+    phasor: jnp.ndarray         # (B,) complex64 oscillator phase
+
+
+def init_state(batch: int, field_index: int = 0) -> EncoderState:
+    """Fresh state for `batch` channels, as of a given global field index.
+
+    field_index > 0 only sets the closed-form components (parity, phasor);
+    data-dependent state (interleaver buffer, trellis carries, saved
+    symbols) matches a cold start, exactly like the reference's constructor
+    (atsc.cpp:17-35: zeroed field1, xform(0) saved symbols).
+    """
+    return EncoderState(
+        prev_rs=jnp.zeros((batch, P.DATA_PER_FIELD), dtype=jnp.uint8),
+        trellis_d=jnp.zeros((batch, P.TRELLIS_ENCODERS), dtype=jnp.int32),
+        trellis_d1=jnp.zeros((batch, P.TRELLIS_ENCODERS), dtype=jnp.int32),
+        trellis_d2=jnp.zeros((batch, P.TRELLIS_ENCODERS), dtype=jnp.int32),
+        saved=jnp.full((batch, P.RESERVED_SYMBOLS), -7.0 + P.PILOT_OFFSET,
+                       dtype=jnp.float32),
+        parity=jnp.full((batch,), field_index % 2, dtype=jnp.int32),
+        phasor=jnp.full((batch,), np.complex64(phasor_for_field(field_index)),
+                        dtype=jnp.complex64),
+    )
+
+
+def encode_field(
+    state: EncoderState, ts: jnp.ndarray
+) -> tuple[EncoderState, jnp.ndarray]:
+    """One field for B channels: (B, 58656) TS bytes -> (B, 260416) IQ."""
+    rand = randomize_field(ts)
+    rs = rs_encode_field(rand)
+    rs_flat = rs.reshape(rs.shape[0], -1)
+    il = interleave_field(rs_flat, state.prev_rs)
+    symbols, d, d1, d2 = trellis_encode_field(
+        il, state.trellis_d, state.trellis_d1, state.trellis_d2
+    )
+    field, new_saved = assemble_field(symbols, state.parity, state.saved)
+    iq_padded, next_phasor = apply_pilot_offset(field, state.phasor)
+    iq = rrc_filter_field(iq_padded)
+
+    new_state = EncoderState(
+        prev_rs=rs_flat,
+        trellis_d=d,
+        trellis_d1=d1,
+        trellis_d2=d2,
+        saved=new_saved,
+        parity=state.parity ^ 1,
+        phasor=next_phasor,
+    )
+    return new_state, iq
+
+
+def encode_fields(
+    state: EncoderState, ts_fields: jnp.ndarray
+) -> tuple[EncoderState, jnp.ndarray]:
+    """Scan over T fields: (T, B, 58656) -> (T, B, 260416) complex64."""
+    return jax.lax.scan(encode_field, state, ts_fields)
+
+
+class Encoder:
+    """Convenience stateful wrapper around the pure functions (the public
+    single-process API, analog of reference atsc.h's atsc_encoder)."""
+
+    def __init__(self, batch: int = 1, field_index: int = 0, donate: bool = True):
+        self.batch = batch
+        self._state = init_state(batch, field_index)
+        donate_args = (0,) if donate else ()
+        self._step = jax.jit(encode_field, donate_argnums=donate_args)
+        self._scan = jax.jit(encode_fields, donate_argnums=donate_args)
+
+    @property
+    def state(self) -> EncoderState:
+        return self._state
+
+    @state.setter
+    def state(self, s: EncoderState) -> None:
+        self._state = s
+
+    def encode(self, ts: np.ndarray) -> jax.Array:
+        """(B, 58656) uint8 -> (B, 260416) complex64 for one field."""
+        self._state, iq = self._step(self._state, jnp.asarray(ts))
+        return iq
+
+    def encode_many(self, ts_fields: np.ndarray) -> jax.Array:
+        """(T, B, 58656) -> (T, B, 260416) complex64."""
+        self._state, iq = self._scan(self._state, jnp.asarray(ts_fields))
+        return iq

@@ -1,0 +1,67 @@
+"""Symbol assembly: output commutator + signal mapping + sync insertion,
+fused into one gather/select pass.
+
+Behavioral spec: reference src/atsc/trellis.h:549-576 (output commutator
+scatter), src/atsc/signal.h (level mapping with +1.25 pilot bias),
+src/atsc/field_sync.h:12-26 (field/segment sync memcpys, reserved symbols
+from the previous field's tail, even/odd parity alternation).
+
+TPU-first reformulation: a single precomputed gather index maps every
+padded-field position to its source symbol in the encoder-major trellis
+output; sync constants come from a (2, 261248) parity-indexed template and
+one `where`. Everything stays real float32 — the signal only becomes
+complex at the pilot-offset stage.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from atsc_tpu import params as P
+from atsc_tpu.tables.sync import RESERVED_START, sync_templates
+from atsc_tpu.tables.trellis_tables import (
+    encoder_stream_to_round_major,
+    padded_field_gather,
+)
+
+
+@functools.lru_cache(maxsize=1)
+def _tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    is_data, src_round_major = padded_field_gather()
+    # compose: padded position -> round-major stream -> encoder-major index
+    src_enc_major = encoder_stream_to_round_major()[src_round_major]
+    template, is_const = sync_templates()
+    # data slots gather from trellis symbols; const slots from the template;
+    # the 12 reserved slots are overwritten afterwards, any source is fine.
+    return src_enc_major.astype(np.int32), template, is_const
+
+
+def assemble_field(
+    symbols: jnp.ndarray, parity: jnp.ndarray, saved: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Build the padded real symbol field.
+
+    symbols: (B, 12, 21528) int8 trellis symbols (encoder-major);
+    parity:  (B,) int32 field parity (0 even / 1 odd);
+    saved:   (B, 12) float32 reserved symbols (previous field's tail).
+    Returns (field (B, 261248) float32, new_saved (B, 12)).
+    """
+    src, template, is_const = _tables()
+    b = symbols.shape[0]
+
+    flat = symbols.reshape(b, -1)  # (B, 258336)
+    data_syms = jnp.take(flat, jnp.asarray(src), axis=-1).astype(jnp.float32)
+    data_levels = data_syms * 2.0 - 7.0 + jnp.float32(P.PILOT_OFFSET)
+
+    const_part = jnp.asarray(template)[parity]  # (B, 261248)
+    field = jnp.where(jnp.asarray(is_const), const_part, data_levels)
+    field = field.at[:, RESERVED_START : RESERVED_START + P.RESERVED_SYMBOLS].set(
+        saved
+    )
+    new_saved = field[
+        :, P.SYMBOLS_PER_FIELD - P.RESERVED_SYMBOLS : P.SYMBOLS_PER_FIELD
+    ]
+    return field, new_saved
