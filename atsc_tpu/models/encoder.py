@@ -40,7 +40,7 @@ class EncoderState(NamedTuple):
     trellis_d2: jnp.ndarray     # (B, 12) int32 conv encoder delay 2
     saved: jnp.ndarray          # (B, 12) float32 reserved symbols
     parity: jnp.ndarray         # (B,) int32 field parity (0 even, 1 odd)
-    phasor: jnp.ndarray         # (B,) complex64 oscillator phase
+    phasor: jnp.ndarray         # (B, 2) float32 oscillator phasor (re, im)
 
 
 def init_state(batch: int, field_index: int = 0) -> EncoderState:
@@ -59,15 +59,22 @@ def init_state(batch: int, field_index: int = 0) -> EncoderState:
         saved=jnp.full((batch, P.RESERVED_SYMBOLS), -7.0 + P.PILOT_OFFSET,
                        dtype=jnp.float32),
         parity=jnp.full((batch,), field_index % 2, dtype=jnp.int32),
-        phasor=jnp.full((batch,), np.complex64(phasor_for_field(field_index)),
-                        dtype=jnp.complex64),
+        phasor=jnp.tile(
+            jnp.asarray(
+                [np.float32(phasor_for_field(field_index).real),
+                 np.float32(phasor_for_field(field_index).imag)],
+                dtype=jnp.float32,
+            ),
+            (batch, 1),
+        ),
     )
 
 
 def encode_field(
     state: EncoderState, ts: jnp.ndarray
 ) -> tuple[EncoderState, jnp.ndarray]:
-    """One field for B channels: (B, 58656) TS bytes -> (B, 260416) IQ."""
+    """One field for B channels: (B, 58656) TS bytes -> (B, 260416, 2) IQ
+    (interleaved re/im float32, the reference's CF32 memory layout)."""
     rand = randomize_field(ts)
     rs = rs_encode_field(rand)
     rs_flat = rs.reshape(rs.shape[0], -1)
@@ -94,7 +101,7 @@ def encode_field(
 def encode_fields(
     state: EncoderState, ts_fields: jnp.ndarray
 ) -> tuple[EncoderState, jnp.ndarray]:
-    """Scan over T fields: (T, B, 58656) -> (T, B, 260416) complex64."""
+    """Scan over T fields: (T, B, 58656) -> (T, B, 260416, 2) float32."""
     return jax.lax.scan(encode_field, state, ts_fields)
 
 
@@ -118,11 +125,17 @@ class Encoder:
         self._state = s
 
     def encode(self, ts: np.ndarray) -> jax.Array:
-        """(B, 58656) uint8 -> (B, 260416) complex64 for one field."""
+        """(B, 58656) uint8 -> (B, 260416, 2) float32 IQ for one field."""
         self._state, iq = self._step(self._state, jnp.asarray(ts))
         return iq
 
     def encode_many(self, ts_fields: np.ndarray) -> jax.Array:
-        """(T, B, 58656) -> (T, B, 260416) complex64."""
+        """(T, B, 58656) -> (T, B, 260416, 2) float32 IQ."""
         self._state, iq = self._scan(self._state, jnp.asarray(ts_fields))
         return iq
+
+
+def iq_to_complex(iq: np.ndarray) -> np.ndarray:
+    """View an interleaved (..., 2) float32 IQ array as complex64."""
+    arr = np.ascontiguousarray(iq)
+    return arr.view(np.complex64)[..., 0]

@@ -29,11 +29,14 @@ def _kernel() -> np.ndarray:
     return rrc_taps()[: P.RRC_NTAPS].reshape(1, 1, P.RRC_NTAPS)
 
 
-def rrc_filter_field(iq_padded: jnp.ndarray) -> jnp.ndarray:
-    """(B, 261248) complex64 padded field -> (B, 260416) complex64 IQ."""
-    b = iq_padded.shape[0]
-    planar = jnp.stack([jnp.real(iq_padded), jnp.imag(iq_padded)], axis=1)
-    planar = planar.reshape(b * 2, 1, P.PADDED_SYMBOLS)
+def rrc_filter_field(iq_planar: jnp.ndarray) -> jnp.ndarray:
+    """(B, 2, 261248) planar float32 -> (B, 260416, 2) interleaved float32 IQ.
+
+    The interleaved output is bit-layout-identical to the reference's
+    complex<float> stream (CF32), ready for an SDR sink.
+    """
+    b = iq_planar.shape[0]
+    planar = iq_planar.reshape(b * 2, 1, P.PADDED_SYMBOLS)
     out = jax.lax.conv_general_dilated(
         planar,
         jnp.asarray(_kernel()),
@@ -43,4 +46,4 @@ def rrc_filter_field(iq_padded: jnp.ndarray) -> jnp.ndarray:
         precision=jax.lax.Precision.HIGHEST,
     )  # (2B, 1, 261248-111+1)
     out = out[:, 0, : P.SYMBOLS_PER_FIELD].reshape(b, 2, P.SYMBOLS_PER_FIELD)
-    return jax.lax.complex(out[:, 0], out[:, 1])
+    return out.transpose(0, 2, 1)

@@ -1,0 +1,69 @@
+"""Benchmark harness: sustained encode throughput on the attached TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the reference design point of one real-time
+8VSB channel (10,762,237.76 IQ samples/s — the implicit baseline of
+philburr/atsc, BASELINE.md): value/baseline = simultaneous real-time
+channels per chip.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from atsc_tpu import params as P  # noqa: E402
+from atsc_tpu.models.encoder import encode_field, init_state  # noqa: E402
+
+
+def measure(batch: int, iters: int = 30, warmup: int = 3) -> float:
+    """Returns sustained fields/s for `batch` channels on one chip."""
+    rng = np.random.default_rng(0)
+    ts = jnp.asarray(
+        rng.integers(0, 256, size=(batch, P.FIELD_TS_BYTES), dtype=np.uint8)
+    )
+    step = jax.jit(encode_field, donate_argnums=(0,))
+    state = init_state(batch)
+    for _ in range(warmup):
+        state, iq = step(state, ts)
+    float(jnp.sum(iq))  # block_until_ready is unreliable on the axon tunnel;
+    # a value fetch is the only sure execution barrier
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, iq = step(state, ts)
+    float(jnp.sum(iq))  # forces the whole chain via the state dependency
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
+
+
+def main() -> None:
+    best = 0.0
+    best_b = 0
+    for batch in (16, 64, 128, 256):
+        try:
+            fps = measure(batch)
+        except Exception:
+            break
+        if fps > best:
+            best, best_b = fps, batch
+    samples_per_sec = best * P.SYMBOLS_PER_FIELD
+    print(
+        json.dumps(
+            {
+                "metric": f"baseband IQ samples/s/chip (batch={best_b} channels)",
+                "value": round(samples_per_sec, 1),
+                "unit": "samples/s",
+                "vs_baseline": round(samples_per_sec / P.SAMPLE_RATE, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

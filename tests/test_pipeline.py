@@ -6,7 +6,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from atsc_tpu import params as P
-from atsc_tpu.models.encoder import Encoder, encode_field, encode_fields, init_state
+from atsc_tpu.models.encoder import (
+    Encoder,
+    encode_field,
+    encode_fields,
+    init_state,
+    iq_to_complex,
+)
 
 IQ_TOL = 5e-6  # |IQ| <= ~7.5; covers fp32 ordering differences + phasor drift
 
@@ -15,15 +21,16 @@ def test_end_to_end_four_fields(golden):
     state = init_state(1)
     for f in range(4):
         state, iq = encode_field(state, jnp.asarray(golden["input"][f][None]))
-        err = np.abs(np.asarray(iq)[0] - golden["iq"][f]).max()
+        err = np.abs(iq_to_complex(np.asarray(iq))[0] - golden["iq"][f]).max()
         assert err < IQ_TOL, (f, err)
 
 
 def test_scan_matches_stepwise(golden):
     ts = jnp.asarray(golden["input"][:, None, :])  # (4, 1, 58656)
     state, iq = encode_fields(init_state(1), ts)
+    got = iq_to_complex(np.asarray(iq))
     for f in range(4):
-        err = np.abs(np.asarray(iq)[f, 0] - golden["iq"][f]).max()
+        err = np.abs(got[f, 0] - golden["iq"][f]).max()
         assert err < IQ_TOL, (f, err)
 
 
@@ -40,7 +47,7 @@ def test_batched_channels_independent(golden):
 def test_encoder_wrapper(golden):
     enc = Encoder(batch=1)
     iq = enc.encode_many(golden["input"][:, None, :])
-    err = np.abs(np.asarray(iq)[:, 0] - golden["iq"]).max()
+    err = np.abs(iq_to_complex(np.asarray(iq))[:, 0] - golden["iq"]).max()
     assert err < IQ_TOL
 
 def test_field_geometry():

@@ -80,17 +80,24 @@ def test_assemble_sync(golden):
 
 
 def test_offset_phase_continuity(golden):
-    phasor = jnp.ones((1,), dtype=jnp.complex64)
+    phasor = jnp.tile(jnp.asarray([1.0, 0.0], dtype=jnp.float32), (1, 1))
     for f in range(4):
         field = jnp.asarray(golden["sync"][f].real[None])
         out, phasor = apply_pilot_offset(field, phasor)
-        err = np.abs(np.asarray(out)[0] - golden["offset"][f]).max()
+        got = np.asarray(out)[0]
+        err = np.abs(
+            (got[0] + 1j * got[1]).astype(np.complex64) - golden["offset"][f]
+        ).max()
         assert err < 5e-6, (f, err)
 
 
 def test_rrc_filter(golden):
-    out = rrc_filter_field(jnp.asarray(golden["offset"]))
-    err = np.abs(np.asarray(out) - golden["iq"]).max()
+    planar = jnp.asarray(
+        np.stack([golden["offset"].real, golden["offset"].imag], axis=1)
+    )
+    out = np.asarray(rrc_filter_field(planar))
+    got = (out[..., 0] + 1j * out[..., 1]).astype(np.complex64)
+    err = np.abs(got - golden["iq"]).max()
     assert err < 2e-6, err
 
 
