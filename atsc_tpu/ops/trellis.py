@@ -1,4 +1,4 @@
-"""12-way interleaved 2/3-rate trellis encoder as XOR prefix scans.
+"""12-way interleaved 2/3-rate trellis encoder as XOR prefix scans on the MXU.
 
 Behavioral spec: reference src/atsc/trellis.h — semantics documented by its
 bit-serial model (trellis.h:10-51): each byte is consumed MSB-first as bit
@@ -10,21 +10,54 @@ across fields.
 
 TPU-first reformulation (replacing the reference's pext/pdep byte tricks):
 the 2-delay recurrence splits into two independent differential chains on
-alternating X1 bits, so all three recurrences are XOR prefix scans =
-``cumsum mod 2`` along each encoder's 21,528-bit stream:
+alternating X1 bits, so all three recurrences are XOR prefix scans:
 
     z2        = inclusive scan of X2 bits        (carry: D)
     z0 @ odd  = inclusive scan of even X1 bits   (carry: D2)
     z0 @ even = exclusive scan of odd  X1 bits   (carry: D1)
 
-Output symbols stay int8; the commutator gather happens in ops/assemble.
+The scans run as *block prefix matmuls* on the MXU: partition each bit
+stream into 128-bit blocks, multiply by a constant upper-triangular ones
+matrix (in-block inclusive prefix; bf16 is exact since partial sums are
+<= 128 < 256), then add an exclusive carry cumsum over the short block
+axis. Mod 2 is deferred to the end.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from atsc_tpu import params as P
+
+_BLK = 128
+_TRIU = np.triu(np.ones((_BLK, _BLK), dtype=np.float32))  # U[i,j]=1 for i<=j
+
+
+def _block_prefix_scan(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive running-sum along the last axis via MXU block matmuls.
+
+    x: (..., n) in {0,1}. Returns int32 inclusive cumulative sums (not yet
+    reduced mod 2). Exact: in-block sums <= 128 are exact in bf16/f32.
+    """
+    *lead, n = x.shape
+    q = -(-n // _BLK)
+    pad = q * _BLK - n
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, pad)])
+    xb = x.reshape(*lead, q, _BLK).astype(jnp.bfloat16)
+    pref = jax.lax.dot_general(
+        xb,
+        jnp.asarray(_TRIU, dtype=jnp.bfloat16),
+        dimension_numbers=(((xb.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (..., q, 128) in-block inclusive prefix
+    pref = pref.astype(jnp.int32)
+    totals = pref[..., -1]                       # (..., q)
+    excl = jnp.cumsum(totals, axis=-1) - totals  # exclusive block carries
+    out = pref + excl[..., None]
+    return out.reshape(*lead, q * _BLK)[..., :n]
 
 
 def trellis_encode_field(
@@ -51,14 +84,14 @@ def trellis_encode_field(
     x1 = ((bytes_[..., None] >> shifts_x1) & 1).reshape(b, P.TRELLIS_ENCODERS, n)
 
     # z2: inclusive XOR scan with carry
-    z2 = (jnp.cumsum(x2, axis=-1) + d[..., None]) & 1
+    z2 = (_block_prefix_scan(x2) + d[..., None]) & 1
     d_new = z2[..., -1]
 
     # z0: split X1 by step parity
     u = x1[..., 0::2]  # even-step inputs  (B, 12, 10764)
     v = x1[..., 1::2]  # odd-step inputs
-    u_scan = jnp.cumsum(u, axis=-1)
-    v_scan = jnp.cumsum(v, axis=-1)
+    u_scan = _block_prefix_scan(u)
+    v_scan = _block_prefix_scan(v)
     z0_odd = (u_scan + d2[..., None]) & 1                     # z0 at odd steps
     v_excl = jnp.concatenate(
         [jnp.zeros_like(v_scan[..., :1]), v_scan[..., :-1]], axis=-1
