@@ -1,0 +1,108 @@
+"""CLI frontend: MPEG-TS in -> baseband CF32 IQ out.
+
+The TPU-native analog of the reference's two executables
+(reference util/atsc_encoder.cpp — SDR TX; util/atsc_encoder_null.cpp —
+null-sink throughput harness). SoapySDR hardware is out of scope on TPU
+hosts, so the sink is null / file / stdout, optionally paced to the 8VSB
+sample clock (the role the SDR's sample clock plays in the reference);
+the stream format is identical interleaved complex<float>.
+
+Usage:
+  python -m atsc_tpu.cli input.ts -o out.iq             # encode to file
+  python -m atsc_tpu.cli input.ts                       # null sink (bench)
+  cat stream.ts | python -m atsc_tpu.cli - --realtime -o -   # paced stdout
+  python -m atsc_tpu.cli input.ts --channels 8          # same TS x8 batch
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from atsc_tpu import params as P
+from atsc_tpu.models.encoder import Encoder
+from atsc_tpu.runtime.io import IqSink, TsReader
+from atsc_tpu.utils.config import EncoderConfig
+from atsc_tpu.utils.profiling import ThroughputMeter
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="atsc_tpu", description="TPU-native ATSC 8VSB encoder"
+    )
+    ap.add_argument("input", help="MPEG-TS file (19.393 Mbps muxrate) or '-'")
+    ap.add_argument("-o", "--output", default="null",
+                    help="IQ sink: 'null', '-' (stdout) or file path")
+    ap.add_argument("-c", "--channels", type=int, default=1,
+                    help="encode the stream as N parallel channels")
+    ap.add_argument("--fields-per-step", type=int, default=8)
+    ap.add_argument("--realtime", action="store_true",
+                    help="pace output to the 10.762238 MHz sample clock")
+    ap.add_argument("--max-fields", type=int, default=0,
+                    help="stop after N fields per channel (0 = until EOF)")
+    ap.add_argument("--stats", action="store_true",
+                    help="print a JSON throughput summary to stderr")
+    # SDR-facing metadata kept for parity with the reference's flags
+    ap.add_argument("-f", "--frequency", type=float, default=473e6)
+    ap.add_argument("-g", "--gain", type=float, default=54.0)
+    return ap
+
+
+def run(cfg: EncoderConfig, input_path: str, max_fields: int = 0,
+        stats: bool = False) -> dict:
+    cfg.validate()
+    pace = P.SAMPLE_RATE * 8 * cfg.channels if cfg.realtime else 0.0
+    reader = TsReader(input_path)
+    sink = IqSink(cfg.sink, pace_bytes_per_sec=pace)
+    enc = Encoder(batch=cfg.channels)
+    meter = ThroughputMeter(channels=cfg.channels)
+
+    field_bytes = P.FIELD_TS_BYTES
+    step_bytes = field_bytes * cfg.fields_per_step
+    try:
+        while True:
+            data = reader.read(step_bytes)
+            if not data:
+                break
+            whole = len(data) // field_bytes
+            if whole == 0:
+                data = data + bytes(field_bytes - len(data))
+                whole = 1
+            ts = np.frombuffer(
+                data[: whole * field_bytes], dtype=np.uint8
+            ).reshape(whole, 1, field_bytes)
+            ts = np.broadcast_to(ts, (whole, cfg.channels, field_bytes))
+            iq = np.asarray(enc.encode_many(ts))  # (T, B, 260416, 2)
+            sink.write(iq)
+            meter.add_fields(whole * cfg.channels)
+            if max_fields and meter.fields >= max_fields * cfg.channels:
+                break
+    finally:
+        reader.close()
+        sink.close()
+
+    summary = meter.summary()
+    if stats:
+        print(json.dumps(summary), file=sys.stderr)
+    return summary
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    cfg = EncoderConfig(
+        channels=args.channels,
+        fields_per_step=args.fields_per_step,
+        sink=args.output,
+        realtime=args.realtime,
+        frequency_hz=args.frequency,
+        gain_db=args.gain,
+    )
+    run(cfg, args.input, max_fields=args.max_fields, stats=args.stats)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

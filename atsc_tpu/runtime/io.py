@@ -1,0 +1,159 @@
+"""ctypes bindings for the native tsio runtime, with build-on-first-use and
+a pure-Python fallback so the framework works without a toolchain.
+
+The native path keeps TS ingestion and IQ emission on C++ threads (no GIL),
+with ring-buffer back-pressure mirroring the reference's blocking
+fread/writeStream loop (reference util/atsc_encoder.cpp:83-101).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "tsio.cpp")
+_SO = os.path.join(_DIR, "libtsio.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_lock = threading.Lock()
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
+             _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        lib = ctypes.CDLL(_SO)
+        lib.ts_reader_open.restype = ctypes.c_void_p
+        lib.ts_reader_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+        lib.ts_reader_read.restype = ctypes.c_size_t
+        lib.ts_reader_read.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int]
+        lib.ts_reader_eof.restype = ctypes.c_int
+        lib.ts_reader_eof.argtypes = [ctypes.c_void_p]
+        lib.ts_reader_bytes.restype = ctypes.c_uint64
+        lib.ts_reader_bytes.argtypes = [ctypes.c_void_p]
+        lib.ts_reader_close.argtypes = [ctypes.c_void_p]
+        lib.iq_sink_open.restype = ctypes.c_void_p
+        lib.iq_sink_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_double]
+        lib.iq_sink_write.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+        lib.iq_sink_bytes.restype = ctypes.c_uint64
+        lib.iq_sink_bytes.argtypes = [ctypes.c_void_p]
+        lib.iq_sink_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class TsReader:
+    """Aligned TS byte source. path '-' = stdin."""
+
+    def __init__(self, path: str, ring_bytes: int = 8 << 20):
+        lib = _load()
+        self._lib = lib
+        self._h = None
+        if lib is not None:
+            h = lib.ts_reader_open(path.encode(), ring_bytes)
+            if not h:
+                raise FileNotFoundError(path)
+            self._h = ctypes.c_void_p(h)
+        else:  # pure-Python fallback
+            import sys
+
+            self._fp = sys.stdin.buffer if path == "-" else open(path, "rb")
+
+    def read(self, n: int, blocking: bool = True) -> bytes:
+        """Read up to n bytes; b'' on EOF."""
+        if self._h is not None:
+            buf = (ctypes.c_uint8 * n)()
+            got = self._lib.ts_reader_read(self._h, buf, n, 1 if blocking else 0)
+            return bytes(buf[:got])
+        data = self._fp.read(n)
+        return data or b""
+
+    def eof(self) -> bool:
+        if self._h is not None:
+            return bool(self._lib.ts_reader_eof(self._h))
+        return False
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.ts_reader_close(self._h)
+            self._h = None
+        elif hasattr(self, "_fp") and self._fp is not None:
+            if self._fp.name != "<stdin>":
+                self._fp.close()
+            self._fp = None
+
+
+class IqSink:
+    """IQ byte sink: 'null', '-' (stdout) or a file path; optional pacing
+    in bytes/s (e.g. SAMPLE_RATE * 8 for real-time CF32)."""
+
+    def __init__(self, path: str = "null", ring_bytes: int = 64 << 20,
+                 pace_bytes_per_sec: float = 0.0):
+        lib = _load()
+        self._lib = lib
+        self._h = None
+        self._bytes = 0
+        if lib is not None:
+            h = lib.iq_sink_open(path.encode(), ring_bytes, pace_bytes_per_sec)
+            if not h:
+                raise FileNotFoundError(path)
+            self._h = ctypes.c_void_p(h)
+        else:
+            import sys
+
+            self._fp = (
+                None if path == "null"
+                else sys.stdout.buffer if path == "-" else open(path, "wb")
+            )
+
+    def write(self, arr: np.ndarray) -> None:
+        data = np.ascontiguousarray(arr)
+        if self._h is not None:
+            self._lib.iq_sink_write(
+                self._h, data.ctypes.data_as(ctypes.c_void_p), data.nbytes
+            )
+        elif self._fp is not None:
+            self._fp.write(data.tobytes())
+        self._bytes += data.nbytes
+
+    def bytes_written(self) -> int:
+        if self._h is not None:
+            return int(self._lib.iq_sink_bytes(self._h))
+        return self._bytes
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.iq_sink_close(self._h)
+            self._h = None
+        elif getattr(self, "_fp", None) is not None and self._fp.name != "<stdout>":
+            self._fp.close()
+            self._fp = None

@@ -1,0 +1,242 @@
+// tsio — native IO runtime for the TPU ATSC framework.
+//
+// The TPU-native analog of the reference's C++ CLI IO layer
+// (reference util/atsc_encoder.cpp:83-101: blocking fread of field-sized
+// chunks + writeStream with real-time back-pressure). Here both sides run
+// on background threads with ring buffers so the Python driver never
+// blocks on IO between device steps:
+//
+//   * ts_reader: file/stdin -> ring buffer, with TS sync-byte alignment
+//     (drop bytes until buf[k*188] == 0x47 holds for a run of packets).
+//   * iq_sink: ring buffer -> null/file sink, optionally paced to the
+//     8VSB sample clock (the SDR's role as pacemaker in the reference).
+//
+// Build: g++ -O2 -std=c++17 -shared -fPIC -pthread tsio.cpp -o libtsio.so
+// Exposed via ctypes (see io.py); plain C ABI.
+
+#include <atomic>
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr size_t TS_PACKET = 188;
+
+struct Ring {
+    std::vector<uint8_t> buf;
+    std::atomic<size_t> head{0};  // producer writes at head
+    std::atomic<size_t> tail{0};  // consumer reads at tail
+    explicit Ring(size_t n) : buf(n) {}
+    size_t size() const { return buf.size(); }
+    size_t readable() const { return head.load() - tail.load(); }
+    size_t writable() const { return size() - readable(); }
+    void write(const uint8_t* src, size_t n) {  // caller checked writable
+        size_t h = head.load();
+        size_t off = h % size();
+        size_t first = std::min(n, size() - off);
+        memcpy(buf.data() + off, src, first);
+        memcpy(buf.data(), src + first, n - first);
+        head.store(h + n);
+    }
+    void read(uint8_t* dst, size_t n) {  // caller checked readable
+        size_t t = tail.load();
+        size_t off = t % size();
+        size_t first = std::min(n, size() - off);
+        memcpy(dst, buf.data() + off, first);
+        memcpy(dst + first, buf.data(), n - first);
+        tail.store(t + n);
+    }
+};
+
+struct TsReader {
+    FILE* fp = nullptr;
+    bool own_fp = false;
+    Ring ring;
+    std::thread thr;
+    std::atomic<bool> stop{false};
+    std::atomic<bool> eof{false};
+    std::atomic<uint64_t> bytes_in{0};
+    std::atomic<uint64_t> resyncs{0};
+
+    explicit TsReader(size_t ring_bytes) : ring(ring_bytes) {}
+
+    void run() {
+        std::vector<uint8_t> chunk(1 << 16);
+        size_t pend = 0;
+        bool synced = false;
+        while (!stop.load()) {
+            size_t n = fread(chunk.data() + pend, 1, chunk.size() - pend, fp);
+            if (n == 0) { eof.store(true); break; }
+            bytes_in += n;
+            size_t have = pend + n;
+            size_t off = 0;
+            if (!synced) {
+                // find o with chunk[o + k*188] == 0x47 for 4 packets
+                for (size_t o = 0; o + 4 * TS_PACKET <= have; o++) {
+                    bool ok = true;
+                    for (int k = 0; k < 4; k++)
+                        if (chunk[o + k * TS_PACKET] != 0x47) { ok = false; break; }
+                    if (ok) { off = o; synced = true; break; }
+                }
+                if (!synced) {  // keep tail, retry with more data
+                    size_t keep = std::min(have, 4 * TS_PACKET);
+                    memmove(chunk.data(), chunk.data() + have - keep, keep);
+                    pend = keep;
+                    continue;
+                }
+                if (off) resyncs++;
+            }
+            size_t avail = have - off;
+            size_t whole = avail;
+            while (whole > 0) {
+                size_t w = ring.writable();
+                if (w == 0) {
+                    if (stop.load()) return;
+                    std::this_thread::sleep_for(std::chrono::microseconds(200));
+                    continue;
+                }
+                size_t now = std::min(w, whole);
+                ring.write(chunk.data() + off, now);
+                off += now;
+                whole -= now;
+            }
+            pend = 0;
+        }
+        eof.store(true);
+    }
+};
+
+struct IqSink {
+    FILE* fp = nullptr;      // nullptr => null sink
+    Ring ring;
+    std::thread thr;
+    std::atomic<bool> stop{false};
+    std::atomic<uint64_t> bytes_out{0};
+    double pace_bytes_per_sec = 0.0;  // 0 => unpaced
+
+    explicit IqSink(size_t ring_bytes) : ring(ring_bytes) {}
+
+    void run() {
+        std::vector<uint8_t> chunk(1 << 18);
+        auto t0 = std::chrono::steady_clock::now();
+        uint64_t paced = 0;
+        while (true) {
+            size_t r = ring.readable();
+            if (r == 0) {
+                if (stop.load()) break;
+                std::this_thread::sleep_for(std::chrono::microseconds(200));
+                continue;
+            }
+            size_t n = std::min(r, chunk.size());
+            ring.read(chunk.data(), n);
+            if (fp) fwrite(chunk.data(), 1, n, fp);
+            bytes_out += n;
+            if (pace_bytes_per_sec > 0) {
+                paced += n;
+                double target_s = (double)paced / pace_bytes_per_sec;
+                auto target = t0 + std::chrono::duration_cast<
+                    std::chrono::steady_clock::duration>(
+                        std::chrono::duration<double>(target_s));
+                std::this_thread::sleep_until(target);
+            }
+        }
+        if (fp) fflush(fp);
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ts_reader_open(const char* path, size_t ring_bytes) {
+    auto* r = new TsReader(ring_bytes ? ring_bytes : (8u << 20));
+    if (strcmp(path, "-") == 0) {
+        r->fp = stdin;
+    } else {
+        r->fp = fopen(path, "rb");
+        r->own_fp = true;
+    }
+    if (!r->fp) { delete r; return nullptr; }
+    r->thr = std::thread([r] { r->run(); });
+    return r;
+}
+
+// Returns bytes copied (<= n). 0 means EOF-and-drained.
+size_t ts_reader_read(void* h, uint8_t* dst, size_t n, int blocking) {
+    auto* r = static_cast<TsReader*>(h);
+    for (;;) {
+        size_t avail = r->ring.readable();
+        if (avail >= n || (r->eof.load() && avail > 0)) {
+            size_t take = std::min(avail, n);
+            r->ring.read(dst, take);
+            return take;
+        }
+        if (r->eof.load()) return 0;
+        if (!blocking) return 0;
+        std::this_thread::sleep_for(std::chrono::microseconds(200));
+    }
+}
+
+int ts_reader_eof(void* h) {
+    auto* r = static_cast<TsReader*>(h);
+    return (r->eof.load() && r->ring.readable() == 0) ? 1 : 0;
+}
+
+uint64_t ts_reader_bytes(void* h) {
+    return static_cast<TsReader*>(h)->bytes_in.load();
+}
+
+void ts_reader_close(void* h) {
+    auto* r = static_cast<TsReader*>(h);
+    r->stop.store(true);
+    if (r->thr.joinable()) r->thr.join();
+    if (r->own_fp && r->fp) fclose(r->fp);
+    delete r;
+}
+
+void* iq_sink_open(const char* path, size_t ring_bytes, double pace_bytes_per_sec) {
+    auto* s = new IqSink(ring_bytes ? ring_bytes : (64u << 20));
+    if (strcmp(path, "null") != 0) {
+        s->fp = (strcmp(path, "-") == 0) ? stdout : fopen(path, "wb");
+        if (!s->fp) { delete s; return nullptr; }
+    }
+    s->pace_bytes_per_sec = pace_bytes_per_sec;
+    s->thr = std::thread([s] { s->run(); });
+    return s;
+}
+
+// Blocking write with back-pressure (the sink's pace throttles the caller,
+// exactly like the SDR writeStream loop in the reference).
+void iq_sink_write(void* h, const uint8_t* src, size_t n) {
+    auto* s = static_cast<IqSink*>(h);
+    while (n > 0) {
+        size_t w = s->ring.writable();
+        if (w == 0) {
+            std::this_thread::sleep_for(std::chrono::microseconds(200));
+            continue;
+        }
+        size_t now = std::min(w, n);
+        s->ring.write(src, now);
+        src += now;
+        n -= now;
+    }
+}
+
+uint64_t iq_sink_bytes(void* h) {
+    return static_cast<IqSink*>(h)->bytes_out.load();
+}
+
+void iq_sink_close(void* h) {
+    auto* s = static_cast<IqSink*>(h);
+    s->stop.store(true);
+    if (s->thr.joinable()) s->thr.join();
+    if (s->fp && s->fp != stdout) fclose(s->fp);
+    delete s;
+}
+
+}  // extern "C"

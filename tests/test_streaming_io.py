@@ -1,0 +1,120 @@
+"""Streaming driver, native IO runtime, CLI, and checkpoint tests —
+covering the input-chunking path the reference left untested
+(SURVEY.md §4 gaps)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from atsc_tpu import params as P
+from atsc_tpu.models.encoder import Encoder
+from atsc_tpu.models.streaming import StreamingEncoder
+from atsc_tpu.runtime.io import IqSink, TsReader, native_available
+from atsc_tpu.utils.checkpoint import load_state, save_state
+
+
+def test_streaming_chunked_input_matches_field_input(golden):
+    """Odd-sized pushes must produce the same IQ as whole-field encodes
+    (reference atsc.cpp:59-77 semantics)."""
+    outputs = []
+    enc = StreamingEncoder(
+        channels=1, sink=lambda c, iq: outputs.append(iq.copy())
+    )
+    stream = golden["input"].reshape(-1).tobytes()
+    # push in awkward chunk sizes (not packet- or field-aligned)
+    pos = 0
+    for chunk in (1000, 58656, 13, 99999, 10**9):
+        enc.push(stream[pos : pos + chunk])
+        pos += chunk
+        if pos >= len(stream):
+            break
+    assert len(outputs) == 4
+
+    ref = Encoder(batch=1)
+    iq_ref = np.asarray(ref.encode_many(golden["input"][:, None, :]))
+    got = np.stack(outputs)
+    np.testing.assert_array_equal(got, iq_ref[:, 0])
+
+
+def test_streaming_multichannel_lockstep(golden):
+    per_ch = [[] for _ in range(2)]
+    enc = StreamingEncoder(
+        channels=2, sink=lambda c, iq: per_ch[c].append(iq.copy())
+    )
+    f = P.FIELD_TS_BYTES
+    data = golden["input"].reshape(-1).tobytes()
+    enc.push(data[: 2 * f], channel=0)
+    assert enc.fields_encoded == 0  # channel 1 has nothing yet
+    enc.push(data[: 2 * f], channel=1)
+    assert enc.fields_encoded == 2
+    np.testing.assert_array_equal(per_ch[0][0], per_ch[1][0])
+
+
+def test_native_io_roundtrip(tmp_path):
+    if not native_available():
+        pytest.skip("no native toolchain")
+    # TS reader: alignment drops leading garbage before the 0x47 grid
+    raw = tmp_path / "in.ts"
+    pkts = np.zeros((10, 188), dtype=np.uint8)
+    pkts[:, 0] = 0x47
+    pkts[:, 1] = np.arange(10)
+    garbage = b"\x00\x12\x34"
+    raw.write_bytes(garbage + pkts.tobytes())
+    r = TsReader(str(raw))
+    data = r.read(10 * 188)
+    r.close()
+    got = np.frombuffer(data, dtype=np.uint8).reshape(-1, 188)
+    assert got.shape[0] == 10
+    np.testing.assert_array_equal(got[:, 0], 0x47)
+    np.testing.assert_array_equal(got[:, 1], np.arange(10))
+
+    # IQ sink file roundtrip
+    out = tmp_path / "out.iq"
+    s = IqSink(str(out))
+    payload = np.arange(1024, dtype=np.float32).reshape(-1, 2)
+    s.write(payload)
+    s.close()
+    back = np.fromfile(out, dtype=np.float32).reshape(-1, 2)
+    np.testing.assert_array_equal(back, payload)
+
+
+def test_cli_end_to_end(golden, tmp_path):
+    ts_path = tmp_path / "in.ts"
+    ts_path.write_bytes(golden["input"].reshape(-1).tobytes())
+    iq_path = tmp_path / "out.iq"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "from atsc_tpu.cli import main; "
+        "sys.exit(main([%r, '-o', %r, '--stats']))"
+        % (repo, str(ts_path), str(iq_path))
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr
+    iq = np.fromfile(iq_path, dtype=np.float32).reshape(4, P.SYMBOLS_PER_FIELD, 2)
+    got = (iq[..., 0] + 1j * iq[..., 1]).astype(np.complex64)
+    assert np.abs(got - golden["iq"]).max() < 5e-6
+
+
+def test_checkpoint_resume(golden, tmp_path):
+    enc = Encoder(batch=1)
+    enc.encode_many(golden["input"][:2, None, :])
+    path = str(tmp_path / "ckpt.npz")
+    save_state(path, enc.state, fields_encoded=2)
+
+    enc2 = Encoder(batch=1)
+    enc2.state, n = load_state(path)
+    assert n == 2
+    iq_resumed = np.asarray(enc2.encode_many(golden["input"][2:4, None, :]))
+
+    ref = Encoder(batch=1)
+    iq_all = np.asarray(ref.encode_many(golden["input"][:, None, :]))
+    np.testing.assert_array_equal(iq_resumed, iq_all[2:4])
