@@ -50,6 +50,27 @@ def _band_matrices() -> tuple[np.ndarray, np.ndarray]:
     return w_lo.astype(np.float32), w_hi.astype(np.float32)
 
 
+def banded_fir(x: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """Forward FIR out[i] = sum_k x[..., i+k] c[k] as MXU banded matmuls.
+
+    x: (..., n_in) float32 with n_in >= n_out + 111. Returns (..., n_out).
+    """
+    *lead, n_in = x.shape
+    nblk_out = -(-n_out // _BLK)
+    nblk_in = nblk_out + 1
+    pad = nblk_in * _BLK - n_in
+    if pad > 0:
+        x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, pad)])
+    w_lo, w_hi = _band_matrices()
+    a = x[..., : nblk_in * _BLK].reshape(-1, nblk_in, _BLK)
+    x_lo = a[:, :nblk_out].reshape(-1, _BLK)
+    x_hi = a[:, 1 : nblk_out + 1].reshape(-1, _BLK)
+    out = jnp.dot(
+        x_lo, jnp.asarray(w_lo), precision=jax.lax.Precision.HIGHEST
+    ) + jnp.dot(x_hi, jnp.asarray(w_hi), precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(*lead, nblk_out * _BLK)[..., :n_out]
+
+
 def rrc_filter_field(iq_planar: jnp.ndarray) -> jnp.ndarray:
     """(B, 2, 261248) planar float32 -> (B, 260416, 2) interleaved float32 IQ.
 
@@ -57,14 +78,7 @@ def rrc_filter_field(iq_planar: jnp.ndarray) -> jnp.ndarray:
     complex<float> stream (CF32), ready for an SDR sink.
     """
     b = iq_planar.shape[0]
-    w_lo, w_hi = _band_matrices()
-    a = iq_planar.reshape(b * 2, _NBLK_IN, _BLK)
-    x_lo = a[:, :_NBLK_OUT].reshape(b * 2 * _NBLK_OUT, _BLK)
-    x_hi = a[:, 1 : _NBLK_OUT + 1].reshape(b * 2 * _NBLK_OUT, _BLK)
-    out = jnp.dot(
-        x_lo, jnp.asarray(w_lo), precision=jax.lax.Precision.HIGHEST
-    ) + jnp.dot(x_hi, jnp.asarray(w_hi), precision=jax.lax.Precision.HIGHEST)
-    out = out.reshape(b, 2, _NBLK_OUT * _BLK)[:, :, : P.SYMBOLS_PER_FIELD]
+    out = banded_fir(iq_planar, P.SYMBOLS_PER_FIELD)
     return out.transpose(0, 2, 1)
 
 
