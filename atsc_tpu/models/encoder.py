@@ -28,7 +28,21 @@ from atsc_tpu.ops import (
     rs_encode_field,
     trellis_encode_field,
 )
+from atsc_tpu.ops.offset import advance_phasor
 from atsc_tpu.tables.oscillator import phasor_for_field
+
+
+def _use_fused_offset_fir() -> bool:
+    """The fused Pallas offset+FIR kernel runs only on real TPU backends
+    (Mosaic lowering); interpret mode on CPU is far slower than XLA's own
+    fusion, so CPU (tests, dryruns) keeps the unfused ops. Override with
+    ATSC_TPU_FUSED=0/1."""
+    import os
+
+    env = os.environ.get("ATSC_TPU_FUSED")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.default_backend() != "cpu"
 
 
 class EncoderState(NamedTuple):
@@ -83,8 +97,14 @@ def encode_field(
         il, state.trellis_d, state.trellis_d1, state.trellis_d2
     )
     field, new_saved = assemble_field(symbols, state.parity, state.saved)
-    iq_padded, next_phasor = apply_pilot_offset(field, state.phasor)
-    iq = rrc_filter_field(iq_padded)
+    if _use_fused_offset_fir():
+        from atsc_tpu.ops.pallas.offset_fir import offset_fir_fused
+
+        iq = offset_fir_fused(field, state.phasor)
+        next_phasor = advance_phasor(state.phasor)
+    else:
+        iq_padded, next_phasor = apply_pilot_offset(field, state.phasor)
+        iq = rrc_filter_field(iq_padded)
 
     new_state = EncoderState(
         prev_rs=rs_flat,

@@ -35,6 +35,21 @@ def _scale_planar() -> np.ndarray:
     return np.array([s.real, s.imag], dtype=np.float32)
 
 
+def advance_phasor(phasor: jnp.ndarray) -> jnp.ndarray:
+    """One field's worth of oscillator phase advance: (B, 2) -> (B, 2).
+
+    Same float32 complex-multiply the reference applies to its table each
+    field (offset.h:97-101), factored out so fused kernels that don't call
+    apply_pilot_offset can still carry phase continuity."""
+    s = _scale_planar()
+    sr, si = jnp.float32(s[0]), jnp.float32(s[1])
+    return jnp.stack(
+        [phasor[:, 0] * sr - phasor[:, 1] * si,
+         phasor[:, 0] * si + phasor[:, 1] * sr],
+        axis=-1,
+    )
+
+
 def apply_pilot_offset(
     field: jnp.ndarray, phasor: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -51,11 +66,4 @@ def apply_pilot_offset(
     out_im = field * (tr * pi + ti * pr)
     out = jnp.stack([out_re, out_im], axis=1)
 
-    s = _scale_planar()
-    sr, si = jnp.float32(s[0]), jnp.float32(s[1])
-    next_phasor = jnp.stack(
-        [phasor[:, 0] * sr - phasor[:, 1] * si,
-         phasor[:, 0] * si + phasor[:, 1] * sr],
-        axis=-1,
-    )
-    return out, next_phasor
+    return out, advance_phasor(phasor)
