@@ -23,7 +23,7 @@ import sys
 import numpy as np
 
 from atsc_tpu import params as P
-from atsc_tpu.models.encoder import Encoder
+from atsc_tpu.models.encoder import Encoder, iq_interleave
 from atsc_tpu.runtime.io import IqSink, TsReader
 from atsc_tpu.utils.config import EncoderConfig
 from atsc_tpu.utils.profiling import ThroughputMeter
@@ -75,7 +75,7 @@ def run(cfg: EncoderConfig, input_path: str, max_fields: int = 0,
                 data[: whole * field_bytes], dtype=np.uint8
             ).reshape(whole, 1, field_bytes)
             ts = np.broadcast_to(ts, (whole, cfg.channels, field_bytes))
-            iq = np.asarray(enc.encode_many(ts))  # (T, B, 260416, 2)
+            iq = iq_interleave(np.asarray(enc.encode_many(ts)))  # (T,B,260416,2)
             sink.write(iq)
             meter.add_fields(whole * cfg.channels)
             if max_fields and meter.fields >= max_fields * cfg.channels:

@@ -28,6 +28,7 @@ from atsc_tpu.ops import (
     rs_encode_field,
     trellis_encode_field,
 )
+from atsc_tpu.ops.assemble import field_levels
 from atsc_tpu.ops.offset import advance_phasor
 from atsc_tpu.tables.oscillator import phasor_for_field
 
@@ -52,7 +53,7 @@ class EncoderState(NamedTuple):
     trellis_d: jnp.ndarray      # (B, 12) int32 differential precoder
     trellis_d1: jnp.ndarray     # (B, 12) int32 conv encoder delay 1
     trellis_d2: jnp.ndarray     # (B, 12) int32 conv encoder delay 2
-    saved: jnp.ndarray          # (B, 12) float32 reserved symbols
+    saved: jnp.ndarray          # (B, 12) int8 reserved symbol values
     parity: jnp.ndarray         # (B,) int32 field parity (0 even, 1 odd)
     phasor: jnp.ndarray         # (B, 2) float32 oscillator phasor (re, im)
 
@@ -63,15 +64,15 @@ def init_state(batch: int, field_index: int = 0) -> EncoderState:
     field_index > 0 only sets the closed-form components (parity, phasor);
     data-dependent state (interleaver buffer, trellis carries, saved
     symbols) matches a cold start, exactly like the reference's constructor
-    (atsc.cpp:17-35: zeroed field1, xform(0) saved symbols).
+    (atsc.cpp:17-35: zeroed field1, xform(0) saved symbols — symbol value 0
+    here).
     """
     return EncoderState(
         prev_rs=jnp.zeros((batch, P.DATA_PER_FIELD), dtype=jnp.uint8),
         trellis_d=jnp.zeros((batch, P.TRELLIS_ENCODERS), dtype=jnp.int32),
         trellis_d1=jnp.zeros((batch, P.TRELLIS_ENCODERS), dtype=jnp.int32),
         trellis_d2=jnp.zeros((batch, P.TRELLIS_ENCODERS), dtype=jnp.int32),
-        saved=jnp.full((batch, P.RESERVED_SYMBOLS), -7.0 + P.PILOT_OFFSET,
-                       dtype=jnp.float32),
+        saved=jnp.zeros((batch, P.RESERVED_SYMBOLS), dtype=jnp.int8),
         parity=jnp.full((batch,), field_index % 2, dtype=jnp.int32),
         phasor=jnp.tile(
             jnp.asarray(
@@ -87,8 +88,9 @@ def init_state(batch: int, field_index: int = 0) -> EncoderState:
 def encode_field(
     state: EncoderState, ts: jnp.ndarray
 ) -> tuple[EncoderState, jnp.ndarray]:
-    """One field for B channels: (B, 58656) TS bytes -> (B, 260416, 2) IQ
-    (interleaved re/im float32, the reference's CF32 memory layout)."""
+    """One field for B channels: (B, 58656) TS bytes -> (B, 2, 260480)
+    planar float32 IQ, valid through sample 260,416 (use iq_interleave /
+    iq_to_complex for the reference's CF32 memory layout)."""
     rand = randomize_field(ts)
     rs = rs_encode_field(rand)
     rs_flat = rs.reshape(rs.shape[0], -1)
@@ -103,7 +105,9 @@ def encode_field(
         iq = offset_fir_fused(field, state.phasor)
         next_phasor = advance_phasor(state.phasor)
     else:
-        iq_padded, next_phasor = apply_pilot_offset(field, state.phasor)
+        iq_padded, next_phasor = apply_pilot_offset(
+            field_levels(field), state.phasor
+        )
         iq = rrc_filter_field(iq_padded)
 
     new_state = EncoderState(
@@ -121,7 +125,7 @@ def encode_field(
 def encode_fields(
     state: EncoderState, ts_fields: jnp.ndarray
 ) -> tuple[EncoderState, jnp.ndarray]:
-    """Scan over T fields: (T, B, 58656) -> (T, B, 260416, 2) float32."""
+    """Scan over T fields: (T, B, 58656) -> (T, B, 2, 260480) float32."""
     return jax.lax.scan(encode_field, state, ts_fields)
 
 
@@ -145,17 +149,32 @@ class Encoder:
         self._state = s
 
     def encode(self, ts: np.ndarray) -> jax.Array:
-        """(B, 58656) uint8 -> (B, 260416, 2) float32 IQ for one field."""
+        """(B, 58656) uint8 -> (B, 2, 260480) planar float32 IQ for one
+        field (valid through sample 260,416)."""
         self._state, iq = self._step(self._state, jnp.asarray(ts))
         return iq
 
     def encode_many(self, ts_fields: np.ndarray) -> jax.Array:
-        """(T, B, 58656) -> (T, B, 260416, 2) float32 IQ."""
+        """(T, B, 58656) -> (T, B, 2, 260480) planar float32 IQ."""
         self._state, iq = self._scan(self._state, jnp.asarray(ts_fields))
         return iq
 
 
+def iq_interleave(iq: np.ndarray) -> np.ndarray:
+    """Planar (..., 2, N>=260416) float32 -> interleaved (..., 260416, 2).
+
+    The interleaved output is bit-layout-identical to the reference's
+    complex<float> CF32 stream (atsc.cpp:89); done host-side so the device
+    path never pays a transpose over the 2 MB/field IQ."""
+    arr = np.asarray(iq)[..., : P.SYMBOLS_PER_FIELD]
+    return np.ascontiguousarray(np.moveaxis(arr, -2, -1))
+
+
 def iq_to_complex(iq: np.ndarray) -> np.ndarray:
-    """View an interleaved (..., 2) float32 IQ array as complex64."""
-    arr = np.ascontiguousarray(iq)
-    return arr.view(np.complex64)[..., 0]
+    """Planar (..., 2, N) or interleaved (..., N, 2) float32 IQ -> complex64
+    of the 260,416 valid samples."""
+    arr = np.asarray(iq)
+    if arr.shape[-1] == 2:  # interleaved
+        arr = np.ascontiguousarray(arr[..., : P.SYMBOLS_PER_FIELD, :])
+        return arr.view(np.complex64)[..., 0]
+    return iq_interleave(arr).view(np.complex64)[..., 0]

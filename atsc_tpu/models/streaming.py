@@ -20,7 +20,7 @@ from typing import Callable, Optional
 import numpy as np
 
 from atsc_tpu import params as P
-from atsc_tpu.models.encoder import Encoder
+from atsc_tpu.models.encoder import Encoder, iq_interleave
 
 SinkFn = Callable[[int, np.ndarray], None]  # (channel, iq (260416, 2) f32)
 
@@ -59,11 +59,12 @@ class StreamingEncoder:
                 chunk = bytes(b[: t * fb])
                 del b[: t * fb]
                 ts[:, c] = np.frombuffer(chunk, dtype=np.uint8).reshape(t, fb)
-            iq = np.asarray(self._enc.encode_many(ts))  # (t, B, 260416, 2)
+            iq = np.asarray(self._enc.encode_many(ts))  # (t, B, 2, 260480)
             if self.sink is not None:
+                cf32 = iq_interleave(iq)                # (t, B, 260416, 2)
                 for f in range(t):
                     for c in range(self.channels):
-                        self.sink(c, iq[f, c])
+                        self.sink(c, cf32[f, c])
             self.fields_encoded += t
             total += t
             ready -= t

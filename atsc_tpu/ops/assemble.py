@@ -1,16 +1,18 @@
-"""Symbol assembly: output commutator + signal mapping + sync insertion,
-fused into one gather/select pass.
+"""Symbol assembly: output commutator + sync insertion, fused into one
+gather/select pass — entirely in the int8 3-bit-symbol domain.
 
 Behavioral spec: reference src/atsc/trellis.h:549-576 (output commutator
-scatter), src/atsc/signal.h (level mapping with +1.25 pilot bias),
-src/atsc/field_sync.h:12-26 (field/segment sync memcpys, reserved symbols
-from the previous field's tail, even/odd parity alternation).
+scatter), src/atsc/field_sync.h:12-26 (field/segment sync memcpys, reserved
+symbols from the previous field's tail, even/odd parity alternation).
 
 TPU-first reformulation: a single precomputed gather index maps every
 padded-field position to its source symbol in the encoder-major trellis
-output; sync constants come from a (2, 261248) parity-indexed template and
-one `where`. Everything stays real float32 — the signal only becomes
-complex at the pilot-offset stage.
+output; sync constants come from a (2, 261248) parity-indexed int8 template
+and one `where`. Keeping the whole assembled field as int8 symbol *values*
+(not float levels) quarters the HBM traffic of this stage and of the fused
+offset+FIR kernel's input; the level map (signal.h: 2v-7+1.25) is applied
+on the fly wherever float levels are actually needed (field_levels / the
+Pallas kernel's VMEM-resident cast).
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from atsc_tpu import params as P
-from atsc_tpu.tables.sync import RESERVED_START, sync_templates
+from atsc_tpu.tables.sync import RESERVED_START, sync_symbol_templates
 from atsc_tpu.tables.trellis_tables import (
     encoder_stream_to_round_major,
     padded_field_gather,
@@ -33,7 +35,7 @@ def _tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     is_data, src_round_major = padded_field_gather()
     # compose: padded position -> round-major stream -> encoder-major index
     src_enc_major = encoder_stream_to_round_major()[src_round_major]
-    template, is_const = sync_templates()
+    template, is_const = sync_symbol_templates()
     # data slots gather from trellis symbols; const slots from the template;
     # the 12 reserved slots are overwritten afterwards, any source is fine.
     return src_enc_major.astype(np.int32), template, is_const
@@ -42,22 +44,21 @@ def _tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 def assemble_field(
     symbols: jnp.ndarray, parity: jnp.ndarray, saved: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Build the padded real symbol field.
+    """Build the padded symbol-value field.
 
     symbols: (B, 12, 21528) int8 trellis symbols (encoder-major);
     parity:  (B,) int32 field parity (0 even / 1 odd);
-    saved:   (B, 12) float32 reserved symbols (previous field's tail).
-    Returns (field (B, 261248) float32, new_saved (B, 12)).
+    saved:   (B, 12) int8 reserved symbols (previous field's tail).
+    Returns (field (B, 261248) int8 symbol values, new_saved (B, 12) int8).
     """
     src, template, is_const = _tables()
     b = symbols.shape[0]
 
     flat = symbols.reshape(b, -1)  # (B, 258336)
-    data_syms = jnp.take(flat, jnp.asarray(src), axis=-1).astype(jnp.float32)
-    data_levels = data_syms * 2.0 - 7.0 + jnp.float32(P.PILOT_OFFSET)
+    data_syms = jnp.take(flat, jnp.asarray(src), axis=-1)
 
-    const_part = jnp.asarray(template)[parity]  # (B, 261248)
-    field = jnp.where(jnp.asarray(is_const), const_part, data_levels)
+    const_part = jnp.asarray(template)[parity]  # (B, 261248) int8
+    field = jnp.where(jnp.asarray(is_const), const_part, data_syms)
     field = field.at[:, RESERVED_START : RESERVED_START + P.RESERVED_SYMBOLS].set(
         saved
     )
@@ -65,3 +66,15 @@ def assemble_field(
         :, P.SYMBOLS_PER_FIELD - P.RESERVED_SYMBOLS : P.SYMBOLS_PER_FIELD
     ]
     return field, new_saved
+
+
+def field_levels(field: jnp.ndarray) -> jnp.ndarray:
+    """(.., 261248) int8 symbol values -> float32 levels (signal.h xform).
+
+    The 12-sample padding tail is forced to 0.0 (complex zero), matching the
+    reference's value-initialized buffer tail exactly — it is never read by
+    the valid FIR outputs, but the spec/golden dumps include it.
+    """
+    lvl = field.astype(jnp.float32) * 2.0 + jnp.float32(P.PILOT_OFFSET - 7.0)
+    tail = P.SYMBOLS_PER_FIELD + P.SYMBOLS_PER_SEGMENT - P.RESERVED_SYMBOLS
+    return lvl.at[..., tail:].set(0.0)

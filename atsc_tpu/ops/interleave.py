@@ -19,14 +19,13 @@ from atsc_tpu.tables.interleave import gather_tables
 
 
 @functools.lru_cache(maxsize=1)
-def _tables() -> tuple[np.ndarray, np.ndarray]:
+def _combined_src() -> np.ndarray:
+    """One gather table into concat([cur, prev]): src + 64584*from_prev."""
     src, from_prev = gather_tables()
-    return src.astype(np.int32), from_prev.astype(bool)
+    return (src + P.DATA_PER_FIELD * from_prev.astype(np.int64)).astype(np.int32)
 
 
 def interleave_field(cur_rs: jnp.ndarray, prev_rs: jnp.ndarray) -> jnp.ndarray:
     """(B, 64584) current + previous RS fields -> (B, 64584) interleaved."""
-    src, from_prev = _tables()
-    cur_g = jnp.take(cur_rs, jnp.asarray(src), axis=-1)
-    prev_g = jnp.take(prev_rs, jnp.asarray(src), axis=-1)
-    return jnp.where(jnp.asarray(from_prev), prev_g, cur_g)
+    both = jnp.concatenate([cur_rs, prev_rs], axis=-1)  # (B, 129168)
+    return jnp.take(both, jnp.asarray(_combined_src()), axis=-1)

@@ -72,14 +72,14 @@ def banded_fir(x: jnp.ndarray, n_out: int) -> jnp.ndarray:
 
 
 def rrc_filter_field(iq_planar: jnp.ndarray) -> jnp.ndarray:
-    """(B, 2, 261248) planar float32 -> (B, 260416, 2) interleaved float32 IQ.
+    """(B, 2, 261248) planar float32 -> (B, 2, 260480) planar float32 IQ.
 
-    The interleaved output is bit-layout-identical to the reference's
-    complex<float> stream (CF32), ready for an SDR sink.
+    Output stays planar and 128-block padded (valid through sample 260,416)
+    so the banded matmul writes its destination directly — interleaving to
+    the reference's CF32 layout happens at the host boundary
+    (models.encoder.iq_interleave).
     """
-    b = iq_planar.shape[0]
-    out = banded_fir(iq_planar, P.SYMBOLS_PER_FIELD)
-    return out.transpose(0, 2, 1)
+    return banded_fir(iq_planar, P.PADDED_OUT)
 
 
 def rrc_filter_field_conv(iq_planar: jnp.ndarray) -> jnp.ndarray:
@@ -95,5 +95,7 @@ def rrc_filter_field_conv(iq_planar: jnp.ndarray) -> jnp.ndarray:
         dimension_numbers=("NCH", "OIH", "NCH"),
         precision=jax.lax.Precision.HIGHEST,
     )
-    out = out[:, 0, : P.SYMBOLS_PER_FIELD].reshape(b, 2, P.SYMBOLS_PER_FIELD)
-    return out.transpose(0, 2, 1)
+    out = out[:, 0, : P.PADDED_OUT]
+    pad = P.PADDED_OUT - out.shape[-1]
+    out = jnp.pad(out, ((0, 0), (0, pad)))
+    return out.reshape(b, 2, P.PADDED_OUT)

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
 
 from atsc_tpu import params as P
 from atsc_tpu.models.encoder import EncoderState, init_state
-from atsc_tpu.ops.assemble import assemble_field, _tables as _assemble_tables
+from atsc_tpu.ops.assemble import assemble_field, field_levels, _tables as _assemble_tables
 from atsc_tpu.ops.interleave import interleave_field
 from atsc_tpu.ops.offset import _osc_planar, _scale_planar
 from atsc_tpu.ops.randomize import randomize_field
@@ -139,10 +139,7 @@ def _local_step(state: EncoderState, ts: jnp.ndarray, fields_per_device: int):
 
     # ---- reserved-symbol tails across field boundaries ----------------------
     flat_syms = symbols.reshape(f_dev, b, -1)
-    tails = (
-        jnp.take(flat_syms, jnp.asarray(_tail_src()), axis=-1).astype(jnp.float32)
-        * 2.0 - 7.0 + jnp.float32(P.PILOT_OFFSET)
-    )  # (F, b, 12)
+    tails = jnp.take(flat_syms, jnp.asarray(_tail_src()), axis=-1)  # (F,b,12) i8
     tail_from_left = jax.lax.ppermute(tails[-1], TIME_AXIS, ring)
     incoming_saved = jnp.where(t_idx == 0, state.saved, tail_from_left)
     saved = jnp.concatenate([incoming_saved[None], tails[:-1]], axis=0)
@@ -157,28 +154,29 @@ def _local_step(state: EncoderState, ts: jnp.ndarray, fields_per_device: int):
 
     # ---- assemble + offset + RRC (field-local) ------------------------------
     field, _ = jax.vmap(assemble_field)(symbols, parity, saved)
+    levels = field_levels(field)                           # (F, b, 261248) f32
 
     osc_re, osc_im = _osc_planar()
     tr = jnp.asarray(osc_re)
     ti = jnp.asarray(osc_im)
     pr = phasors[..., 0:1]
     pi = phasors[..., 1:2]
-    out_re = field * (tr[None, None] * pr - ti[None, None] * pi)
-    out_im = field * (tr[None, None] * pi + ti[None, None] * pr)
+    out_re = levels * (tr[None, None] * pr - ti[None, None] * pi)
+    out_im = levels * (tr[None, None] * pi + ti[None, None] * pr)
     iq_padded = jnp.stack([out_re, out_im], axis=2)        # (F, b, 2, 261248)
 
     iq = rrc_filter_field(iq_padded.reshape(f_dev * b, 2, P.PADDED_SYMBOLS))
-    iq = iq.reshape(f_dev, b, P.SYMBOLS_PER_FIELD, 2)
+    iq = iq.reshape(f_dev, b, 2, P.PADDED_OUT)
 
     # ---- next state (replicated over time via masked psum) ------------------
-    is_last = (t_idx == n_time - 1).astype(jnp.float32)
     is_last_u8 = (t_idx == n_time - 1).astype(jnp.uint8)
+    is_last_i8 = is_last_u8.astype(jnp.int8)
     new_state = EncoderState(
         prev_rs=jax.lax.psum(rs_flat[-1] * is_last_u8, TIME_AXIS),
         trellis_d=new_trellis[0],
         trellis_d1=new_trellis[1],
         trellis_d2=new_trellis[2],
-        saved=jax.lax.psum(tails[-1] * is_last, TIME_AXIS),
+        saved=jax.lax.psum(tails[-1] * is_last_i8, TIME_AXIS),
         parity=(state.parity + t_total) & 1,
         phasor=phasors_all[-1],  # phasor *after* t_total-1 advances...
     )
@@ -244,7 +242,7 @@ class ShardedEncoder:
         return jax.device_put(st, self.state_sharding)
 
     def step(self, state: EncoderState, ts) -> tuple[EncoderState, jax.Array]:
-        """ts: (T, B, 58656) uint8 -> ((state), (T, B, 260416, 2) float32)."""
+        """ts: (T, B, 58656) uint8 -> ((state), (T, B, 2, 260480) float32)."""
         ts = jax.device_put(jnp.asarray(ts), self.ts_sharding)
         return self._step(state, ts)
 
@@ -262,4 +260,4 @@ def dryrun(n_devices: int) -> None:
     state = enc.init_state()
     state, iq = enc.step(state, ts)
     jax.block_until_ready(iq)
-    assert iq.shape == (enc.t_total, n_ch, P.SYMBOLS_PER_FIELD, 2)
+    assert iq.shape == (enc.t_total, n_ch, 2, P.PADDED_OUT)

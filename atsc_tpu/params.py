@@ -39,6 +39,13 @@ PADDED_SYMBOLS = SYMBOLS_PER_FIELD + SYMBOLS_PER_SEGMENT           # 261,248
 RRC_TAPS = 112                    # 111 real taps + 1 zero pad
 RRC_LOOKAHEAD = RRC_TAPS - 1      # forward-only FIR: out[i] = sum in[i+k] c[k]
 
+# Device-side IQ output is planar (re, im) and padded to whole 128-sample
+# blocks so the MXU-banded FIR writes straight to its destination with no
+# trailing slice/transpose pass: (B, 2, PADDED_OUT) with samples
+# [0, SYMBOLS_PER_FIELD) valid. Interleaving to the reference's CF32 layout
+# happens at the host boundary (models.encoder.iq_interleave).
+PADDED_OUT = -(-SYMBOLS_PER_FIELD // 128) * 128                    # 260,480
+
 # --- rates ----------------------------------------------------------------------
 SAMPLE_RATE = 4_500_000.0 / 286.0 * 684.0        # 10,762,237.76… Hz symbol rate
 FIELD_RATE = SAMPLE_RATE / SYMBOLS_PER_FIELD     # ≈ 41.327 fields/s

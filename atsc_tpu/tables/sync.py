@@ -39,8 +39,8 @@ def _bit_sym(bits: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=1)
-def field_sync_symbols() -> np.ndarray:
-    """(2, 820) float32 field-sync levels; row 0 = even field, row 1 = odd."""
+def field_sync_symbol_values() -> np.ndarray:
+    """(2, 820) int8 field-sync 3-bit symbol values; row 0 = even field."""
     p511, p63 = pn511(), pn63()
     vsb_mode = np.array(
         [0, 0, 0, 0, 1, 0, 1, 0, 0, 1, 0, 1, 1, 1, 1, 1, 0, 1, 0, 1, 1, 0, 1, 0],
@@ -48,7 +48,7 @@ def field_sync_symbols() -> np.ndarray:
     )
     filler = p63[np.arange(104 - P.RESERVED_SYMBOLS) % 63]
 
-    out = np.empty((2, _FIELD_SYNC_LEN), dtype=np.float32)
+    out = np.empty((2, _FIELD_SYNC_LEN), dtype=np.int8)
     for row, even in ((0, True), (1, False)):
         mid = p63 if even else (1 - p63)  # middle PN63 inverted on odd fields
         syms = np.concatenate(
@@ -63,8 +63,14 @@ def field_sync_symbols() -> np.ndarray:
             ]
         )
         assert syms.shape == (_FIELD_SYNC_LEN,)
-        out[row] = _xform(syms)
+        out[row] = syms
     return out
+
+
+@functools.lru_cache(maxsize=1)
+def field_sync_symbols() -> np.ndarray:
+    """(2, 820) float32 field-sync levels; row 0 = even field, row 1 = odd."""
+    return _xform(field_sync_symbol_values())
 
 
 @functools.lru_cache(maxsize=1)
@@ -108,6 +114,32 @@ def sync_templates() -> tuple[np.ndarray, np.ndarray]:
     assert reserved.sum() == P.RESERVED_SYMBOLS
     assert reserved[_FIELD_SYNC_LEN : P.SYMBOLS_PER_SEGMENT].all()
     assert not (is_const & is_data).any()
+    return template, is_const
+
+
+@functools.lru_cache(maxsize=1)
+def sync_symbol_templates() -> tuple[np.ndarray, np.ndarray]:
+    """Integer-domain twin of sync_templates for the int8 symbol pipeline.
+
+    template: (2, 261248) int8 — 3-bit symbol values at the constant slots
+    (field syncs, segment syncs); 0 elsewhere. The 12-sample padding tail at
+    [261236, 261248) is symbol 0 here (the reference leaves complex zero,
+    signal.h has no symbol for level 0.0) — those samples can only influence
+    FIR outputs at positions >= 261125, all past the 260,416 valid outputs,
+    so any value is correct; models.encoder.field_levels zeroes them when
+    materializing float levels for the unfused/spec paths.
+    is_const: (261248,) bool, identical to sync_templates()[1].
+    """
+    fs = field_sync_symbol_values()
+    template = np.zeros((2, P.PADDED_SYMBOLS), dtype=np.int8)
+    template[:, :_FIELD_SYNC_LEN] = fs
+    template[:, P.SYMBOLS_PER_FIELD : P.SYMBOLS_PER_FIELD + _FIELD_SYNC_LEN] = fs
+    seg = np.array([6, 1, 1, 6], dtype=np.int8)
+    for seg_start in range(
+        P.SYMBOLS_PER_SEGMENT, P.SYMBOLS_PER_FIELD, P.SYMBOLS_PER_SEGMENT
+    ):
+        template[:, seg_start : seg_start + 4] = seg
+    _, is_const = sync_templates()
     return template, is_const
 
 

@@ -18,6 +18,7 @@ from atsc_tpu.ops import (
     trellis_encode_field,
 )
 from atsc_tpu.models.encoder import init_state
+from atsc_tpu.ops.assemble import field_levels
 from atsc_tpu.tables.trellis_tables import encoder_stream_to_round_major, padded_field_gather
 
 
@@ -75,7 +76,7 @@ def test_assemble_sync(golden):
         field, saved = assemble_field(symbols, parity, saved)
         parity = parity ^ 1
         np.testing.assert_allclose(
-            np.asarray(field)[0], golden["sync"][f].real, atol=1e-6
+            np.asarray(field_levels(field))[0], golden["sync"][f].real, atol=1e-6
         )
 
 
@@ -95,8 +96,8 @@ def test_rrc_filter(golden):
     planar = jnp.asarray(
         np.stack([golden["offset"].real, golden["offset"].imag], axis=1)
     )
-    out = np.asarray(rrc_filter_field(planar))
-    got = (out[..., 0] + 1j * out[..., 1]).astype(np.complex64)
+    out = np.asarray(rrc_filter_field(planar))[..., : P.SYMBOLS_PER_FIELD]
+    got = (out[:, 0] + 1j * out[:, 1]).astype(np.complex64)
     err = np.abs(got - golden["iq"]).max()
     assert err < 2e-6, err
 

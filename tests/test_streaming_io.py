@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from atsc_tpu import params as P
-from atsc_tpu.models.encoder import Encoder
+from atsc_tpu.models.encoder import Encoder, iq_interleave
 from atsc_tpu.models.streaming import StreamingEncoder
 from atsc_tpu.runtime.io import IqSink, TsReader, native_available
 from atsc_tpu.utils.checkpoint import load_state, save_state
@@ -34,7 +34,7 @@ def test_streaming_chunked_input_matches_field_input(golden):
     assert len(outputs) == 4
 
     ref = Encoder(batch=1)
-    iq_ref = np.asarray(ref.encode_many(golden["input"][:, None, :]))
+    iq_ref = iq_interleave(np.asarray(ref.encode_many(golden["input"][:, None, :])))
     got = np.stack(outputs)
     np.testing.assert_array_equal(got, iq_ref[:, 0])
 
