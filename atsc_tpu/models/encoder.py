@@ -28,7 +28,8 @@ from atsc_tpu.ops import (
     rs_encode_field,
     trellis_encode_field,
 )
-from atsc_tpu.ops.assemble import field_levels
+from atsc_tpu.ops.assemble import assemble_field_structured, field_levels
+from atsc_tpu.ops.interleave import interleave_field_enc_major
 from atsc_tpu.ops.offset import advance_phasor
 from atsc_tpu.tables.oscillator import phasor_for_field
 
@@ -94,11 +95,11 @@ def encode_field(
     rand = randomize_field(ts)
     rs = rs_encode_field(rand)
     rs_flat = rs.reshape(rs.shape[0], -1)
-    il = interleave_field(rs_flat, state.prev_rs)
+    il = interleave_field_enc_major(rs_flat, state.prev_rs)
     symbols, d, d1, d2 = trellis_encode_field(
         il, state.trellis_d, state.trellis_d1, state.trellis_d2
     )
-    field, new_saved = assemble_field(symbols, state.parity, state.saved)
+    field, new_saved = assemble_field_structured(symbols, state.parity, state.saved)
     if _use_fused_offset_fir():
         from atsc_tpu.ops.pallas.offset_fir import offset_fir_fused
 

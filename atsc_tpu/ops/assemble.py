@@ -68,6 +68,59 @@ def assemble_field(
     return field, new_saved
 
 
+@functools.lru_cache(maxsize=1)
+def _segment_templates() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(fsync (2, 832) int8, segsync (4,) int8, pad (2, 832) int8)."""
+    template, _ = sync_symbol_templates()
+    fsync = template[:, : P.SYMBOLS_PER_SEGMENT].copy()
+    pad = template[:, P.SYMBOLS_PER_FIELD :].copy()
+    segsync = np.array([6, 1, 1, 6], dtype=np.int8)
+    return fsync, segsync, pad
+
+
+def assemble_field_structured(
+    symbols: jnp.ndarray, parity: jnp.ndarray, saved: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather-free assemble_field (same contract).
+
+    The output commutator (reference trellis.h:549-576) is block-cyclic:
+    symbol i of data-segment d comes from encoder (4d + i) mod 12, and each
+    encoder contributes exactly 69 consecutive stream symbols per segment.
+    With the encoder-major stream viewed as (12, 312, 69), the whole
+    commutator is one transpose to (312, 69, 12) plus a roll of the encoder
+    axis by (4d mod 12) — which has period 3 in d, so three static rolls
+    cover all 312 segments. No gather tables, no select masks; everything
+    is reshapes XLA turns into a single relayout pass.
+    """
+    b = symbols.shape[0]
+    n_seg = P.DATA_SEGMENTS
+    per_seg = P.DATA_SYMBOLS_PER_SEGMENT // P.TRELLIS_ENCODERS  # 69
+
+    sym4 = symbols.reshape(b, P.TRELLIS_ENCODERS, n_seg, per_seg)
+    t = sym4.transpose(0, 2, 3, 1)                 # (B, 312, 69, 12)
+    t = t.reshape(b, n_seg // 3, 3, per_seg, P.TRELLIS_ENCODERS)
+    rolled = jnp.stack(
+        [jnp.roll(t[:, :, g], -4 * g, axis=-1) for g in range(3)], axis=2
+    )
+    data = rolled.reshape(b, n_seg, P.DATA_SYMBOLS_PER_SEGMENT)
+
+    fsync_t, segsync, pad_t = _segment_templates()
+    fsync = jnp.asarray(fsync_t)[parity]           # (B, 832)
+    fsync = fsync.at[:, RESERVED_START : RESERVED_START + P.RESERVED_SYMBOLS].set(
+        saved
+    )
+    seg_sync = jnp.broadcast_to(
+        jnp.asarray(segsync), (b, n_seg, 4)
+    )
+    data_segs = jnp.concatenate([seg_sync, data], axis=-1).reshape(
+        b, n_seg * P.SYMBOLS_PER_SEGMENT
+    )
+    pad = jnp.asarray(pad_t)[parity]               # (B, 832)
+    field = jnp.concatenate([fsync, data_segs, pad], axis=-1)
+    new_saved = data[:, -1, -P.RESERVED_SYMBOLS :]
+    return field, new_saved
+
+
 def field_levels(field: jnp.ndarray) -> jnp.ndarray:
     """(.., 261248) int8 symbol values -> float32 levels (signal.h xform).
 

@@ -29,3 +29,28 @@ def interleave_field(cur_rs: jnp.ndarray, prev_rs: jnp.ndarray) -> jnp.ndarray:
     """(B, 64584) current + previous RS fields -> (B, 64584) interleaved."""
     both = jnp.concatenate([cur_rs, prev_rs], axis=-1)  # (B, 129168)
     return jnp.take(both, jnp.asarray(_combined_src()), axis=-1)
+
+
+@functools.lru_cache(maxsize=1)
+def _combined_src_enc_major() -> np.ndarray:
+    """The interleave gather composed with the trellis stage's
+    encoder-major byte permutation (reference interleaver.h's fused trellis
+    rotate/transpose, taken one step further): round-major index
+    j = (r*12 + e)*13 + c  ->  encoder-major m = (e*414 + r)*13 + c, so the
+    trellis stage reads contiguous per-encoder streams with no transpose
+    pass of its own."""
+    src = _combined_src().reshape(
+        P.TRELLIS_ROUNDS, P.TRELLIS_ENCODERS, P.TRELLIS_INPUT_BYTES
+    )
+    return np.ascontiguousarray(src.transpose(1, 0, 2)).reshape(
+        P.TRELLIS_ENCODERS, -1
+    )
+
+
+def interleave_field_enc_major(
+    cur_rs: jnp.ndarray, prev_rs: jnp.ndarray
+) -> jnp.ndarray:
+    """(B, 64584) current + previous RS fields -> (B, 12, 5382) interleaved
+    bytes in encoder-major layout (the trellis stage's native input)."""
+    both = jnp.concatenate([cur_rs, prev_rs], axis=-1)  # (B, 129168)
+    return jnp.take(both, jnp.asarray(_combined_src_enc_major()), axis=-1)

@@ -33,8 +33,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
 
 from atsc_tpu import params as P
 from atsc_tpu.models.encoder import EncoderState, init_state
-from atsc_tpu.ops.assemble import assemble_field, field_levels, _tables as _assemble_tables
-from atsc_tpu.ops.interleave import interleave_field
+from atsc_tpu.ops.assemble import assemble_field_structured, field_levels, _tables as _assemble_tables
+from atsc_tpu.ops.interleave import interleave_field_enc_major
 from atsc_tpu.ops.offset import _osc_planar, _scale_planar
 from atsc_tpu.ops.randomize import randomize_field
 from atsc_tpu.ops.rrc_filter import rrc_filter_field
@@ -102,7 +102,7 @@ def _local_step(state: EncoderState, ts: jnp.ndarray, fields_per_device: int):
     rs_from_left = jax.lax.ppermute(rs_flat[-1], TIME_AXIS, ring)
     incoming_rs = jnp.where(t_idx == 0, state.prev_rs, rs_from_left)
     prev_rs = jnp.concatenate([incoming_rs[None], rs_flat[:-1]], axis=0)
-    il = jax.vmap(interleave_field)(rs_flat, prev_rs)     # (F, b, 64584)
+    il = jax.vmap(interleave_field_enc_major)(rs_flat, prev_rs)  # (F,b,12,5382)
 
     # ---- trellis: local zero-carry scans + XOR carry propagation ------------
     zeros = jnp.zeros((b, P.TRELLIS_ENCODERS), dtype=jnp.int32)
@@ -153,7 +153,7 @@ def _local_step(state: EncoderState, ts: jnp.ndarray, fields_per_device: int):
     phasors = jax.lax.dynamic_slice_in_dim(phasors_all, g0, f_dev, axis=0)
 
     # ---- assemble + offset + RRC (field-local) ------------------------------
-    field, _ = jax.vmap(assemble_field)(symbols, parity, saved)
+    field, _ = jax.vmap(assemble_field_structured)(symbols, parity, saved)
     levels = field_levels(field)                           # (F, b, 261248) f32
 
     osc_re, osc_im = _osc_planar()
