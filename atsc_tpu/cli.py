@@ -2,10 +2,10 @@
 
 The TPU-native analog of the reference's two executables
 (reference util/atsc_encoder.cpp — SDR TX; util/atsc_encoder_null.cpp —
-null-sink throughput harness). SoapySDR hardware is out of scope on TPU
-hosts, so the sink is null / file / stdout, optionally paced to the 8VSB
-sample clock (the role the SDR's sample clock plays in the reference);
-the stream format is identical interleaved complex<float>.
+null-sink throughput harness). Sinks: null / file / stdout, optionally
+paced to the 8VSB sample clock (the role the SDR's sample clock plays in
+the reference), or 'soapy[:driver]' for SoapySDR transmit where bindings
+exist; the stream format is identical interleaved complex<float>.
 
 Usage:
   python -m atsc_tpu.cli input.ts -o out.iq             # encode to file
@@ -24,7 +24,7 @@ import numpy as np
 
 from atsc_tpu import params as P
 from atsc_tpu.models.encoder import Encoder, iq_interleave
-from atsc_tpu.runtime.io import IqSink, TsReader
+from atsc_tpu.runtime.io import IqSink, SoapySdrSink, TsReader
 from atsc_tpu.utils.config import EncoderConfig
 from atsc_tpu.utils.profiling import ThroughputMeter
 
@@ -35,7 +35,8 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     ap.add_argument("input", help="MPEG-TS file (19.393 Mbps muxrate) or '-'")
     ap.add_argument("-o", "--output", default="null",
-                    help="IQ sink: 'null', '-' (stdout) or file path")
+                    help="IQ sink: 'null', '-' (stdout), file path, or "
+                         "'soapy[:driver]' for SDR transmit")
     ap.add_argument("-c", "--channels", type=int, default=1,
                     help="encode the stream as N parallel channels")
     ap.add_argument("--fields-per-step", type=int, default=8)
@@ -45,7 +46,9 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="stop after N fields per channel (0 = until EOF)")
     ap.add_argument("--stats", action="store_true",
                     help="print a JSON throughput summary to stderr")
-    # SDR-facing metadata kept for parity with the reference's flags
+    # SDR flags (reference -d/-f/-g, util/defaults.h:3-5)
+    ap.add_argument("-d", "--driver", default="hackrf",
+                    help="SoapySDR driver for the 'soapy' sink")
     ap.add_argument("-f", "--frequency", type=float, default=473e6)
     ap.add_argument("-g", "--gain", type=float, default=54.0)
     return ap
@@ -56,7 +59,12 @@ def run(cfg: EncoderConfig, input_path: str, max_fields: int = 0,
     cfg.validate()
     pace = P.SAMPLE_RATE * 8 * cfg.channels if cfg.realtime else 0.0
     reader = TsReader(input_path)
-    sink = IqSink(cfg.sink, pace_bytes_per_sec=pace)
+    if cfg.sink == "soapy" or cfg.sink.startswith("soapy:"):
+        driver = cfg.sink.split(":", 1)[1] if ":" in cfg.sink else cfg.driver
+        sink = SoapySdrSink(driver=driver, frequency_hz=cfg.frequency_hz,
+                            gain_db=cfg.gain_db)
+    else:
+        sink = IqSink(cfg.sink, pace_bytes_per_sec=pace)
     enc = Encoder(batch=cfg.channels)
     meter = ThroughputMeter(channels=cfg.channels)
 
@@ -99,6 +107,7 @@ def main(argv=None) -> int:
         realtime=args.realtime,
         frequency_hz=args.frequency,
         gain_db=args.gain,
+        driver=args.driver,
     )
     run(cfg, args.input, max_fields=args.max_fields, stats=args.stats)
     return 0

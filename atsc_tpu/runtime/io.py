@@ -112,6 +112,64 @@ class TsReader:
             self._fp = None
 
 
+class SoapySdrSink:
+    """SDR transmit sink via SoapySDR (the reference's production output,
+    util/atsc_encoder.cpp:60-101): device setup with 6 MHz bandwidth, the
+    10.762238 MHz symbol rate, tune frequency and gain, then a CF32 TX
+    stream written in MTU-sized chunks.
+
+    Gated on the optional `SoapySDR` python module (not part of the TPU
+    host image); raises a clear RuntimeError when absent so the CLI's
+    null/file sinks remain the default path.
+    """
+
+    def __init__(self, driver: str = "hackrf", frequency_hz: float = 473e6,
+                 gain_db: float = 54.0, sample_rate: float | None = None):
+        try:
+            import SoapySDR  # type: ignore
+            from SoapySDR import SOAPY_SDR_TX, SOAPY_SDR_CF32  # type: ignore
+        except ImportError as e:  # pragma: no cover - hardware-only path
+            raise RuntimeError(
+                "SoapySDR python bindings not available on this host; "
+                "use a 'null'/file/stdout sink instead"
+            ) from e
+        from atsc_tpu import params as P
+
+        rate = sample_rate or P.SAMPLE_RATE
+        self._sdr = SoapySDR.Device({"driver": driver})
+        self._sdr.setBandwidth(SOAPY_SDR_TX, 0, 6_000_000.0)
+        self._sdr.setSampleRate(SOAPY_SDR_TX, 0, rate)
+        self._sdr.setFrequency(SOAPY_SDR_TX, 0, frequency_hz)
+        self._sdr.setGain(SOAPY_SDR_TX, 0, gain_db)
+        self._stream = self._sdr.setupStream(SOAPY_SDR_TX, SOAPY_SDR_CF32)
+        self._sdr.activateStream(self._stream)
+        self._mtu = int(self._sdr.getStreamMTU(self._stream))
+        self._bytes = 0
+
+    def write(self, arr: np.ndarray) -> None:
+        """arr: (..., 260416, 2) float32 interleaved CF32 fields."""
+        flat = np.ascontiguousarray(arr, dtype=np.float32).reshape(-1, 2)
+        view = flat.view(np.complex64)[:, 0]
+        pos = 0
+        while pos < view.size:
+            chunk = view[pos : pos + self._mtu]
+            ret = self._sdr.writeStream(self._stream, [chunk], chunk.size)
+            sent = getattr(ret, "ret", ret)
+            if sent <= 0:
+                raise IOError(f"SoapySDR writeStream returned {sent}")
+            pos += sent
+        self._bytes += flat.nbytes
+
+    def bytes_written(self) -> int:
+        return self._bytes
+
+    def close(self) -> None:
+        if getattr(self, "_stream", None) is not None:
+            self._sdr.deactivateStream(self._stream)
+            self._sdr.closeStream(self._stream)
+            self._stream = None
+
+
 class IqSink:
     """IQ byte sink: 'null', '-' (stdout) or a file path; optional pacing
     in bytes/s (e.g. SAMPLE_RATE * 8 for real-time CF32)."""

@@ -106,3 +106,56 @@ def test_rrc_filter(golden):
 def test_imag_is_zero_through_assembly(golden, stage):
     # the signal is purely real until the pilot offset stage
     assert np.abs(golden[stage].imag).max() == 0.0
+
+
+def test_interleave_enc_major_is_permuted_interleave(golden):
+    """The fused enc-major gather equals interleave + the trellis stage's
+    round->encoder byte permutation."""
+    from atsc_tpu.ops.interleave import interleave_field_enc_major
+
+    prev = np.zeros((1, P.DATA_PER_FIELD), dtype=np.uint8)
+    for f in range(2):
+        cur = golden["rs"][f][None]
+        flat = interleave_field(jnp.asarray(cur), jnp.asarray(prev))
+        enc = interleave_field_enc_major(jnp.asarray(cur), jnp.asarray(prev))
+        want = (
+            np.asarray(flat)
+            .reshape(1, P.TRELLIS_ROUNDS, P.TRELLIS_ENCODERS,
+                     P.TRELLIS_INPUT_BYTES)
+            .transpose(0, 2, 1, 3)
+            .reshape(1, P.TRELLIS_ENCODERS, -1)
+        )
+        np.testing.assert_array_equal(np.asarray(enc), want)
+        prev = cur
+
+
+def test_assemble_structured_equals_gather():
+    """Gather-free assembly (transpose + 3 static rolls) is exactly the
+    table-driven commutator for random symbols/parity/saved state."""
+    from atsc_tpu.ops.assemble import assemble_field_structured
+
+    rng = np.random.default_rng(7)
+    sym = jnp.asarray(rng.integers(
+        0, 8, size=(3, 12, P.TRELLIS_SYMBOLS_PER_ENCODER), dtype=np.int8))
+    saved = jnp.asarray(rng.integers(0, 8, size=(3, 12), dtype=np.int8))
+    parity = jnp.asarray([0, 1, 0], dtype=jnp.int32)
+    f1, s1 = assemble_field(sym, parity, saved)
+    f2, s2 = assemble_field_structured(sym, parity, saved)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_sync_symbol_template_matches_level_template():
+    """Integer-domain sync template xforms to the float-level template at
+    every constant slot (except the spec'd zero tail-12)."""
+    from atsc_tpu.tables.sync import sync_symbol_templates, sync_templates
+
+    sym_t, is_const_s = sync_symbol_templates()
+    lvl_t, is_const = sync_templates()
+    np.testing.assert_array_equal(is_const_s, is_const)
+    tail = P.PADDED_SYMBOLS - P.RESERVED_SYMBOLS
+    lvl_from_sym = sym_t.astype(np.float32) * 2 - 7 + np.float32(P.PILOT_OFFSET)
+    mask = is_const.copy()
+    mask[tail:] = False
+    np.testing.assert_array_equal(lvl_from_sym[:, mask], lvl_t[:, mask])
+    assert (lvl_t[:, tail:] == 0.0).all()
