@@ -96,9 +96,14 @@ def encode_field(
     rs = rs_encode_field(rand)
     rs_flat = rs.reshape(rs.shape[0], -1)
     il = interleave_field_enc_major(rs_flat, state.prev_rs)
+    # materialize the gather and the trellis symbols: without the barriers
+    # XLA fuses (= recomputes) the 64,584-wide gather into every bit-plane
+    # consumer of the trellis stage, ~2x-ing the front half's cost
+    il = jax.lax.optimization_barrier(il)
     symbols, d, d1, d2 = trellis_encode_field(
         il, state.trellis_d, state.trellis_d1, state.trellis_d2
     )
+    symbols = jax.lax.optimization_barrier(symbols)
     field, new_saved = assemble_field_structured(symbols, state.parity, state.saved)
     if _use_fused_offset_fir():
         from atsc_tpu.ops.pallas.offset_fir import offset_fir_fused

@@ -103,6 +103,8 @@ def _local_step(state: EncoderState, ts: jnp.ndarray, fields_per_device: int):
     incoming_rs = jnp.where(t_idx == 0, state.prev_rs, rs_from_left)
     prev_rs = jnp.concatenate([incoming_rs[None], rs_flat[:-1]], axis=0)
     il = jax.vmap(interleave_field_enc_major)(rs_flat, prev_rs)  # (F,b,12,5382)
+    il = jax.lax.optimization_barrier(il)  # see models/encoder.py: stops XLA
+    # from re-fusing (= recomputing) the gather into every trellis consumer
 
     # ---- trellis: local zero-carry scans + XOR carry propagation ------------
     zeros = jnp.zeros((b, P.TRELLIS_ENCODERS), dtype=jnp.int32)
@@ -134,6 +136,7 @@ def _local_step(state: EncoderState, ts: jnp.ndarray, fields_per_device: int):
     c_d2 = carries[:, 2].astype(jnp.int8)[..., None]
     mask = c_d * 4 + c_d1 * even + c_d2 * (1 - even)
     symbols = jnp.bitwise_xor(sym_local, mask)             # (F, b, 12, 21528)
+    symbols = jax.lax.optimization_barrier(symbols)
 
     new_trellis = (state_carry + jnp.sum(gathered, axis=0)) & 1  # (3, b, 12)
 
