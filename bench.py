@@ -45,7 +45,7 @@ def measure(batch: int, iters: int = 30, warmup: int = 3) -> float:
 def main() -> None:
     best = 0.0
     best_b = 0
-    for batch in (16, 64, 128, 256):
+    for batch in (64, 128, 256, 384, 512):
         try:
             fps = measure(batch)
         except Exception:

@@ -1,0 +1,69 @@
+"""Physics-level signal validation, independent of the golden vectors:
+the encoded baseband must actually look like an 8VSB signal — pilot tone
+at the (quirk-replicated) oscillator frequency, energy confined to the
+~5.38 MHz vestigial sideband, deep stopband outside it.
+
+The reference has no such test; it only compares against its own dumps.
+This catches whole classes of "consistently wrong" bugs (wrong oscillator
+sign, taps order, level map) that golden-vector self-consistency cannot.
+"""
+
+import numpy as np
+
+from atsc_tpu import params as P
+from atsc_tpu.models.encoder import Encoder, iq_to_complex
+
+
+def _spectrum(iq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    x = iq * np.hanning(iq.size)
+    spec = np.fft.fftshift(np.fft.fft(x))
+    freqs = np.fft.fftshift(np.fft.fftfreq(iq.size, d=1.0 / P.SAMPLE_RATE))
+    return freqs, np.abs(spec) ** 2
+
+
+def test_pilot_tone_and_band_occupancy(golden):
+    enc = Encoder(batch=1)
+    iq = iq_to_complex(np.asarray(enc.encode(golden["input"][0][None])))[0]
+    freqs, psd = _spectrum(iq)
+
+    # pilot: a strong narrow tone at OSC_FREQUENCY (-2.690589 MHz)
+    pilot_bin = np.argmin(np.abs(freqs - P.OSC_FREQUENCY))
+    win = psd[pilot_bin - 2 : pilot_bin + 3].sum()
+    total = psd.sum()
+    # the pilot carries the +1.25 DC bias of a +-7-level signal: a few
+    # percent of total power, concentrated in a handful of bins
+    assert win / total > 0.01, "pilot tone missing or misplaced"
+    near = psd[pilot_bin - 50 : pilot_bin + 51].sum()
+    assert win / near > 0.5, "pilot not a narrow tone"
+
+    # occupied band: 8VSB spans [pilot, pilot + 5.38 MHz] nominally; the
+    # RRC rolloff adds alpha/2 ~ 6% transition. 99% of power must be in
+    # the padded band, and the far stopband must be deeply suppressed.
+    f_lo = P.OSC_FREQUENCY - 0.2e6
+    f_hi = P.OSC_FREQUENCY + P.SAMPLE_RATE / 2.0 + 0.2e6
+    inband = psd[(freqs >= f_lo) & (freqs <= f_hi)].sum()
+    assert inband / total > 0.99, "energy outside the vestigial sideband"
+
+    stop = psd[freqs < P.OSC_FREQUENCY - 0.5e6].sum()
+    assert stop / total < 1e-3, "stopband leakage below the pilot edge"
+
+
+def test_constant_modulus_of_oscillator_path(golden):
+    """The same TS encoded with phasor at field k vs a fresh encoder at
+    field_index=k must match exactly (closed-form phase == recurrence)."""
+    enc = Encoder(batch=1)
+    for f in range(3):
+        iq_seq = np.asarray(enc.encode(golden["input"][f][None]))
+    enc2 = Encoder(batch=1, field_index=2)
+    # replay interleaver/trellis state by hand: encode fields 0,1 first on
+    # a scratch encoder to produce the same data-dependent state
+    scratch = Encoder(batch=1)
+    scratch.encode(golden["input"][0][None])
+    scratch.encode(golden["input"][1][None])
+    st = scratch.state
+    enc2.state = enc2.state._replace(
+        prev_rs=st.prev_rs, trellis_d=st.trellis_d, trellis_d1=st.trellis_d1,
+        trellis_d2=st.trellis_d2, saved=st.saved,
+    )
+    iq_jump = np.asarray(enc2.encode(golden["input"][2][None]))
+    np.testing.assert_array_equal(iq_seq, iq_jump)
