@@ -21,8 +21,6 @@ import numpy as np
 from atsc_tpu import params as P
 from atsc_tpu.ops import (
     apply_pilot_offset,
-    assemble_field,
-    interleave_field,
     randomize_field,
     rrc_filter_field,
     rs_encode_field,

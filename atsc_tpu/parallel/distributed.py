@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import jax
 
-from atsc_tpu.parallel.mesh import CH_AXIS, TIME_AXIS, make_mesh
+from atsc_tpu.parallel.mesh import CH_AXIS, make_mesh
 
 
 def initialize(coordinator_address: str | None = None,

@@ -24,7 +24,6 @@ it on a virtual 8-device mesh).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
