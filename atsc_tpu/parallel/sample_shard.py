@@ -103,3 +103,16 @@ class SampleShardedFilter:
         phasor: (B, 2) float32; parity: (B,) int32 -> (B, 260416, 2)."""
         field = jax.device_put(field, self.field_sharding)
         return self._fn(field, phasor, parity)
+
+
+def dryrun(n_devices: int) -> None:
+    """Compile + run one sample-sharded offset+FIR step on a 1-D "sp"
+    mesh of n_devices (the overlap-save halo-exchange path)."""
+    mesh = Mesh(np.asarray(jax.devices()[:n_devices]), (SP_AXIS,))
+    filt = SampleShardedFilter(mesh)
+    field = jnp.zeros((1, P.SYMBOLS_PER_FIELD), jnp.float32)
+    phasor = jnp.asarray([[1.0, 0.0]], jnp.float32)
+    parity = jnp.zeros((1,), jnp.int32)
+    out = filt(field, phasor, parity)
+    jax.block_until_ready(out)
+    assert out.shape == (1, P.SYMBOLS_PER_FIELD, 2)
