@@ -1,0 +1,61 @@
+"""On-hardware end-to-end verification: drive the compiled encoder on the
+live backend (TPU when attached; falls back to whatever jax.devices() shows)
+and compare against the reference golden vectors.
+
+The pytest suite pins the CPU backend (tests/conftest.py) and exercises the
+Pallas kernel only in interpret mode; this script is the real-device check:
+it compiles the fused Mosaic kernel, runs the 4 golden fields through the
+public Encoder API (state carried across fields), and enforces the 5e-6 IQ
+bound. Exit code 0 = pass.
+
+Run: python tools/tpu_check.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from atsc_tpu import params as P  # noqa: E402
+from atsc_tpu.models.encoder import Encoder, iq_to_complex  # noqa: E402
+
+
+def main() -> int:
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    g = np.load("tests/golden/golden.npz")
+    enc = Encoder(batch=1)
+
+    t0 = time.perf_counter()
+    iq = np.concatenate(
+        [np.asarray(enc.encode(g["input"][k : k + 1])) for k in range(4)]
+    )
+    # a value fetch is the only reliable execution barrier over remote
+    # device tunnels (block_until_ready can return early)
+    _ = float(np.sum(iq[..., :64]))
+    dt = time.perf_counter() - t0
+
+    err = np.abs(iq_to_complex(iq) - g["iq"]).max()
+    print(f"max |IQ - golden| = {err:.3e}  (bound 5e-6; 4 fields in {dt:.1f}s"
+          " incl compile)")
+    if err >= 5e-6:
+        print("FAIL")
+        return 1
+
+    # carried state must match the spec oracle's closed forms
+    st = enc.state
+    assert int(np.asarray(st.parity)[0]) == 0  # 4 fields -> even again
+    from atsc_tpu.tables.oscillator import phasor_for_field
+
+    want_ph = phasor_for_field(4)
+    got_ph = complex(*np.asarray(st.phasor)[0])
+    assert abs(got_ph - want_ph) < 1e-6, (got_ph, want_ph)
+    print("PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
