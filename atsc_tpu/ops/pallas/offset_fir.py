@@ -7,21 +7,27 @@ field's bytes), mapped to levels and modulated onto the oscillator in VMEM,
 pushed through the banded-matmul FIR on the MXU, and written out as planar
 float32 IQ — no intermediate field ever touches HBM, no padding copy on the
 way in (261,248 = 2041 x 128 exactly), and no slice/transpose pass on the
-way out (the (B, 2, 2035, 128) result IS the (B, 2, 260480) padded planar
+way out (the (B, 2, 2040, 128) result IS the (B, 2, 261120) padded planar
 output, valid through sample 260,416).
 
-Per grid step (one channel) the banded FIR is two fp32 MXU matmuls per
-component on a (2035, 128)-row operand:
+Per grid step (one output chunk of one channel x IQ component) the banded
+FIR is two fp32 MXU matmuls on a (408, 128)-row operand:
 
-    Out[j] = Mod[j] @ W_lo + Mod[j+1] @ W_hi     j = 0..2034
+    Out[j] = Mod[j] @ W_lo + Mod[j+1] @ W_hi
 
-The oscillator table stays VMEM-resident across the whole grid
-(constant index map); the per-field phase continuity phasor rides in SMEM.
+The grid is (chunks, B, 2) with the chunk axis OUTERMOST so the per-chunk
+oscillator blocks stay VMEM-resident across all (channel, component) steps
+(measured on v5e: this chunking pipelines the output DMA against the
+VPU modulate + MXU passes noticeably better than one whole-channel step —
+the kernel is within ~1.8x of the chip's measured Pallas HBM-write floor
+for its output; the remainder is the fp32 (HIGHEST) matmul passes, which
+the 5e-6 golden bound requires — the oscillator's float32-argument quirk
+rules out the bf16-exact "rotate the taps" formulation since the table is
+NOT e^{j*theta*n}, and 3-pass bf16 (HIGH) misses the bound at 1.8e-5).
 
-At B=128 this kernel is within ~1.4x of the chip's HBM write floor for its
-268 MB output; fp32 (HIGHEST) matmuls keep the result inside the 5e-6
-golden bound (the oscillator's float32-argument quirk rules out the
-bf16-exact "rotate the taps" formulation: the table is NOT e^{j*theta*n}).
+The per-field phase-continuity phasor rides in SMEM; the rotation
+coefficients are scalar-selected per component (a, b) so only two vector
+multiplies touch the oscillator per element.
 """
 
 from __future__ import annotations
@@ -40,7 +46,9 @@ from atsc_tpu.ops.rrc_filter import _band_matrices
 
 _BLK = 128
 _IN_BLKS = P.PADDED_SYMBOLS // _BLK   # 2041 (exact)
-_OUT_BLKS = P.PADDED_OUT // _BLK      # 2035 (260,480 outputs >= 260,416)
+_OUT_BLKS = P.PADDED_OUT // _BLK      # 2040 (261,120 outputs >= 260,416)
+_NCHUNK = 5
+_ROWS = _OUT_BLKS // _NCHUNK          # 408 rows (divisible by 8)
 
 _LEVEL_BIAS = float(P.PILOT_OFFSET - 7.0)  # level = 2v - 7 + 1.25
 
@@ -51,23 +59,23 @@ def _osc_blocked() -> np.ndarray:
     return np.stack([re, im]).reshape(2, _IN_BLKS, _BLK)
 
 
-def _kernel(phasor_ref, field_ref, osc_ref, wlo_ref, whi_ref, out_ref):
-    # grid = (B, 2): one channel x one IQ component per step. The split
-    # component axis halves the per-step output block (1 MB), which
-    # pipelines the output DMA noticeably better than a fused 2 MB write
-    # (~20% faster end to end, bit-identical result).
-    # field_ref: (1, IN_BLKS, BLK) int8 — whole channel; osc_ref:
-    # (2, IN_BLKS, BLK) — resident across the grid; phasor_ref: (B, 2)
-    # SMEM, indexed by program_id(0); out_ref: (1, 1, OUT_BLKS, BLK).
-    bb = pl.program_id(0)
-    comp = pl.program_id(1)
+def _kernel(phasor_ref, fa_ref, fb_ref, osc_a_ref, osc_b_ref,
+            wlo_ref, whi_ref, out_ref):
+    # fa/fb: int8 field rows [cR, cR+R) and [cR+1, cR+R+1) of this channel
+    # (view B is the one-row-shifted stream for the FIR's +128-sample
+    # lookahead operand); osc_a/osc_b: matching oscillator rows, resident
+    # across the inner (channel, component) grid axes.
+    bb = pl.program_id(1)
+    comp = pl.program_id(2)
     pr = phasor_ref[bb, 0]
     pi = phasor_ref[bb, 1]
-    x = field_ref[0].astype(jnp.int32).astype(jnp.float32) * 2.0 + _LEVEL_BIAS
-    tr = osc_ref[0]
-    ti = osc_ref[1]
-    osc_rot = jnp.where(comp == 0, tr * pr - ti * pi, tr * pi + ti * pr)
-    mod = x * osc_rot
+    is0 = comp == 0
+    a = jax.lax.select(is0, pr, pi)
+    b = jax.lax.select(is0, -pi, pr)
+    xa = fa_ref[0].astype(jnp.float32) * 2.0 + _LEVEL_BIAS
+    xb = fb_ref[0].astype(jnp.float32) * 2.0 + _LEVEL_BIAS
+    mod_a = xa * (osc_a_ref[0] * a + osc_a_ref[1] * b)
+    mod_b = xb * (osc_b_ref[0] * a + osc_b_ref[1] * b)
 
     # HIGHEST: the MXU's default bf16 input rounding costs ~3e-3 absolute
     # error on +/-8-level symbols; fp32 passes keep us within the 5e-6
@@ -75,10 +83,9 @@ def _kernel(phasor_ref, field_ref, osc_ref, wlo_ref, whi_ref, out_ref):
     hp = jax.lax.Precision.HIGHEST
     f32 = jnp.float32
     out_ref[0, 0, :, :] = jnp.dot(
-        mod[:_OUT_BLKS], wlo_ref[...], precision=hp, preferred_element_type=f32
+        mod_a, wlo_ref[...], precision=hp, preferred_element_type=f32
     ) + jnp.dot(
-        mod[1 : _OUT_BLKS + 1], whi_ref[...], precision=hp,
-        preferred_element_type=f32,
+        mod_b, whi_ref[...], precision=hp, preferred_element_type=f32
     )
 
 
@@ -88,30 +95,37 @@ def offset_fir_fused(
 ) -> jnp.ndarray:
     """field: (B, 261248) int8 symbol values; phasor: (B, 2) float32.
 
-    Returns (B, 2, 260480) planar float32 IQ (level map + pilot offset +
+    Returns (B, 2, 261120) planar float32 IQ (level map + pilot offset +
     RRC fused); samples [0, 260416) are the field's valid output.
     """
     b = field.shape[0]
     f3 = field.reshape(b, _IN_BLKS, _BLK)
+    fa = f3[:, :_OUT_BLKS]
+    fb = f3[:, 1 : _OUT_BLKS + 1]
+    osc = jnp.asarray(_osc_blocked())
+    osc_a = osc[:, :_OUT_BLKS]
+    osc_b = osc[:, 1 : _OUT_BLKS + 1]
     w_lo, w_hi = _band_matrices()
 
     out = pl.pallas_call(
         _kernel,
-        grid=(b, 2),
+        grid=(_NCHUNK, b, 2),
         in_specs=[
             # whole (B, 2) phasor table in SMEM (a per-batch (1, 2) block is
-            # not a legal TPU block shape); kernel indexes row program_id(0)
+            # not a legal TPU block shape); kernel indexes row program_id(1)
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _IN_BLKS, _BLK), lambda bb, c: (bb, 0, 0)),
-            pl.BlockSpec((2, _IN_BLKS, _BLK), lambda bb, c: (0, 0, 0)),
-            pl.BlockSpec((_BLK, _BLK), lambda bb, c: (0, 0)),
-            pl.BlockSpec((_BLK, _BLK), lambda bb, c: (0, 0)),
+            pl.BlockSpec((1, _ROWS, _BLK), lambda c, bb, cc: (bb, c, 0)),
+            pl.BlockSpec((1, _ROWS, _BLK), lambda c, bb, cc: (bb, c, 0)),
+            pl.BlockSpec((2, _ROWS, _BLK), lambda c, bb, cc: (0, c, 0)),
+            pl.BlockSpec((2, _ROWS, _BLK), lambda c, bb, cc: (0, c, 0)),
+            pl.BlockSpec((_BLK, _BLK), lambda c, bb, cc: (0, 0)),
+            pl.BlockSpec((_BLK, _BLK), lambda c, bb, cc: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, _OUT_BLKS, _BLK), lambda bb, c: (bb, c, 0, 0)
+            (1, 1, _ROWS, _BLK), lambda c, bb, cc: (bb, cc, c, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((b, 2, _OUT_BLKS, _BLK), jnp.float32),
         interpret=interpret,
-    )(phasor, f3, jnp.asarray(_osc_blocked()), jnp.asarray(w_lo), jnp.asarray(w_hi))
+    )(phasor, fa, fb, osc_a, osc_b, jnp.asarray(w_lo), jnp.asarray(w_hi))
 
     return out.reshape(b, 2, P.PADDED_OUT)

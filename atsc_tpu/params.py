@@ -44,7 +44,9 @@ RRC_LOOKAHEAD = RRC_TAPS - 1      # forward-only FIR: out[i] = sum in[i+k] c[k]
 # trailing slice/transpose pass: (B, 2, PADDED_OUT) with samples
 # [0, SYMBOLS_PER_FIELD) valid. Interleaving to the reference's CF32 layout
 # happens at the host boundary (models.encoder.iq_interleave).
-PADDED_OUT = -(-SYMBOLS_PER_FIELD // 128) * 128                    # 260,480
+# rounded to 1,024 (8 x 128-lane blocks) so kernel output chunks can tile
+# the row axis in 8-row multiples (a Mosaic block-shape requirement)
+PADDED_OUT = -(-SYMBOLS_PER_FIELD // 1024) * 1024                  # 261,120
 
 # --- rates ----------------------------------------------------------------------
 SAMPLE_RATE = 4_500_000.0 / 286.0 * 684.0        # 10,762,237.76… Hz symbol rate
