@@ -65,13 +65,37 @@ struct TsReader {
 
     explicit TsReader(size_t ring_bytes) : ring(ring_bytes) {}
 
+    // Push chunk[off, off+n) into the ring (blocking on back-pressure).
+    bool push(const uint8_t* src, size_t n) {
+        while (n > 0) {
+            size_t w = ring.writable();
+            if (w == 0) {
+                if (stop.load()) return false;
+                std::this_thread::sleep_for(std::chrono::microseconds(200));
+                continue;
+            }
+            size_t now = std::min(w, n);
+            ring.write(src, now);
+            src += now;
+            n -= now;
+        }
+        return true;
+    }
+
     void run() {
         std::vector<uint8_t> chunk(1 << 16);
         size_t pend = 0;
         bool synced = false;
         while (!stop.load()) {
             size_t n = fread(chunk.data() + pend, 1, chunk.size() - pend, fp);
-            if (n == 0) { eof.store(true); break; }
+            if (n == 0) {
+                // EOF with sync never found (short or non-TS input): pass
+                // the pending bytes through raw — the reference freads
+                // blindly with no alignment at all (util/atsc_encoder.cpp:83)
+                if (!synced && pend > 0) push(chunk.data(), pend);
+                eof.store(true);
+                break;
+            }
             bytes_in += n;
             size_t have = pend + n;
             size_t off = 0;
@@ -83,28 +107,21 @@ struct TsReader {
                         if (chunk[o + k * TS_PACKET] != 0x47) { ok = false; break; }
                     if (ok) { off = o; synced = true; break; }
                 }
-                if (!synced) {  // keep tail, retry with more data
-                    size_t keep = std::min(have, 4 * TS_PACKET);
-                    memmove(chunk.data(), chunk.data() + have - keep, keep);
-                    pend = keep;
-                    continue;
+                if (!synced) {
+                    if (have == chunk.size()) {
+                        // no sync run anywhere in a full 64 KiB window:
+                        // raw-aligned passthrough from here on (reference
+                        // behavior); only streams that DO carry sync bytes
+                        // get leading-junk alignment.
+                        synced = true;
+                    } else {  // keep everything, retry with more data
+                        pend = have;
+                        continue;
+                    }
                 }
                 if (off) resyncs++;
             }
-            size_t avail = have - off;
-            size_t whole = avail;
-            while (whole > 0) {
-                size_t w = ring.writable();
-                if (w == 0) {
-                    if (stop.load()) return;
-                    std::this_thread::sleep_for(std::chrono::microseconds(200));
-                    continue;
-                }
-                size_t now = std::min(w, whole);
-                ring.write(chunk.data() + off, now);
-                off += now;
-                whole -= now;
-            }
+            if (!push(chunk.data() + off, have - off)) return;
             pend = 0;
         }
         eof.store(true);

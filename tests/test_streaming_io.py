@@ -81,6 +81,38 @@ def test_native_io_roundtrip(tmp_path):
     np.testing.assert_array_equal(back, payload)
 
 
+def test_native_reader_passthrough_without_sync(tmp_path):
+    """Input with no 0x47 grid must pass through raw and complete (the
+    reference freads blindly, util/atsc_encoder.cpp:83); sync alignment
+    only engages for streams that actually carry sync bytes."""
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+
+    # large non-TS input (> one 64 KiB scan window): full raw passthrough
+    blob = rng.integers(0, 256, size=200_000, dtype=np.uint8)
+    blob[blob == 0x47] = 0x48  # make sure no accidental sync grid
+    f = tmp_path / "garbage.bin"
+    f.write_bytes(blob.tobytes())
+    r = TsReader(str(f))
+    data = b""
+    while True:
+        c = r.read(65536)
+        if not c:
+            break
+        data += c
+    r.close()
+    assert data == blob.tobytes()
+
+    # tiny non-TS input (below one scan window): flushed raw at EOF
+    tiny = tmp_path / "tiny.bin"
+    tiny.write_bytes(b"\xab" * 500)
+    r = TsReader(str(tiny))
+    data = r.read(1000)
+    r.close()
+    assert data == b"\xab" * 500
+
+
 def test_cli_end_to_end(golden, tmp_path):
     ts_path = tmp_path / "in.ts"
     ts_path.write_bytes(golden["input"].reshape(-1).tobytes())
