@@ -83,8 +83,11 @@ def run(cfg: EncoderConfig, input_path: str, max_fields: int = 0,
                 data[: whole * field_bytes], dtype=np.uint8
             ).reshape(whole, 1, field_bytes)
             ts = np.broadcast_to(ts, (whole, cfg.channels, field_bytes))
-            iq = iq_interleave(np.asarray(enc.encode_many(ts)))  # (T,B,260416,2)
-            sink.write(iq)
+            # per-field dispatch (a scanned multi-field step pays an extra
+            # device copy of the stacked IQ — see PERF.md)
+            for f in range(whole):
+                iq = iq_interleave(np.asarray(enc.encode(ts[f])))
+                sink.write(iq)
             meter.add_fields(whole * cfg.channels)
             if max_fields and meter.fields >= max_fields * cfg.channels:
                 break

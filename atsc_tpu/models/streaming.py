@@ -59,12 +59,16 @@ class StreamingEncoder:
                 chunk = bytes(b[: t * fb])
                 del b[: t * fb]
                 ts[:, c] = np.frombuffer(chunk, dtype=np.uint8).reshape(t, fb)
-            iq = np.asarray(self._enc.encode_many(ts))  # (t, B, 2, 260480)
-            if self.sink is not None:
-                cf32 = iq_interleave(iq)                # (t, B, 260416, 2)
-                for f in range(t):
+            # per-field dispatch: a lax.scan over fields costs an extra
+            # stacked-output device copy of the (t, B, 2, 260480) IQ
+            # (~+25% step time measured on v5e, PERF.md); the host loop's
+            # dispatch latency hides behind the async device queue
+            for f in range(t):
+                iq = np.asarray(self._enc.encode(ts[f]))  # (B, 2, 260480)
+                if self.sink is not None:
+                    cf32 = iq_interleave(iq)              # (B, 260416, 2)
                     for c in range(self.channels):
-                        self.sink(c, cf32[f, c])
+                        self.sink(c, cf32[c])
             self.fields_encoded += t
             total += t
             ready -= t
