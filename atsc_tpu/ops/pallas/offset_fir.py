@@ -10,24 +10,26 @@ way in (261,248 = 2041 x 128 exactly), and no slice/transpose pass on the
 way out (the (B, 2, 2040, 128) result IS the (B, 2, 261120) padded planar
 output, valid through sample 260,416).
 
-Per grid step (one output chunk of one channel x IQ component) the banded
-FIR is two fp32 MXU matmuls on a (408, 128)-row operand:
+Per grid step (one 408-row output chunk of one channel) the banded FIR is
+four fp32 MXU matmuls on (408, 128)-row operands:
 
-    Out[j] = Mod[j] @ W_lo + Mod[j+1] @ W_hi
+    FIR_u[j] = U[j] @ W_lo + U[j+1] @ W_hi      (u = levels * osc_re)
+    FIR_w[j] = W[j] @ W_lo + W[j+1] @ W_hi      (w = levels * osc_im)
 
-The grid is (chunks, B, 2) with the chunk axis OUTERMOST so the per-chunk
-oscillator blocks stay VMEM-resident across all (channel, component) steps
-(measured on v5e: this chunking pipelines the output DMA against the
-VPU modulate + MXU passes noticeably better than one whole-channel step —
-the kernel is within ~1.8x of the chip's measured Pallas HBM-write floor
-for its output; the remainder is the fp32 (HIGHEST) matmul passes, which
-the 5e-6 golden bound requires — the oscillator's float32-argument quirk
-rules out the bf16-exact "rotate the taps" formulation since the table is
-NOT e^{j*theta*n}, and 3-pass bf16 (HIGH) misses the bound at 1.8e-5).
+and the per-field phase-continuity phasor rotates the *outputs*
+(out_I = FIR_u*pr - FIR_w*pi, out_Q = FIR_u*pi + FIR_w*pr) — valid because
+the real-tap FIR commutes with a complex scalar, and cheaper than rotating
+the oscillator per (channel, component): the modulate prologue runs once
+per channel instead of twice, and the component axis disappears from the
+grid (measured ~9% faster than the rotate-inputs form on v5e).
 
-The per-field phase-continuity phasor rides in SMEM; the rotation
-coefficients are scalar-selected per component (a, b) so only two vector
-multiplies touch the oscillator per element.
+The grid is (chunks, B) with the chunk axis OUTERMOST so the per-chunk
+oscillator blocks stay VMEM-resident across all channel steps. fp32
+(HIGHEST) matmuls are required: the 5e-6 golden bound rules out bf16
+operand rounding (DEFAULT err 2.7e-3, 3-pass HIGH err 1.8e-5), and the
+oscillator's float32-argument quirk rules out the bf16-exact "rotate the
+taps" formulation (the table is NOT e^{j*theta*n}). See PERF.md for the
+full measurement log.
 """
 
 from __future__ import annotations
@@ -64,29 +66,30 @@ def _kernel(phasor_ref, fa_ref, fb_ref, osc_a_ref, osc_b_ref,
     # fa/fb: int8 field rows [cR, cR+R) and [cR+1, cR+R+1) of this channel
     # (view B is the one-row-shifted stream for the FIR's +128-sample
     # lookahead operand); osc_a/osc_b: matching oscillator rows, resident
-    # across the inner (channel, component) grid axes.
+    # across the inner channel grid axis.
     bb = pl.program_id(1)
-    comp = pl.program_id(2)
     pr = phasor_ref[bb, 0]
     pi = phasor_ref[bb, 1]
-    is0 = comp == 0
-    a = jax.lax.select(is0, pr, pi)
-    b = jax.lax.select(is0, -pi, pr)
     xa = fa_ref[0].astype(jnp.float32) * 2.0 + _LEVEL_BIAS
     xb = fb_ref[0].astype(jnp.float32) * 2.0 + _LEVEL_BIAS
-    mod_a = xa * (osc_a_ref[0] * a + osc_a_ref[1] * b)
-    mod_b = xb * (osc_b_ref[0] * a + osc_b_ref[1] * b)
+    ua = xa * osc_a_ref[0]
+    wa = xa * osc_a_ref[1]
+    ub = xb * osc_b_ref[0]
+    wb = xb * osc_b_ref[1]
 
     # HIGHEST: the MXU's default bf16 input rounding costs ~3e-3 absolute
     # error on +/-8-level symbols; fp32 passes keep us within the 5e-6
     # golden bound (matches the unfused rrc_filter op's precision).
     hp = jax.lax.Precision.HIGHEST
     f32 = jnp.float32
-    out_ref[0, 0, :, :] = jnp.dot(
-        mod_a, wlo_ref[...], precision=hp, preferred_element_type=f32
-    ) + jnp.dot(
-        mod_b, whi_ref[...], precision=hp, preferred_element_type=f32
-    )
+    fu = jnp.dot(
+        ua, wlo_ref[...], precision=hp, preferred_element_type=f32
+    ) + jnp.dot(ub, whi_ref[...], precision=hp, preferred_element_type=f32)
+    fw = jnp.dot(
+        wa, wlo_ref[...], precision=hp, preferred_element_type=f32
+    ) + jnp.dot(wb, whi_ref[...], precision=hp, preferred_element_type=f32)
+    out_ref[0, 0, :, :] = fu * pr - fw * pi
+    out_ref[0, 1, :, :] = fu * pi + fw * pr
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -109,20 +112,20 @@ def offset_fir_fused(
 
     out = pl.pallas_call(
         _kernel,
-        grid=(_NCHUNK, b, 2),
+        grid=(_NCHUNK, b),
         in_specs=[
             # whole (B, 2) phasor table in SMEM (a per-batch (1, 2) block is
             # not a legal TPU block shape); kernel indexes row program_id(1)
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _ROWS, _BLK), lambda c, bb, cc: (bb, c, 0)),
-            pl.BlockSpec((1, _ROWS, _BLK), lambda c, bb, cc: (bb, c, 0)),
-            pl.BlockSpec((2, _ROWS, _BLK), lambda c, bb, cc: (0, c, 0)),
-            pl.BlockSpec((2, _ROWS, _BLK), lambda c, bb, cc: (0, c, 0)),
-            pl.BlockSpec((_BLK, _BLK), lambda c, bb, cc: (0, 0)),
-            pl.BlockSpec((_BLK, _BLK), lambda c, bb, cc: (0, 0)),
+            pl.BlockSpec((1, _ROWS, _BLK), lambda c, bb: (bb, c, 0)),
+            pl.BlockSpec((1, _ROWS, _BLK), lambda c, bb: (bb, c, 0)),
+            pl.BlockSpec((2, _ROWS, _BLK), lambda c, bb: (0, c, 0)),
+            pl.BlockSpec((2, _ROWS, _BLK), lambda c, bb: (0, c, 0)),
+            pl.BlockSpec((_BLK, _BLK), lambda c, bb: (0, 0)),
+            pl.BlockSpec((_BLK, _BLK), lambda c, bb: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, _ROWS, _BLK), lambda c, bb, cc: (bb, cc, c, 0)
+            (1, 2, _ROWS, _BLK), lambda c, bb: (bb, 0, c, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((b, 2, _OUT_BLKS, _BLK), jnp.float32),
         interpret=interpret,
