@@ -42,6 +42,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--fields-per-step", type=int, default=8)
     ap.add_argument("--realtime", action="store_true",
                     help="pace output to the 10.762238 MHz sample clock")
+    ap.add_argument("--format", dest="out_format", default="cf32",
+                    choices=("cf32", "cs16", "cs8"),
+                    help="IQ wire format: complex float32 (the reference's "
+                         "layout), or int16/int8 codes quantized on-device "
+                         "(half/quarter the output bandwidth)")
     ap.add_argument("--max-fields", type=int, default=0,
                     help="stop after N fields per channel (0 = until EOF)")
     ap.add_argument("--stats", action="store_true",
@@ -57,15 +62,18 @@ def build_argparser() -> argparse.ArgumentParser:
 def run(cfg: EncoderConfig, input_path: str, max_fields: int = 0,
         stats: bool = False) -> dict:
     cfg.validate()
-    pace = P.SAMPLE_RATE * 8 * cfg.channels if cfg.realtime else 0.0
+    from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
+
+    sample_bytes = BYTES_PER_SAMPLE[cfg.out_format]
+    pace = P.SAMPLE_RATE * sample_bytes * cfg.channels if cfg.realtime else 0.0
     reader = TsReader(input_path)
     if cfg.sink == "soapy" or cfg.sink.startswith("soapy:"):
         driver = cfg.sink.split(":", 1)[1] if ":" in cfg.sink else cfg.driver
         sink = SoapySdrSink(driver=driver, frequency_hz=cfg.frequency_hz,
-                            gain_db=cfg.gain_db)
+                            gain_db=cfg.gain_db, stream_format=cfg.out_format)
     else:
         sink = IqSink(cfg.sink, pace_bytes_per_sec=pace)
-    enc = Encoder(batch=cfg.channels)
+    enc = Encoder(batch=cfg.channels, out_format=cfg.out_format)
     meter = ThroughputMeter(channels=cfg.channels)
 
     field_bytes = P.FIELD_TS_BYTES
@@ -108,6 +116,7 @@ def main(argv=None) -> int:
         fields_per_step=args.fields_per_step,
         sink=args.output,
         realtime=args.realtime,
+        out_format=args.out_format,
         frequency_hz=args.frequency,
         gain_db=args.gain,
         driver=args.driver,

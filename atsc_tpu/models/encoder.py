@@ -85,11 +85,16 @@ def init_state(batch: int, field_index: int = 0) -> EncoderState:
 
 
 def encode_field(
-    state: EncoderState, ts: jnp.ndarray
+    state: EncoderState, ts: jnp.ndarray, out_format: str = "cf32"
 ) -> tuple[EncoderState, jnp.ndarray]:
     """One field for B channels: (B, 58656) TS bytes -> (B, 2, 260480)
     planar float32 IQ, valid through sample 260,416 (use iq_interleave /
-    iq_to_complex for the reference's CF32 memory layout)."""
+    iq_to_complex for the reference's CF32 memory layout).
+
+    out_format 'cs16'/'cs8' instead emits int16/int8 IQ codes (scaled by
+    ops.quantize.quantize_scale) straight from the device — the SDR wire
+    formats, at 1/2 / 1/4 the HBM write traffic of CF32 (must be static
+    under jit)."""
     rand = randomize_field(ts)
     rs = rs_encode_field(rand)
     rs_flat = rs.reshape(rs.shape[0], -1)
@@ -102,17 +107,33 @@ def encode_field(
         il, state.trellis_d, state.trellis_d1, state.trellis_d2
     )
     symbols = jax.lax.optimization_barrier(symbols)
-    field, new_saved = assemble_field_structured(symbols, state.parity, state.saved)
     if _use_fused_offset_fir():
-        from atsc_tpu.ops.pallas.offset_fir import offset_fir_fused
+        from atsc_tpu.ops.pallas.offset_fir import (
+            QUANT_FIELD_LEN,
+            offset_fir_fused,
+        )
 
-        iq = offset_fir_fused(field, state.phasor)
+        # the quantized kernel's 2048-block grid needs 8 extra zero input
+        # blocks; append them inside assemble's concat (free) instead of a
+        # separate full-field pad copy
+        pad_to = P.PADDED_SYMBOLS if out_format == "cf32" else QUANT_FIELD_LEN
+        field, new_saved = assemble_field_structured(
+            symbols, state.parity, state.saved, pad_to=pad_to
+        )
+        iq = offset_fir_fused(field, state.phasor, out_format=out_format)
         next_phasor = advance_phasor(state.phasor)
     else:
+        field, new_saved = assemble_field_structured(
+            symbols, state.parity, state.saved
+        )
         iq_padded, next_phasor = apply_pilot_offset(
             field_levels(field), state.phasor
         )
         iq = rrc_filter_field(iq_padded)
+        if out_format != "cf32":
+            from atsc_tpu.ops.quantize import quantize_iq
+
+            iq = quantize_iq(iq, out_format)
 
     new_state = EncoderState(
         prev_rs=rs_flat,
@@ -127,22 +148,33 @@ def encode_field(
 
 
 def encode_fields(
-    state: EncoderState, ts_fields: jnp.ndarray
+    state: EncoderState, ts_fields: jnp.ndarray, out_format: str = "cf32"
 ) -> tuple[EncoderState, jnp.ndarray]:
     """Scan over T fields: (T, B, 58656) -> (T, B, 2, 260480) float32."""
-    return jax.lax.scan(encode_field, state, ts_fields)
+    import functools
+
+    step = functools.partial(encode_field, out_format=out_format)
+    return jax.lax.scan(step, state, ts_fields)
 
 
 class Encoder:
     """Convenience stateful wrapper around the pure functions (the public
     single-process API, analog of reference atsc.h's atsc_encoder)."""
 
-    def __init__(self, batch: int = 1, field_index: int = 0, donate: bool = True):
+    def __init__(self, batch: int = 1, field_index: int = 0, donate: bool = True,
+                 out_format: str = "cf32"):
         self.batch = batch
+        self.out_format = out_format
         self._state = init_state(batch, field_index)
         donate_args = (0,) if donate else ()
-        self._step = jax.jit(encode_field, donate_argnums=donate_args)
-        self._scan = jax.jit(encode_fields, donate_argnums=donate_args)
+        self._step = jax.jit(
+            encode_field, donate_argnums=donate_args,
+            static_argnames=("out_format",),
+        )
+        self._scan = jax.jit(
+            encode_fields, donate_argnums=donate_args,
+            static_argnames=("out_format",),
+        )
 
     @property
     def state(self) -> EncoderState:
@@ -153,14 +185,18 @@ class Encoder:
         self._state = s
 
     def encode(self, ts: np.ndarray) -> jax.Array:
-        """(B, 58656) uint8 -> (B, 2, 260480) planar float32 IQ for one
-        field (valid through sample 260,416)."""
-        self._state, iq = self._step(self._state, jnp.asarray(ts))
+        """(B, 58656) uint8 -> (B, 2, >=260416) planar IQ for one field
+        (valid through sample 260,416; dtype per out_format)."""
+        self._state, iq = self._step(
+            self._state, jnp.asarray(ts), out_format=self.out_format
+        )
         return iq
 
     def encode_many(self, ts_fields: np.ndarray) -> jax.Array:
-        """(T, B, 58656) -> (T, B, 2, 260480) planar float32 IQ."""
-        self._state, iq = self._scan(self._state, jnp.asarray(ts_fields))
+        """(T, B, 58656) -> (T, B, 2, >=260416) planar IQ."""
+        self._state, iq = self._scan(
+            self._state, jnp.asarray(ts_fields), out_format=self.out_format
+        )
         return iq
 
 

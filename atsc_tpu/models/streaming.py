@@ -30,11 +30,11 @@ class StreamingEncoder:
     whenever every channel has at least one field buffered."""
 
     def __init__(self, channels: int = 1, sink: Optional[SinkFn] = None,
-                 max_fields_per_step: int = 8):
+                 max_fields_per_step: int = 8, out_format: str = "cf32"):
         self.channels = channels
         self.sink = sink
         self.max_fields_per_step = max_fields_per_step
-        self._enc = Encoder(batch=channels)
+        self._enc = Encoder(batch=channels, out_format=out_format)
         self._buf: list[bytearray] = [bytearray() for _ in range(channels)]
         self.fields_encoded = 0
 
@@ -66,9 +66,11 @@ class StreamingEncoder:
             for f in range(t):
                 iq = np.asarray(self._enc.encode(ts[f]))  # (B, 2, 260480)
                 if self.sink is not None:
-                    cf32 = iq_interleave(iq)              # (B, 260416, 2)
+                    # interleaved (B, 260416, 2) in the wire dtype (f32
+                    # CF32 by default, int16/int8 for cs16/cs8)
+                    wire = iq_interleave(iq)
                     for c in range(self.channels):
-                        self.sink(c, cf32[c])
+                        self.sink(c, wire[c])
             self.fields_encoded += t
             total += t
             ready -= t

@@ -79,9 +79,17 @@ def _segment_templates() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def assemble_field_structured(
-    symbols: jnp.ndarray, parity: jnp.ndarray, saved: jnp.ndarray
+    symbols: jnp.ndarray,
+    parity: jnp.ndarray,
+    saved: jnp.ndarray,
+    pad_to: int = P.PADDED_SYMBOLS,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Gather-free assemble_field (same contract).
+
+    pad_to > 261,248 appends zero symbols inside the assembling concat
+    (free — the field is written once either way), so consumers needing a
+    longer 128-block grid (the quantized fused kernel) skip a separate
+    full-field pad copy.
 
     The output commutator (reference trellis.h:549-576) is block-cyclic:
     symbol i of data-segment d comes from encoder (4d + i) mod 12, and each
@@ -116,7 +124,12 @@ def assemble_field_structured(
         b, n_seg * P.SYMBOLS_PER_SEGMENT
     )
     pad = jnp.asarray(pad_t)[parity]               # (B, 832)
-    field = jnp.concatenate([fsync, data_segs, pad], axis=-1)
+    parts = [fsync, data_segs, pad]
+    if pad_to > P.PADDED_SYMBOLS:
+        parts.append(
+            jnp.zeros((b, pad_to - P.PADDED_SYMBOLS), dtype=symbols.dtype)
+        )
+    field = jnp.concatenate(parts, axis=-1)
     new_saved = data[:, -1, -P.RESERVED_SYMBOLS :]
     return field, new_saved
 

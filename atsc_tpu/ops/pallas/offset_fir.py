@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from atsc_tpu import params as P
 from atsc_tpu.ops.offset import _osc_planar
+from atsc_tpu.ops.quantize import QMAX, quantize_scale
 from atsc_tpu.ops.rrc_filter import _band_matrices
 
 _BLK = 128
@@ -52,17 +53,33 @@ _OUT_BLKS = P.PADDED_OUT // _BLK      # 2040 (261,120 outputs >= 260,416)
 _NCHUNK = 5
 _ROWS = _OUT_BLKS // _NCHUNK          # 408 rows (divisible by 8)
 
+# Quantized (CS16/CS8) output geometry: int16 stores need 16-row-multiple
+# blocks and int8 stores 32-row multiples, and 2040 has no such divisor, so
+# the quantized grid rounds the output up to 2048 row-blocks (4 chunks x
+# 512 rows) and zero-pads the int8 input field by 8 blocks to feed the
+# (garbage, never-read) outputs past block 2040.
+_OUT_BLKS_Q = 2048
+_NCHUNK_Q = 4
+_ROWS_Q = _OUT_BLKS_Q // _NCHUNK_Q    # 512 rows (divisible by 32)
+_IN_BLKS_Q = _OUT_BLKS_Q + 1          # 2049
+QUANT_FIELD_LEN = _IN_BLKS_Q * _BLK   # 262,272 (callers may pre-pad to this)
+
 _LEVEL_BIAS = float(P.PILOT_OFFSET - 7.0)  # level = 2v - 7 + 1.25
 
 
-@functools.lru_cache(maxsize=1)
-def _osc_blocked() -> np.ndarray:
+@functools.lru_cache(maxsize=2)
+def _osc_blocked(nblks: int = _IN_BLKS) -> np.ndarray:
     re, im = _osc_planar()
-    return np.stack([re, im]).reshape(2, _IN_BLKS, _BLK)
+    osc = np.stack([re, im]).reshape(2, _IN_BLKS, _BLK)
+    if nblks > _IN_BLKS:  # quantized grid: zero rows feeding unused outputs
+        osc = np.concatenate(
+            [osc, np.zeros((2, nblks - _IN_BLKS, _BLK), osc.dtype)], axis=1
+        )
+    return osc
 
 
 def _kernel(phasor_ref, fa_ref, fb_ref, osc_a_ref, osc_b_ref,
-            wlo_ref, whi_ref, out_ref):
+            wlo_ref, whi_ref, out_ref, *, qscale=None, qmax=None):
     # fa/fb: int8 field rows [cR, cR+R) and [cR+1, cR+R+1) of this channel
     # (view B is the one-row-shifted stream for the FIR's +128-sample
     # lookahead operand); osc_a/osc_b: matching oscillator rows, resident
@@ -88,47 +105,83 @@ def _kernel(phasor_ref, fa_ref, fb_ref, osc_a_ref, osc_b_ref,
     fw = jnp.dot(
         wa, wlo_ref[...], precision=hp, preferred_element_type=f32
     ) + jnp.dot(wb, whi_ref[...], precision=hp, preferred_element_type=f32)
-    out_ref[0, 0, :, :] = fu * pr - fw * pi
-    out_ref[0, 1, :, :] = fu * pi + fw * pr
+    out_i = fu * pr - fw * pi
+    out_q = fu * pi + fw * pr
+    if qscale is not None:
+        # in-kernel CS16/CS8 quantization: round-to-nearest-even + clip,
+        # matching ops.quantize.quantize_iq; halves/quarters the kernel's
+        # bottleneck output-DMA bytes (PERF.md)
+        s = jnp.float32(qscale)
+        lim = jnp.float32(qmax)
+        out_i = jnp.clip(jnp.round(out_i * s), -lim, lim)
+        out_q = jnp.clip(jnp.round(out_q * s), -lim, lim)
+    out_ref[0, 0, :, :] = out_i.astype(out_ref.dtype)
+    out_ref[0, 1, :, :] = out_q.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "out_format"))
 def offset_fir_fused(
-    field: jnp.ndarray, phasor: jnp.ndarray, interpret: bool = False
+    field: jnp.ndarray,
+    phasor: jnp.ndarray,
+    interpret: bool = False,
+    out_format: str = "cf32",
 ) -> jnp.ndarray:
     """field: (B, 261248) int8 symbol values; phasor: (B, 2) float32.
 
-    Returns (B, 2, 261120) planar float32 IQ (level map + pilot offset +
-    RRC fused); samples [0, 260416) are the field's valid output.
+    out_format 'cf32' (default): (B, 2, 261120) planar float32 IQ
+    (level map + pilot offset + RRC fused). 'cs16'/'cs8': the same IQ
+    quantized in-kernel to int16/int8 codes at ops.quantize.quantize_scale,
+    shape (B, 2, 262144). Either way samples [0, 260416) are the field's
+    valid output.
     """
     b = field.shape[0]
-    f3 = field.reshape(b, _IN_BLKS, _BLK)
-    fa = f3[:, :_OUT_BLKS]
-    fb = f3[:, 1 : _OUT_BLKS + 1]
-    osc = jnp.asarray(_osc_blocked())
-    osc_a = osc[:, :_OUT_BLKS]
-    osc_b = osc[:, 1 : _OUT_BLKS + 1]
+    if out_format == "cf32":
+        in_blks, out_blks = _IN_BLKS, _OUT_BLKS
+        nchunk, rows = _NCHUNK, _ROWS
+        out_dtype = jnp.float32
+        kernel = _kernel
+    elif out_format in ("cs16", "cs8"):
+        in_blks, out_blks = _IN_BLKS_Q, _OUT_BLKS_Q
+        nchunk, rows = _NCHUNK_Q, _ROWS_Q
+        out_dtype = jnp.int16 if out_format == "cs16" else jnp.int8
+        kernel = functools.partial(
+            _kernel,
+            qscale=quantize_scale(out_format),
+            qmax=QMAX[out_format],
+        )
+        if field.shape[1] < in_blks * _BLK:  # caller can pre-pad for free
+            field = jnp.pad(
+                field, ((0, 0), (0, in_blks * _BLK - field.shape[1]))
+            )
+    else:
+        raise ValueError(f"unknown out_format {out_format!r}")
+    f3 = field.reshape(b, in_blks, _BLK)
+    fa = f3[:, :out_blks]
+    fb = f3[:, 1 : out_blks + 1]
+    osc = jnp.asarray(_osc_blocked(in_blks))
+    osc_a = osc[:, :out_blks]
+    osc_b = osc[:, 1 : out_blks + 1]
     w_lo, w_hi = _band_matrices()
 
     out = pl.pallas_call(
-        _kernel,
-        grid=(_NCHUNK, b),
+        kernel,
+        grid=(nchunk, b),
         in_specs=[
             # whole (B, 2) phasor table in SMEM (a per-batch (1, 2) block is
             # not a legal TPU block shape); kernel indexes row program_id(1)
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _ROWS, _BLK), lambda c, bb: (bb, c, 0)),
-            pl.BlockSpec((1, _ROWS, _BLK), lambda c, bb: (bb, c, 0)),
-            pl.BlockSpec((2, _ROWS, _BLK), lambda c, bb: (0, c, 0)),
-            pl.BlockSpec((2, _ROWS, _BLK), lambda c, bb: (0, c, 0)),
+            pl.BlockSpec((1, rows, _BLK), lambda c, bb: (bb, c, 0)),
+            pl.BlockSpec((1, rows, _BLK), lambda c, bb: (bb, c, 0)),
+            pl.BlockSpec((2, rows, _BLK), lambda c, bb: (0, c, 0)),
+            pl.BlockSpec((2, rows, _BLK), lambda c, bb: (0, c, 0)),
             pl.BlockSpec((_BLK, _BLK), lambda c, bb: (0, 0)),
             pl.BlockSpec((_BLK, _BLK), lambda c, bb: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 2, _ROWS, _BLK), lambda c, bb: (bb, 0, c, 0)
+            (1, 2, rows, _BLK), lambda c, bb: (bb, 0, c, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((b, 2, _OUT_BLKS, _BLK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 2, out_blks, _BLK), out_dtype),
         interpret=interpret,
     )(phasor, fa, fb, osc_a, osc_b, jnp.asarray(w_lo), jnp.asarray(w_hi))
 
-    return out.reshape(b, 2, P.PADDED_OUT)
+    return out.reshape(b, 2, out_blks * _BLK)

@@ -124,10 +124,11 @@ class SoapySdrSink:
     """
 
     def __init__(self, driver: str = "hackrf", frequency_hz: float = 473e6,
-                 gain_db: float = 54.0, sample_rate: float | None = None):
+                 gain_db: float = 54.0, sample_rate: float | None = None,
+                 stream_format: str = "cf32"):
         try:
             import SoapySDR  # type: ignore
-            from SoapySDR import SOAPY_SDR_TX, SOAPY_SDR_CF32  # type: ignore
+            from SoapySDR import SOAPY_SDR_TX  # type: ignore
         except ImportError as e:  # pragma: no cover - hardware-only path
             raise RuntimeError(
                 "SoapySDR python bindings not available on this host; "
@@ -135,25 +136,29 @@ class SoapySdrSink:
             ) from e
         from atsc_tpu import params as P
 
+        soapy_fmt = {"cf32": "CF32", "cs16": "CS16", "cs8": "CS8"}[stream_format]
+        self._np_dtype = {
+            "cf32": np.float32, "cs16": np.int16, "cs8": np.int8
+        }[stream_format]
         rate = sample_rate or P.SAMPLE_RATE
         self._sdr = SoapySDR.Device({"driver": driver})
         self._sdr.setBandwidth(SOAPY_SDR_TX, 0, 6_000_000.0)
         self._sdr.setSampleRate(SOAPY_SDR_TX, 0, rate)
         self._sdr.setFrequency(SOAPY_SDR_TX, 0, frequency_hz)
         self._sdr.setGain(SOAPY_SDR_TX, 0, gain_db)
-        self._stream = self._sdr.setupStream(SOAPY_SDR_TX, SOAPY_SDR_CF32)
+        self._stream = self._sdr.setupStream(SOAPY_SDR_TX, soapy_fmt)
         self._sdr.activateStream(self._stream)
         self._mtu = int(self._sdr.getStreamMTU(self._stream))
         self._bytes = 0
 
     def write(self, arr: np.ndarray) -> None:
-        """arr: (..., 260416, 2) float32 interleaved CF32 fields."""
-        flat = np.ascontiguousarray(arr, dtype=np.float32).reshape(-1, 2)
-        view = flat.view(np.complex64)[:, 0]
+        """arr: (..., 260416, 2) interleaved IQ fields in the stream's
+        sample dtype (float32 CF32 / int16 CS16 / int8 CS8)."""
+        flat = np.ascontiguousarray(arr, dtype=self._np_dtype).reshape(-1, 2)
         pos = 0
-        while pos < view.size:
-            chunk = view[pos : pos + self._mtu]
-            ret = self._sdr.writeStream(self._stream, [chunk], chunk.size)
+        while pos < flat.shape[0]:
+            chunk = flat[pos : pos + self._mtu]
+            ret = self._sdr.writeStream(self._stream, [chunk], chunk.shape[0])
             sent = getattr(ret, "ret", ret)
             if sent <= 0:
                 raise IOError(f"SoapySDR writeStream returned {sent}")

@@ -22,6 +22,7 @@ class EncoderConfig:
     # IO
     sink: str = "null"             # "null" | "-" | file path
     realtime: bool = False         # pace the sink to the 8VSB sample clock
+    out_format: str = "cf32"       # "cf32" | "cs16" | "cs8" wire format
     # SDR-facing metadata (not used on the compute path; carried for
     # parity with the reference's -d/-f/-g flags, util/defaults.h:3-5)
     frequency_hz: float = 473_000_000.0
@@ -34,4 +35,5 @@ class EncoderConfig:
             "channels must divide evenly over channel shards"
         )
         assert self.fields_per_step >= 1
+        assert self.out_format in ("cf32", "cs16", "cs8")
         return self
