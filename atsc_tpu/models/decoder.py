@@ -1,0 +1,109 @@
+"""The 8VSB symbol-domain field decoder: inverse pipeline + RS correction.
+
+Counterpart of models/encoder.py on the receive side (a capability the
+reference lacks entirely — see ops/decode.py). The jittable core inverts
+commutator/trellis/interleaver per field; Reed-Solomon correction runs on
+the host only for segments whose MXU-computed syndromes are non-zero, so
+clean fields never leave the device path.
+
+Latency/state model: byte i of RS field N is spread over interleaved
+fields N and N+1 (the convolutional interleaver's two-field span), so
+`decode_field(state, field_k)` returns TS field k-1; the carried state is
+the previous received interleaved field, 12 precoder bits, and nothing
+else. A cold-start decoder fed the encoder's field 0 first returns the
+encoder's virtual all-zero pre-start field (drop it), exactly mirroring
+the encoder's zero-initialized interleaver buffer (reference
+src/atsc/atsc.cpp:34).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atsc_tpu import params as P
+from atsc_tpu.ops.decode import (
+    decommutate_field,
+    deinterleave_field,
+    derandomize_field,
+    enc_major_to_round_major,
+    trellis_decode_field,
+)
+from atsc_tpu.ops.rs_decode import correct_segment_np, syndrome_field
+
+
+class DecoderState(NamedTuple):
+    """Carried per-channel state; every leaf is batched (B, ...)."""
+
+    prev_il: jnp.ndarray   # (B, 64584) uint8 previous received interleaved field
+    z2_prev: jnp.ndarray   # (B, 12) int32 trellis precoder state (last z2)
+
+
+def init_decoder_state(batch: int) -> DecoderState:
+    return DecoderState(
+        prev_il=jnp.zeros((batch, P.DATA_PER_FIELD), dtype=jnp.uint8),
+        z2_prev=jnp.zeros((batch, P.TRELLIS_ENCODERS), dtype=jnp.int32),
+    )
+
+
+def decode_field(
+    state: DecoderState, field: jnp.ndarray
+) -> tuple[DecoderState, jnp.ndarray, jnp.ndarray]:
+    """One received field for B channels (jittable device core).
+
+    field: (B, >=260416) int8 symbol values (field k).
+    Returns (new state, codewords (B, 312, 207) uint8 of RS field k-1
+    *before* error correction, syndromes (B, 312, 20) uint8 — all-zero
+    rows are error-free segments).
+    """
+    syms = decommutate_field(field)
+    bytes_enc, z2_new = trellis_decode_field(syms, state.z2_prev)
+    cur_il = enc_major_to_round_major(bytes_enc)
+    rs = deinterleave_field(cur_il, state.prev_il)
+    codewords = rs.reshape(rs.shape[0], P.DATA_SEGMENTS, P.SEGMENT_FEC_BYTES)
+    syn = syndrome_field(codewords)
+    return DecoderState(prev_il=cur_il, z2_prev=z2_new), codewords, syn
+
+
+class Decoder:
+    """Stateful wrapper: symbol fields in, corrected TS fields out."""
+
+    def __init__(self, batch: int = 1):
+        self.batch = batch
+        self._state = init_decoder_state(batch)
+        self._step = jax.jit(decode_field)
+        self._derand = jax.jit(derandomize_field)
+        self.segments_corrected = 0
+        self.segments_uncorrectable = 0
+
+    @property
+    def state(self) -> DecoderState:
+        return self._state
+
+    def decode(self, field: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(B, >=260416) int8 symbol field k -> (ts (B, 58656) uint8 of
+        field k-1, n_errors (B, 312) int32; -1 marks uncorrectable).
+
+        The first call after a cold start returns the all-zero pre-start
+        field (see module docstring); callers should drop it.
+        """
+        self._state, codewords, syn = self._step(
+            self._state, jnp.asarray(field)
+        )
+        n_errors = np.zeros((self.batch, P.DATA_SEGMENTS), dtype=np.int32)
+        dirty = np.asarray(jnp.any(syn != 0, axis=-1))  # (B, 312) bool
+        if dirty.any():
+            cw = np.array(codewords)  # mutable host copy
+            for b, seg in zip(*np.nonzero(dirty)):
+                cw[b, seg], n = correct_segment_np(cw[b, seg])
+                n_errors[b, seg] = n
+                if n > 0:
+                    self.segments_corrected += 1
+                elif n < 0:
+                    self.segments_uncorrectable += 1
+            codewords = jnp.asarray(cw)
+        ts = np.asarray(self._derand(codewords))
+        return ts, n_errors
