@@ -12,6 +12,12 @@ Usage:
   python -m atsc_tpu.cli input.ts                       # null sink (bench)
   cat stream.ts | python -m atsc_tpu.cli - --realtime -o -   # paced stdout
   python -m atsc_tpu.cli input.ts --channels 8          # same TS x8 batch
+  python -m atsc_tpu.cli decode out.iq -o back.ts       # IQ -> TS receiver
+
+The `decode` subcommand is the inverse frontend (no reference
+counterpart): it runs the IQ-domain receiver (models/receiver.py —
+ZF-VSB equalizer + trellis/RS decode) over a baseband capture in any of
+the three wire formats and emits the recovered transport stream.
 """
 
 from __future__ import annotations
@@ -109,7 +115,94 @@ def run(cfg: EncoderConfig, input_path: str, max_fields: int = 0,
     return summary
 
 
+def build_decode_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="atsc_tpu decode",
+        description="TPU-native 8VSB receiver: baseband IQ -> MPEG-TS",
+    )
+    ap.add_argument("input", help="IQ capture ('-' = stdin) produced by the "
+                                  "encoder, starting at the stream epoch")
+    ap.add_argument("-o", "--output", default="-",
+                    help="TS output path or '-' (stdout)")
+    ap.add_argument("-c", "--channels", type=int, default=1,
+                    help="channel count the capture was encoded with")
+    ap.add_argument("--format", dest="in_format", default="cf32",
+                    choices=("cf32", "cs16", "cs8"),
+                    help="IQ wire format of the capture")
+    ap.add_argument("--first-field", type=int, default=0,
+                    help="oscillator epoch (field index) of the stream start")
+    ap.add_argument("--max-fields", type=int, default=0)
+    ap.add_argument("--stats", action="store_true",
+                    help="print a JSON decode summary to stderr")
+    return ap
+
+
+def _iq_block_to_complex(buf: bytes, channels: int, fmt: str) -> np.ndarray:
+    """One field-block of wire bytes -> (channels, 260416) complex64."""
+    from atsc_tpu.ops.quantize import dequantize_iq
+
+    if fmt == "cf32":
+        arr = np.frombuffer(buf, dtype=np.float32)
+    else:
+        codes = np.frombuffer(
+            buf, dtype=np.int16 if fmt == "cs16" else np.int8
+        )
+        arr = dequantize_iq(codes, fmt)
+    arr = arr.reshape(channels, P.SYMBOLS_PER_FIELD, 2)
+    return np.ascontiguousarray(arr).view(np.complex64)[..., 0]
+
+
+def run_decode(args) -> dict:
+    from atsc_tpu.models.receiver import IqReceiver
+    from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
+
+    block = P.SYMBOLS_PER_FIELD * BYTES_PER_SAMPLE[args.in_format] * args.channels
+    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    fout = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    rx = IqReceiver(batch=args.channels, first_field=args.first_field)
+    fields = 0
+    try:
+        while True:
+            buf = fin.read(block)
+            if len(buf) < block:
+                if buf:
+                    print(f"warning: dropping {len(buf)}-byte partial field "
+                          "block at EOF", file=sys.stderr)
+                break
+            decoded = rx.push(_iq_block_to_complex(buf, args.channels,
+                                                   args.in_format))
+            for ts, _ in decoded:
+                fout.write(ts.tobytes())
+                fields += 1
+            if args.max_fields and fields >= args.max_fields:
+                break
+        if not args.max_fields or fields < args.max_fields:
+            for ts, _ in rx.flush():
+                fout.write(ts.tobytes())
+                fields += 1
+    finally:
+        if fin is not sys.stdin.buffer:
+            fin.close()
+        if fout is not sys.stdout.buffer:
+            fout.close()
+
+    summary = {
+        "fields_decoded": fields,
+        "segments_corrected": rx.decoder.segments_corrected,
+        "segments_uncorrectable": rx.decoder.segments_uncorrectable,
+    }
+    if args.stats:
+        print(json.dumps(summary), file=sys.stderr)
+    return summary
+
+
 def main(argv=None) -> int:
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if argv[:1] == ["decode"]:
+        run_decode(build_decode_argparser().parse_args(argv[1:]))
+        return 0
+    if argv[:1] == ["encode"]:
+        argv = argv[1:]
     args = build_argparser().parse_args(argv)
     cfg = EncoderConfig(
         channels=args.channels,

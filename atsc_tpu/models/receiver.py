@@ -41,6 +41,8 @@ from __future__ import annotations
 
 import functools
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from atsc_tpu import params as P
@@ -125,6 +127,93 @@ def equalize_span(
     return lev[:, margin : margin + n_out]
 
 
+# -- device (TPU) equalizer path ---------------------------------------
+#
+# Same math as equalize_span, restructured for the chip. The frequency-
+# domain ZF combiner has a *compactly supported* time-domain response
+# (the conjugate-combined denominator is ~flat, so ifft(w_a)/ifft(w_b)
+# decay below 1e-9 beyond +-256 samples — measured), and the output is
+# real, so the whole widely-linear filter collapses to TWO short real
+# FIRs on planar I/Q:
+#
+#     lev = p (*) Re(u) + q (*) Im(u),   p = Re(ga)+Re(gb), q = Im(gb)-Im(ga)
+#
+# which is exactly the transmitter's banded-matmul idiom run in reverse —
+# all-MXU, no complex dtypes, no FFT on device (the axon TPU platform has
+# no complex-number support). Derotation is a planar conjugate multiply;
+# hard slicing is fused so only (B, 260416) int8 symbols leave the device.
+
+_EQ_K = 256                # one-sided support of the equalizer taps
+_DEV_MARGIN = 384          # window context per side (>= _EQ_K, block slack)
+
+
+@functools.lru_cache(maxsize=1)
+def _wl_eq_taps() -> tuple[np.ndarray, np.ndarray]:
+    """(p, q) float32 forward-FIR taps of length 2K+1: tap j applies to
+    input sample i + j with the window already shifted by -K."""
+    length = 1 << 16
+    w_a, w_b = _equalizer_dft(length)
+    ga = np.fft.ifft(w_a)  # lev = ga (*) u + gb (*) conj(u), circular
+    gb = np.fft.ifft(w_b)
+    p = np.real(ga) + np.real(gb)
+    q = np.imag(gb) - np.imag(ga)
+    # circular kernel -> linear taps: lev[i] = sum_k g[(-k) mod L] u[i+k]
+    k = (_EQ_K - np.arange(2 * _EQ_K + 1)) % length
+    return p[k].astype(np.float32), q[k].astype(np.float32)
+
+
+@functools.lru_cache(maxsize=1)
+def _device_eq_step():
+    from atsc_tpu.ops.rrc_filter import banded_fir_taps
+
+    p_taps, q_taps = _wl_eq_taps()
+    inv_p2 = np.float32(1.0 / (P.OSC_AMPLITUDE ** 2))
+
+    def step(win: jnp.ndarray, osc: jnp.ndarray) -> jnp.ndarray:
+        # win: (B, 2, W) planar IQ; osc: (2, W) planar oscillator
+        wr, wi = win[:, 0], win[:, 1]
+        cr, ci = osc[0], osc[1]
+        ur = (wr * cr + wi * ci) * inv_p2   # u = win * conj(osc) / P^2
+        ui = (wi * cr - wr * ci) * inv_p2
+        start = _DEV_MARGIN - _EQ_K
+        ur = jax.lax.slice_in_dim(ur, start, ur.shape[-1], axis=-1)
+        ui = jax.lax.slice_in_dim(ui, start, ui.shape[-1], axis=-1)
+        lev = banded_fir_taps(ur, p_taps, _N) + banded_fir_taps(ui, q_taps, _N)
+        sym = jnp.round((lev - P.PILOT_OFFSET + 7.0) * 0.5)
+        return jnp.clip(sym, 0, 7).astype(jnp.int8)
+
+    return jax.jit(step)
+
+
+def equalize_field_device(
+    iq: np.ndarray, g0: int, first_field: int = 0, stream_offset: int = 0,
+) -> np.ndarray:
+    """Device-path equalizer: one field starting at stream sample g0.
+
+    Same contract as equalize_span(..., n_out=SYMBOLS_PER_FIELD) but the
+    derotate/filter/slice chain runs jitted on the accelerator and the
+    return is hard-sliced (B, 260416) int8 symbols.
+    """
+    iq = np.atleast_2d(iq)
+    lo, hi = g0 - _DEV_MARGIN, g0 + _N + _DEV_MARGIN
+    avail_lo = max(lo, stream_offset)
+    avail_hi = min(hi, stream_offset + iq.shape[1])
+    win = np.zeros((iq.shape[0], hi - lo), np.complex128)
+    if avail_hi > avail_lo:
+        win[:, avail_lo - lo : avail_hi - lo] = iq[
+            :, avail_lo - stream_offset : avail_hi - stream_offset
+        ]
+    osc = _oscillator_for_span(lo, hi, first_field)
+    win_planar = np.stack(
+        [win.real.astype(np.float32), win.imag.astype(np.float32)], axis=1
+    )
+    osc_planar = np.stack(
+        [osc.real.astype(np.float32), osc.imag.astype(np.float32)]
+    )
+    step = _device_eq_step()
+    return np.asarray(step(jnp.asarray(win_planar), jnp.asarray(osc_planar)))
+
+
 def slice_levels(levels: np.ndarray) -> np.ndarray:
     """Hard-decision levels -> (B, >=260416) int8 3-bit symbol values."""
     sym = np.rint((levels - P.PILOT_OFFSET + 7.0) / 2.0)
@@ -167,10 +256,18 @@ class IqReceiver:
     """
 
     def __init__(self, batch: int = 1, first_field: int = 0,
-                 margin: int = _MARGIN):
+                 margin: int | None = None, backend: str = "device"):
+        if backend not in ("device", "numpy"):
+            raise ValueError(f"unknown equalizer backend {backend!r}")
         self.batch = batch
         self.first_field = first_field
-        self.margin = margin
+        self.backend = backend
+        self.margin = margin if margin is not None else (
+            _DEV_MARGIN if backend == "device" else _MARGIN
+        )
+        if backend == "device" and self.margin != _DEV_MARGIN:
+            raise ValueError("device backend uses a fixed FFT window; "
+                             "leave margin unset or use backend='numpy'")
         self._decoder = Decoder(batch=batch)
         self._buf = np.zeros((batch, 0), np.complex128)
         self._base = 0  # stream index of _buf[:, 0]
@@ -188,12 +285,18 @@ class IqReceiver:
             need = end if final else end + self.margin
             if self._base + self._buf.shape[1] < need:
                 break
-            lev = equalize_span(
-                self._buf, self._next_field * _N,
-                first_field=self.first_field, margin=self.margin,
-                stream_offset=self._base,
-            )
-            field = slice_levels(lev)
+            if self.backend == "device":
+                field = equalize_field_device(
+                    self._buf, self._next_field * _N,
+                    first_field=self.first_field, stream_offset=self._base,
+                )
+            else:
+                lev = equalize_span(
+                    self._buf, self._next_field * _N,
+                    first_field=self.first_field, margin=self.margin,
+                    stream_offset=self._base,
+                )
+                field = slice_levels(lev)
             ts, nerr = self._decoder.decode(field)
             if self._primed:
                 out.append((ts, nerr))

@@ -71,6 +71,49 @@ def banded_fir(x: jnp.ndarray, n_out: int) -> jnp.ndarray:
     return out.reshape(*lead, nblk_out * _BLK)[..., :n_out]
 
 
+@functools.lru_cache(maxsize=4)
+def _band_matrices_for(taps_bytes: bytes, n_taps: int) -> tuple[np.ndarray, ...]:
+    """Banded 128x128 matrices W_s[m, r] = taps[s*128 + m - r] for an
+    arbitrary forward FIR (generalizes _band_matrices beyond 112 taps)."""
+    taps = np.frombuffer(taps_bytes, dtype=np.float32)
+    n_bands = -(-(n_taps + _BLK - 1) // _BLK)
+    m = np.arange(_BLK)[:, None]
+    r = np.arange(_BLK)[None, :]
+    out = []
+    for s in range(n_bands):
+        k = s * _BLK + m - r
+        w = np.where(
+            (k >= 0) & (k < n_taps), taps[np.clip(k, 0, n_taps - 1)], 0.0
+        )
+        out.append(w.astype(np.float32))
+    return tuple(out)
+
+
+def banded_fir_taps(x: jnp.ndarray, taps: np.ndarray, n_out: int) -> jnp.ndarray:
+    """Forward FIR out[i] = sum_k x[..., i+k] taps[k] for arbitrary tap
+    counts, as a sum of shifted 128-block MXU matmuls.
+
+    x: (..., n_in) float32 with n_in >= n_out + len(taps) - 1.
+    """
+    taps = np.ascontiguousarray(taps, dtype=np.float32)
+    bands = _band_matrices_for(taps.tobytes(), taps.size)
+    *lead, n_in = x.shape
+    nblk_out = -(-n_out // _BLK)
+    nblk_in = nblk_out + len(bands) - 1
+    pad = nblk_in * _BLK - n_in
+    if pad > 0:
+        x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, pad)])
+    a = x[..., : nblk_in * _BLK].reshape(-1, nblk_in, _BLK)
+    out = 0.0
+    for s, w in enumerate(bands):
+        out = out + jnp.dot(
+            a[:, s : s + nblk_out].reshape(-1, _BLK),
+            jnp.asarray(w),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return out.reshape(*lead, nblk_out * _BLK)[..., :n_out]
+
+
 def rrc_filter_field(iq_planar: jnp.ndarray) -> jnp.ndarray:
     """(B, 2, 261248) planar float32 -> (B, 2, 260480) planar float32 IQ.
 

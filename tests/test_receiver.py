@@ -81,3 +81,37 @@ def test_find_field_sync():
         off, par = find_field_sync(lev[cut:])
         assert off == want_off, (cut, off)
         assert par == want_par, (cut, par)
+
+
+def test_equalize_field_device_matches_numpy():
+    from atsc_tpu.models.receiver import equalize_field_device
+
+    rng = np.random.default_rng(37)
+    ts = _random_ts(rng, 3, 2)
+    iq = _encode_iq(ts)
+    fields = _encode_symbol_fields(ts)
+    sym_dev = equalize_field_device(iq, N, first_field=0)
+    np.testing.assert_array_equal(sym_dev, fields[1, :, :N])
+    np.testing.assert_array_equal(
+        sym_dev, slice_levels(equalize_span(iq, N, first_field=0))
+    )
+
+
+def test_cli_decode_roundtrip(tmp_path):
+    from atsc_tpu.cli import main
+
+    rng = np.random.default_rng(41)
+    ts = _random_ts(rng, 4, 1)
+    ts_path, iq_path, out_path = (
+        tmp_path / "in.ts", tmp_path / "cap.iq", tmp_path / "out.ts"
+    )
+    ts_path.write_bytes(ts[:, 0].tobytes())
+    for fmt in ("cf32", "cs8"):
+        assert main([str(ts_path), "-o", str(iq_path), "--format", fmt]) == 0
+        assert main(["decode", str(iq_path), "-o", str(out_path),
+                     "--format", fmt]) == 0
+        got = np.fromfile(out_path, dtype=np.uint8)
+        # decoder drops the virtual pre-start field -> T-1 fields out
+        np.testing.assert_array_equal(
+            got, ts[:3, 0].reshape(-1), err_msg=f"format {fmt}"
+        )

@@ -53,6 +53,18 @@ def main() -> int:
     want_ph = phasor_for_field(4)
     got_ph = complex(*np.asarray(st.phasor)[0])
     assert abs(got_ph - want_ph) < 1e-6, (got_ph, want_ph)
+
+    # receive side: device-path equalizer + trellis/RS decode back to TS
+    from atsc_tpu.models.receiver import IqReceiver
+
+    rx = IqReceiver(batch=1)
+    got = rx.push(iq_to_complex(iq).reshape(1, -1)) + rx.flush()
+    assert len(got) == 3, len(got)
+    for k, (ts, nerr) in enumerate(got):
+        assert (nerr >= 0).all(), f"uncorrectable segments in field {k}"
+        np.testing.assert_array_equal(ts[0], g["input"][k])
+    print(f"receiver loopback: 3 fields TS-exact "
+          f"(corrected={rx.decoder.segments_corrected})")
     print("PASS")
     return 0
 
