@@ -100,8 +100,12 @@ def run(cfg: EncoderConfig, input_path: str, max_fields: int = 0,
             # per-field dispatch (a scanned multi-field step pays an extra
             # device copy of the stacked IQ — see PERF.md)
             for f in range(whole):
-                iq = iq_interleave(np.asarray(enc.encode(ts[f])))
-                sink.write(iq)
+                out = np.asarray(enc.encode(ts[f]))
+                if isinstance(sink, IqSink):
+                    # planar handoff: the native sink interleaves off-GIL
+                    sink.write_planar(out, P.SYMBOLS_PER_FIELD)
+                else:
+                    sink.write(iq_interleave(out))
             meter.add_fields(whole * cfg.channels)
             if max_fields and meter.fields >= max_fields * cfg.channels:
                 break

@@ -60,6 +60,9 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_double]
         lib.iq_sink_write.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+        lib.iq_sink_write_planar.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t]
         lib.iq_sink_bytes.restype = ctypes.c_uint64
         lib.iq_sink_bytes.argtypes = [ctypes.c_void_p]
         lib.iq_sink_close.argtypes = [ctypes.c_void_p]
@@ -207,6 +210,24 @@ class IqSink:
         elif self._fp is not None:
             self._fp.write(data.tobytes())
         self._bytes += data.nbytes
+
+    def write_planar(self, arr: np.ndarray, n_valid: int) -> None:
+        """Planar (B, 2, stride>=n_valid) component array -> interleaved
+        (B, n_valid, 2) wire bytes, interleaved natively off the GIL (the
+        device emits planar IQ; the wire is the reference's interleaved
+        complex layout, atsc.cpp:89). Falls back to a numpy transpose."""
+        data = np.ascontiguousarray(arr)
+        if self._h is not None and data.ndim == 3 and data.shape[1] == 2:
+            elem = data.dtype.itemsize
+            self._lib.iq_sink_write_planar(
+                self._h, data.ctypes.data_as(ctypes.c_void_p), elem,
+                data.shape[0], data.shape[2], n_valid,
+            )
+            self._bytes += data.shape[0] * n_valid * 2 * elem
+            return
+        self.write(
+            np.ascontiguousarray(np.moveaxis(data[..., :n_valid], -2, -1))
+        )
 
     def bytes_written(self) -> int:
         if self._h is not None:

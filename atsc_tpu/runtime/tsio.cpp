@@ -244,6 +244,52 @@ void iq_sink_write(void* h, const uint8_t* src, size_t n) {
     }
 }
 
+// Planar (batch, 2, stride) component array -> interleaved (batch,
+// n_valid, 2) wire bytes into the ring, so the Python driver hands the
+// device's planar output straight down without a numpy transpose pass
+// (GIL released for the whole interleave; elem = component bytes:
+// 4 = CF32, 2 = CS16, 1 = CS8). Pair packing via wider little-endian
+// stores (x86/LE only, like the rest of the wire contract).
+static void interleave_pairs(const uint8_t* ip, const uint8_t* qp,
+                             uint8_t* dst, size_t n, size_t elem) {
+    switch (elem) {
+        case 4: {
+            auto* a = reinterpret_cast<const uint32_t*>(ip);
+            auto* b = reinterpret_cast<const uint32_t*>(qp);
+            auto* d = reinterpret_cast<uint64_t*>(dst);
+            for (size_t i = 0; i < n; i++)
+                d[i] = (uint64_t)a[i] | ((uint64_t)b[i] << 32);
+            break;
+        }
+        case 2: {
+            auto* a = reinterpret_cast<const uint16_t*>(ip);
+            auto* b = reinterpret_cast<const uint16_t*>(qp);
+            auto* d = reinterpret_cast<uint32_t*>(dst);
+            for (size_t i = 0; i < n; i++)
+                d[i] = (uint32_t)a[i] | ((uint32_t)b[i] << 16);
+            break;
+        }
+        default: {
+            auto* d = reinterpret_cast<uint16_t*>(dst);
+            for (size_t i = 0; i < n; i++)
+                d[i] = (uint16_t)ip[i] | ((uint16_t)qp[i] << 8);
+            break;
+        }
+    }
+}
+
+void iq_sink_write_planar(void* h, const uint8_t* src, size_t elem,
+                          size_t batch, size_t stride, size_t n_valid) {
+    thread_local std::vector<uint8_t> scratch;
+    scratch.resize(n_valid * 2 * elem);
+    for (size_t b = 0; b < batch; b++) {
+        const uint8_t* ip = src + (2 * b) * stride * elem;
+        const uint8_t* qp = src + (2 * b + 1) * stride * elem;
+        interleave_pairs(ip, qp, scratch.data(), n_valid, elem);
+        iq_sink_write(h, scratch.data(), scratch.size());
+    }
+}
+
 uint64_t iq_sink_bytes(void* h) {
     return static_cast<IqSink*>(h)->bytes_out.load();
 }

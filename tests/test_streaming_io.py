@@ -150,3 +150,22 @@ def test_checkpoint_resume(golden, tmp_path):
     ref = Encoder(batch=1)
     iq_all = np.asarray(ref.encode_many(golden["input"][:, None, :]))
     np.testing.assert_array_equal(iq_resumed, iq_all[2:4])
+
+
+def test_iq_sink_write_planar_matches_interleave(tmp_path):
+    """Native off-GIL planar interleave == numpy moveaxis for every wire
+    format (and the fallback path when the native lib is absent)."""
+    from atsc_tpu.runtime.io import IqSink
+
+    rng = np.random.default_rng(47)
+    for dt in (np.float32, np.int16, np.int8):
+        arr = rng.integers(-100, 100, size=(3, 2, 300)).astype(dt)
+        n_valid = 257
+        want = np.ascontiguousarray(
+            np.moveaxis(arr[..., :n_valid], -2, -1)
+        ).tobytes()
+        p = tmp_path / f"planar_{dt.__name__}.iq"
+        sink = IqSink(str(p))
+        sink.write_planar(arr, n_valid)
+        sink.close()
+        assert p.read_bytes() == want, dt
