@@ -39,7 +39,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="atsc_tpu", description="TPU-native ATSC 8VSB encoder"
     )
-    ap.add_argument("input", help="MPEG-TS file (19.393 Mbps muxrate) or '-'")
+    ap.add_argument("input", nargs="+",
+                    help="MPEG-TS file(s) (19.393 Mbps muxrate) or '-'. One "
+                         "path: broadcast to all --channels. Several paths: "
+                         "one independent stream per channel (shorter "
+                         "streams are zero-padded until the longest ends)")
     ap.add_argument("-o", "--output", default="null",
                     help="IQ sink: 'null', '-' (stdout), file path, or "
                          "'soapy[:driver]' for SDR transmit")
@@ -57,6 +61,16 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="stop after N fields per channel (0 = until EOF)")
     ap.add_argument("--stats", action="store_true",
                     help="print a JSON throughput summary to stderr")
+    ap.add_argument("--checkpoint", default=None, metavar="PATH",
+                    help="save the O(1) resumable encoder state (parity, "
+                         "phasor, trellis carries, interleaver field) to "
+                         "PATH.npz every --checkpoint-every fields")
+    ap.add_argument("--checkpoint-every", type=int, default=64)
+    ap.add_argument("--resume", action="store_true",
+                    help="restore state from --checkpoint and skip the "
+                         "already-encoded prefix of file inputs")
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="capture a JAX/XLA device trace of the run")
     # SDR flags (reference -d/-f/-g, util/defaults.h:3-5)
     ap.add_argument("-d", "--driver", default="hackrf",
                     help="SoapySDR driver for the 'soapy' sink")
@@ -65,14 +79,44 @@ def build_argparser() -> argparse.ArgumentParser:
     return ap
 
 
-def run(cfg: EncoderConfig, input_path: str, max_fields: int = 0,
-        stats: bool = False) -> dict:
-    cfg.validate()
-    from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
+def _read_step(readers, step_bytes: int, field_bytes: int):
+    """Read up to step_bytes from every reader; returns (whole_fields,
+    ts (whole, len(readers), field_bytes) uint8) or (0, None) when every
+    stream is exhausted. Shorter streams are zero-padded per field."""
+    datas = [r.read(step_bytes) for r in readers]
+    if all(len(d) == 0 for d in datas):
+        return 0, None
+    whole = max(1, max(-(-len(d) // field_bytes) for d in datas))
+    blk = whole * field_bytes
+    cols = [
+        np.frombuffer(d + bytes(blk - len(d)), dtype=np.uint8).reshape(
+            whole, field_bytes
+        )
+        for d in datas
+    ]
+    return whole, np.stack(cols, axis=1)
 
+
+def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
+        stats: bool = False, checkpoint: str | None = None,
+        checkpoint_every: int = 64, resume: bool = False,
+        profile_dir: str | None = None) -> dict:
+    cfg.validate()
+    import contextlib
+
+    from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
+    from atsc_tpu.utils.checkpoint import load_state, save_state
+    from atsc_tpu.utils.profiling import profile
+
+    if isinstance(input_paths, str):
+        input_paths = [input_paths]
+    if len(input_paths) not in (1, cfg.channels):
+        raise ValueError(
+            f"{len(input_paths)} inputs for {cfg.channels} channels"
+        )
     sample_bytes = BYTES_PER_SAMPLE[cfg.out_format]
     pace = P.SAMPLE_RATE * sample_bytes * cfg.channels if cfg.realtime else 0.0
-    reader = TsReader(input_path)
+    readers = [TsReader(p) for p in input_paths]
     if cfg.sink == "soapy" or cfg.sink.startswith("soapy:"):
         driver = cfg.sink.split(":", 1)[1] if ":" in cfg.sink else cfg.driver
         sink = SoapySdrSink(driver=driver, frequency_hz=cfg.frequency_hz,
@@ -84,34 +128,54 @@ def run(cfg: EncoderConfig, input_path: str, max_fields: int = 0,
 
     field_bytes = P.FIELD_TS_BYTES
     step_bytes = field_bytes * cfg.fields_per_step
+    fields_done = 0
+    if resume:
+        if not checkpoint:
+            raise ValueError("--resume requires --checkpoint")
+        enc.state, fields_done = load_state(checkpoint)
+        # file inputs: skip the already-encoded prefix of each stream
+        skip = fields_done * field_bytes
+        for r in readers:
+            left = skip
+            while left > 0:
+                got = r.read(min(left, step_bytes))
+                if not got:
+                    break
+                left -= len(got)
+    last_saved = fields_done
     try:
-        while True:
-            data = reader.read(step_bytes)
-            if not data:
-                break
-            whole = len(data) // field_bytes
-            if whole == 0:
-                data = data + bytes(field_bytes - len(data))
-                whole = 1
-            ts = np.frombuffer(
-                data[: whole * field_bytes], dtype=np.uint8
-            ).reshape(whole, 1, field_bytes)
-            ts = np.broadcast_to(ts, (whole, cfg.channels, field_bytes))
-            # per-field dispatch (a scanned multi-field step pays an extra
-            # device copy of the stacked IQ — see PERF.md)
-            for f in range(whole):
-                out = np.asarray(enc.encode(ts[f]))
-                if isinstance(sink, IqSink):
-                    # planar handoff: the native sink interleaves off-GIL
-                    sink.write_planar(out, P.SYMBOLS_PER_FIELD)
-                else:
-                    sink.write(iq_interleave(out))
-            meter.add_fields(whole * cfg.channels)
-            if max_fields and meter.fields >= max_fields * cfg.channels:
-                break
+        with (profile(profile_dir) if profile_dir
+              else contextlib.nullcontext()):
+            while True:
+                whole, ts = _read_step(readers, step_bytes, field_bytes)
+                if whole == 0:
+                    break
+                if ts.shape[1] == 1 and cfg.channels > 1:
+                    ts = np.broadcast_to(
+                        ts, (whole, cfg.channels, field_bytes)
+                    )
+                # per-field dispatch (a scanned multi-field step pays an
+                # extra device copy of the stacked IQ — see PERF.md)
+                for f in range(whole):
+                    out = np.asarray(enc.encode(ts[f]))
+                    if isinstance(sink, IqSink):
+                        # planar handoff: native sink interleaves off-GIL
+                        sink.write_planar(out, P.SYMBOLS_PER_FIELD)
+                    else:
+                        sink.write(iq_interleave(out))
+                meter.add_fields(whole * cfg.channels)
+                fields_done += whole
+                if checkpoint and fields_done - last_saved >= checkpoint_every:
+                    save_state(checkpoint, enc.state, fields_done)
+                    last_saved = fields_done
+                if max_fields and meter.fields >= max_fields * cfg.channels:
+                    break
     finally:
-        reader.close()
+        for r in readers:
+            r.close()
         sink.close()
+    if checkpoint and fields_done != last_saved:
+        save_state(checkpoint, enc.state, fields_done)
 
     summary = meter.summary()
     if stats:
@@ -208,8 +272,15 @@ def main(argv=None) -> int:
     if argv[:1] == ["encode"]:
         argv = argv[1:]
     args = build_argparser().parse_args(argv)
+    channels = args.channels
+    if len(args.input) > 1:
+        if channels not in (1, len(args.input)):
+            print(f"error: {len(args.input)} inputs but --channels "
+                  f"{channels}", file=sys.stderr)
+            return 2
+        channels = len(args.input)
     cfg = EncoderConfig(
-        channels=args.channels,
+        channels=channels,
         fields_per_step=args.fields_per_step,
         sink=args.output,
         realtime=args.realtime,
@@ -218,7 +289,9 @@ def main(argv=None) -> int:
         gain_db=args.gain,
         driver=args.driver,
     )
-    run(cfg, args.input, max_fields=args.max_fields, stats=args.stats)
+    run(cfg, args.input, max_fields=args.max_fields, stats=args.stats,
+        checkpoint=args.checkpoint, checkpoint_every=args.checkpoint_every,
+        resume=args.resume, profile_dir=args.profile)
     return 0
 
 
