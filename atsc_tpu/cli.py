@@ -199,6 +199,15 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                     help="IQ wire format of the capture")
     ap.add_argument("--first-field", type=int, default=0,
                     help="oscillator epoch (field index) of the stream start")
+    ap.add_argument("--equalizer", default="zf", choices=("zf", "adaptive"),
+                    help="'zf': fixed zero-forcing inverse of the known TX "
+                         "chain (ideal channel); 'adaptive': widely-linear "
+                         "RLS trained on each field's sync symbols — use "
+                         "for captures that passed through an unknown "
+                         "linear channel (multipath, gain/phase, ripple)")
+    ap.add_argument("--forgetting", type=float, default=1.0,
+                    help="adaptive equalizer memory: 1.0 = average all "
+                         "fields (static channel), 0.0 = retrain per field")
     ap.add_argument("--max-fields", type=int, default=0)
     ap.add_argument("--stats", action="store_true",
                     help="print a JSON decode summary to stderr")
@@ -227,7 +236,11 @@ def run_decode(args) -> dict:
     block = P.SYMBOLS_PER_FIELD * BYTES_PER_SAMPLE[args.in_format] * args.channels
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
     fout = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
-    rx = IqReceiver(batch=args.channels, first_field=args.first_field)
+    rx = IqReceiver(
+        batch=args.channels, first_field=args.first_field,
+        backend="adaptive" if args.equalizer == "adaptive" else "device",
+        forgetting=args.forgetting,
+    )
     fields = 0
     try:
         while True:

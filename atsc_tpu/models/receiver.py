@@ -35,6 +35,13 @@ the reference's own output, far-end link validation, golden regression).
 Carrier/timing recovery for over-the-air RF is out of scope; field
 *alignment* is not assumed — find_field_sync locates segment/field
 boundaries via PN511 correlation.
+
+For captures that passed through an *unknown linear channel* (multipath
+echoes, front-end ripple, complex gain/phase, DC offset) the ZF inverse
+above no longer applies; IqReceiver(backend="adaptive") instead trains a
+widely-linear least-squares equalizer on the known sync symbols of every
+field (ops/adaptive_eq.py) — the role A/53's PN511 training sequence
+plays in real receivers.
 """
 
 from __future__ import annotations
@@ -185,17 +192,18 @@ def _device_eq_step():
     return jax.jit(step)
 
 
-def equalize_field_device(
+def field_window(
     iq: np.ndarray, g0: int, first_field: int = 0, stream_offset: int = 0,
-) -> np.ndarray:
-    """Device-path equalizer: one field starting at stream sample g0.
+    margin: int = _DEV_MARGIN,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Assemble one field's planar IQ window + matching oscillator span.
 
-    Same contract as equalize_span(..., n_out=SYMBOLS_PER_FIELD) but the
-    derotate/filter/slice chain runs jitted on the accelerator and the
-    return is hard-sliced (B, 260416) int8 symbols.
+    Returns (win (B, 2, N + 2*margin) float32, osc (2, same) float32)
+    covering stream samples [g0 - margin, g0 + N + margin); context
+    missing from `iq` at either edge is zero-filled.
     """
     iq = np.atleast_2d(iq)
-    lo, hi = g0 - _DEV_MARGIN, g0 + _N + _DEV_MARGIN
+    lo, hi = g0 - margin, g0 + _N + margin
     avail_lo = max(lo, stream_offset)
     avail_hi = min(hi, stream_offset + iq.shape[1])
     win = np.zeros((iq.shape[0], hi - lo), np.complex128)
@@ -210,6 +218,19 @@ def equalize_field_device(
     osc_planar = np.stack(
         [osc.real.astype(np.float32), osc.imag.astype(np.float32)]
     )
+    return win_planar, osc_planar
+
+
+def equalize_field_device(
+    iq: np.ndarray, g0: int, first_field: int = 0, stream_offset: int = 0,
+) -> np.ndarray:
+    """Device-path equalizer: one field starting at stream sample g0.
+
+    Same contract as equalize_span(..., n_out=SYMBOLS_PER_FIELD) but the
+    derotate/filter/slice chain runs jitted on the accelerator and the
+    return is hard-sliced (B, 260416) int8 symbols.
+    """
+    win_planar, osc_planar = field_window(iq, g0, first_field, stream_offset)
     step = _device_eq_step()
     return np.asarray(step(jnp.asarray(win_planar), jnp.asarray(osc_planar)))
 
@@ -256,18 +277,25 @@ class IqReceiver:
     """
 
     def __init__(self, batch: int = 1, first_field: int = 0,
-                 margin: int | None = None, backend: str = "device"):
-        if backend not in ("device", "numpy"):
+                 margin: int | None = None, backend: str = "device",
+                 forgetting: float = 1.0, ridge: float = 1e-4):
+        if backend not in ("device", "numpy", "adaptive"):
             raise ValueError(f"unknown equalizer backend {backend!r}")
         self.batch = batch
         self.first_field = first_field
         self.backend = backend
         self.margin = margin if margin is not None else (
-            _DEV_MARGIN if backend == "device" else _MARGIN
+            _MARGIN if backend == "numpy" else _DEV_MARGIN
         )
-        if backend == "device" and self.margin != _DEV_MARGIN:
-            raise ValueError("device backend uses a fixed FFT window; "
+        if backend != "numpy" and self.margin != _DEV_MARGIN:
+            raise ValueError("device/adaptive backends use a fixed window; "
                              "leave margin unset or use backend='numpy'")
+        self._adaptive = None
+        if backend == "adaptive":
+            from atsc_tpu.ops.adaptive_eq import AdaptiveEqualizer
+            self._adaptive = AdaptiveEqualizer(
+                batch=batch, forgetting=forgetting, ridge=ridge
+            )
         self._decoder = Decoder(batch=batch)
         self._buf = np.zeros((batch, 0), np.complex128)
         self._base = 0  # stream index of _buf[:, 0]
@@ -285,7 +313,14 @@ class IqReceiver:
             need = end if final else end + self.margin
             if self._base + self._buf.shape[1] < need:
                 break
-            if self.backend == "device":
+            if self.backend == "adaptive":
+                win, osc = field_window(
+                    self._buf, self._next_field * _N,
+                    first_field=self.first_field, stream_offset=self._base,
+                )
+                parity = (self.first_field + self._next_field) % 2
+                field = self._adaptive.process_field(win, osc, parity)
+            elif self.backend == "device":
                 field = equalize_field_device(
                     self._buf, self._next_field * _N,
                     first_field=self.first_field, stream_offset=self._base,

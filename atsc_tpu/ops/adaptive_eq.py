@@ -1,0 +1,202 @@
+"""Training-sequence adaptive equalizer: decode through unknown channels.
+
+The ZF equalizer in models/receiver.py inverts this framework's (and the
+reference's) *known* transmit chain — it assumes an ideal channel between
+TX and capture. Real 8VSB receivers instead *train* their equalizer on
+the known sync symbols every field (A/53's PN511/PN63 field sync exists
+for exactly this). This module adds that capability: a widely-linear
+least-squares equalizer estimated from the 2,068 known symbols per field
+(820 field-sync + 312x4 segment-sync levels), tracking slow channel
+drift with exponential forgetting. It absorbs any linear distortion the
+capture path adds on top of the modulator — multipath echoes, analog
+front-end ripple, complex gain/phase offset, DC bias — none of which the
+fixed ZF inverse can handle. (No counterpart anywhere in the reference,
+which is transmit-only.)
+
+TPU-first formulation (no adaptive sample-serial LMS loop — that is a
+CPU idiom XLA cannot pipeline):
+
+1.  **Block recursive least squares on the MXU.** Per field, gather the
+    training design matrix X (rows = [Re u, Im u] windows of T taps
+    around each known symbol, plus a bias column; u = derotated
+    baseband) and accumulate the normal equations
+        R <- lam R + X^T X,   v <- lam v + X^T d
+    as two batched matmuls. d is the known level sequence (parity-aware
+    field-sync template + segment syncs). One small (D x D) solve per
+    field yields the MMSE tap vector w = [p, q, bias].
+2.  **Apply as banded matmuls.** The learned filter runs with the same
+    blocked-FIR idiom as the transmit RRC (ops/rrc_filter.py) — batched
+    (rows,128)x(128,128) MXU products, here with *traced per-channel*
+    band matrices built by gathering the tap vector. Hard slicing is
+    fused; only (B, 260416) int8 symbols leave the device.
+
+Because every training window lies fully inside the field (the last
+segment sync ends >800 samples before the field boundary), training
+never reads the zero-filled stream edges — cold start and final-field
+flush train on exactly the same footing as steady state.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atsc_tpu import params as P
+from atsc_tpu.tables.sync import sync_templates
+
+_N = P.SYMBOLS_PER_FIELD
+_BLK = 128
+
+EQ_HALF = 128                  # one-sided tap support K
+EQ_TAPS = 2 * EQ_HALF + 1      # T = 257 taps per I/Q component
+EQ_DIM = 2 * EQ_TAPS + 1       # D = 515 unknowns (p, q, bias)
+WINDOW_MARGIN = 384            # required context per side of a field window
+
+
+@functools.lru_cache(maxsize=1)
+def _training_set() -> tuple[np.ndarray, np.ndarray]:
+    """(positions (n,), targets (2, n) float32) — field-relative indices
+    of the known (constant) symbols and their levels per field parity.
+    Positions < EQ_HALF are dropped so every feature window stays inside
+    [pos - K, pos + K] ⊂ [0, field_end - K)."""
+    template, is_const = sync_templates()
+    pos = np.nonzero(is_const[:_N])[0]
+    pos = pos[pos >= EQ_HALF]
+    return pos.astype(np.int32), template[:, pos].astype(np.float32)
+
+
+def _derotate(win: jnp.ndarray, osc: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """win (B, 2, W) planar IQ, osc (2, W) planar oscillator ->
+    (Re u, Im u) with u = win * conj(osc) / amplitude^2."""
+    inv_p2 = np.float32(1.0 / (P.OSC_AMPLITUDE ** 2))
+    wr, wi = win[:, 0], win[:, 1]
+    cr, ci = osc[0], osc[1]
+    return (wr * cr + wi * ci) * inv_p2, (wi * cr - wr * ci) * inv_p2
+
+
+@functools.partial(jax.jit, static_argnames=("margin",))
+def rls_update(
+    r_mat: jnp.ndarray, v: jnp.ndarray, win: jnp.ndarray, osc: jnp.ndarray,
+    targets: jnp.ndarray, lam: jnp.ndarray, *, margin: int = WINDOW_MARGIN,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One field's normal-equation accumulation.
+
+    r_mat: (B, D, D); v: (B, D); win: (B, 2, W) planar IQ covering
+    [field_start - margin, field_end + margin); osc: (2, W) matching
+    oscillator span; targets: (n,) known levels for this field's parity.
+    """
+    ur, ui = _derotate(win, osc)
+    pos, _ = _training_set()
+    # feature windows: row i = u[pos_i - K .. pos_i + K] (window-relative)
+    idx = jnp.asarray(pos)[:, None] + (margin - EQ_HALF) + jnp.arange(EQ_TAPS)
+    xr = jnp.take(ur, idx, axis=-1)            # (B, n, T)
+    xi = jnp.take(ui, idx, axis=-1)
+    ones = jnp.ones((xr.shape[0], xr.shape[1], 1), xr.dtype)
+    x = jnp.concatenate([xr, xi, ones], axis=-1)   # (B, n, D)
+    hi = jax.lax.Precision.HIGHEST
+    r_new = lam * r_mat + jnp.einsum("bnd,bne->bde", x, x, precision=hi)
+    v_new = lam * v + jnp.einsum("bnd,bn->bd", x, targets[None, :], precision=hi)
+    return r_new, v_new
+
+
+def _banded_fir_batched(x: jnp.ndarray, taps: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """Forward FIR out[b, i] = sum_k x[b, i+k] taps[b, k] with traced
+    per-channel taps, as blocked MXU matmuls (the rrc_filter idiom with
+    the band matrices gathered from the tap vector at trace time)."""
+    n_taps = taps.shape[-1]
+    n_bands = -(-(n_taps + _BLK - 1) // _BLK)
+    nblk_out = -(-n_out // _BLK)
+    nblk_in = nblk_out + n_bands - 1
+    pad = nblk_in * _BLK - x.shape[-1]
+    if pad > 0:
+        x = jnp.pad(x, ((0, 0), (0, max(pad, 0))))
+    a = x[:, : nblk_in * _BLK].reshape(x.shape[0], nblk_in, _BLK)
+    m = np.arange(_BLK)[:, None]
+    r = np.arange(_BLK)[None, :]
+    out = 0.0
+    hi = jax.lax.Precision.HIGHEST
+    for s in range(n_bands):
+        k = s * _BLK + m - r
+        valid = jnp.asarray((k >= 0) & (k < n_taps), jnp.float32)
+        w = jnp.take(taps, jnp.asarray(np.clip(k, 0, n_taps - 1)), axis=-1) * valid
+        out = out + jnp.einsum(
+            "bnk,bkm->bnm", a[:, s : s + nblk_out], w, precision=hi
+        )
+    return out.reshape(x.shape[0], nblk_out * _BLK)[:, :n_out]
+
+
+@functools.partial(jax.jit, static_argnames=("margin",))
+def solve_and_equalize(
+    r_mat: jnp.ndarray, v: jnp.ndarray, win: jnp.ndarray, osc: jnp.ndarray,
+    ridge: jnp.ndarray, *, margin: int = WINDOW_MARGIN,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve the accumulated normal equations and equalize one field.
+
+    Returns (symbols (B, 260416) int8, taps (B, D) — the solved
+    [p, q, bias] vector, for introspection/tests).
+
+    The feature Gram matrix is rank-deficient by construction (515
+    unknowns, but every feature window is a linear image of only ~369
+    underlying level samples), so the ridge is scaled *relative* to R's
+    trace: large enough to dominate fp32 accumulation noise in the null
+    space, small enough (1e-4 default) that the tap shrinkage is far
+    below the 1.0 slicing margin.
+    """
+    eye = jnp.eye(EQ_DIM, dtype=r_mat.dtype)
+    scale = jnp.trace(r_mat, axis1=-2, axis2=-1)[:, None, None] / EQ_DIM
+    w = jnp.linalg.solve(r_mat + ridge * scale * eye, v[..., None])[..., 0]
+    p, q, bias = w[:, :EQ_TAPS], w[:, EQ_TAPS : 2 * EQ_TAPS], w[:, 2 * EQ_TAPS :]
+    ur, ui = _derotate(win, osc)
+    start = margin - EQ_HALF
+    ur = jax.lax.slice_in_dim(ur, start, ur.shape[-1], axis=-1)
+    ui = jax.lax.slice_in_dim(ui, start, ui.shape[-1], axis=-1)
+    lev = _banded_fir_batched(ur, p, _N) + _banded_fir_batched(ui, q, _N) + bias
+    sym = jnp.round((lev - P.PILOT_OFFSET + 7.0) * 0.5)
+    return jnp.clip(sym, 0, 7).astype(jnp.int8), w
+
+
+class AdaptiveEqualizer:
+    """Per-stream RLS equalizer state: feed one field window at a time.
+
+    forgetting: weight on past fields' normal equations (1.0 = infinite
+    memory — lowest noise for static channels; ~0.95 tracks slow drift;
+    0.0 trains every field independently — each field's 2,068 sync
+    symbols already overdetermine the ~369-dim feature span ~5x, so this
+    is the fastest setting for abrupt channel changes).
+    ridge: Tikhonov floor keeping the first solve well-posed (one field
+    already gives ~1.9k training rows > D = 515 unknowns, so this only
+    matters at noise extremes; scaled relative to trace(R)).
+    """
+
+    def __init__(self, batch: int = 1, forgetting: float = 1.0,
+                 ridge: float = 1e-4):
+        self.batch = batch
+        self._lam = jnp.float32(forgetting)
+        self._ridge = jnp.float32(ridge)
+        self._r = jnp.zeros((batch, EQ_DIM, EQ_DIM), jnp.float32)
+        self._v = jnp.zeros((batch, EQ_DIM), jnp.float32)
+        self.taps: np.ndarray | None = None   # last solved (B, D)
+
+    def process_field(
+        self, win_planar: np.ndarray, osc_planar: np.ndarray, parity: int
+    ) -> np.ndarray:
+        """Train on this field's sync symbols, then equalize it.
+
+        win_planar: (B, 2, N + 2*margin) float32 planar IQ; osc_planar:
+        (2, same) planar oscillator; parity: this field's sync parity
+        (0 = even). Returns (B, 260416) int8 hard symbols.
+        """
+        _, targets = _training_set()
+        self._r, self._v = rls_update(
+            self._r, self._v, jnp.asarray(win_planar), jnp.asarray(osc_planar),
+            jnp.asarray(targets[parity]), self._lam,
+        )
+        sym, w = solve_and_equalize(
+            self._r, self._v, jnp.asarray(win_planar), jnp.asarray(osc_planar),
+            self._ridge,
+        )
+        self.taps = np.asarray(w)
+        return np.asarray(sym)
