@@ -199,6 +199,13 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                     help="IQ wire format of the capture")
     ap.add_argument("--first-field", type=int, default=0,
                     help="oscillator epoch (field index) of the stream start")
+    ap.add_argument("--align", default="none", choices=("none", "auto"),
+                    help="'auto': locate the first field boundary by PN511 "
+                         "correlation (phase/gain-robust) and decode from "
+                         "there — for captures that do not start at a field "
+                         "boundary. Single-channel only; implies "
+                         "--equalizer adaptive (the epoch phase offset is "
+                         "absorbed by training)")
     ap.add_argument("--equalizer", default="zf", choices=("zf", "adaptive"),
                     help="'zf': fixed zero-forcing inverse of the known TX "
                          "chain (ideal channel); 'adaptive': widely-linear "
@@ -214,10 +221,11 @@ def build_decode_argparser() -> argparse.ArgumentParser:
     return ap
 
 
-def _iq_block_to_complex(buf: bytes, channels: int, fmt: str) -> np.ndarray:
-    """One field-block of wire bytes -> (channels, 260416) complex64."""
-    from atsc_tpu.ops.quantize import dequantize_iq
+def _wire_to_complex(buf: bytes, fmt: str) -> np.ndarray:
+    """Wire bytes -> flat complex64 samples (any whole-sample length)."""
+    from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE, dequantize_iq
 
+    buf = buf[: len(buf) - len(buf) % BYTES_PER_SAMPLE[fmt]]
     if fmt == "cf32":
         arr = np.frombuffer(buf, dtype=np.float32)
     else:
@@ -225,42 +233,64 @@ def _iq_block_to_complex(buf: bytes, channels: int, fmt: str) -> np.ndarray:
             buf, dtype=np.int16 if fmt == "cs16" else np.int8
         )
         arr = dequantize_iq(codes, fmt)
-    arr = arr.reshape(channels, P.SYMBOLS_PER_FIELD, 2)
-    return np.ascontiguousarray(arr).view(np.complex64)[..., 0]
+    return np.ascontiguousarray(arr.reshape(-1, 2)).view(np.complex64)[:, 0]
+
+
+def _iq_block_to_complex(buf: bytes, channels: int, fmt: str) -> np.ndarray:
+    """One field-block of wire bytes -> (channels, 260416) complex64."""
+    return _wire_to_complex(buf, fmt).reshape(channels, P.SYMBOLS_PER_FIELD)
 
 
 def run_decode(args) -> dict:
-    from atsc_tpu.models.receiver import IqReceiver
+    from atsc_tpu.models.receiver import IqReceiver, find_field_sync_iq
     from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
 
     block = P.SYMBOLS_PER_FIELD * BYTES_PER_SAMPLE[args.in_format] * args.channels
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
     fout = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    align = args.align == "auto"
+    if align and args.channels != 1:
+        raise ValueError("--align auto is single-channel only")
+    first_field, offset, pending = args.first_field, 0, None
+    equalizer = args.equalizer
+    if align:
+        equalizer = "adaptive"  # the epoch phase offset needs training
+        head = fin.read(2 * block)
+        iq0 = _wire_to_complex(head, args.in_format)
+        offset, first_field = find_field_sync_iq(iq0)
+        pending = iq0[None, offset:]
     rx = IqReceiver(
-        batch=args.channels, first_field=args.first_field,
-        backend="adaptive" if args.equalizer == "adaptive" else "device",
+        batch=args.channels, first_field=first_field,
+        backend="adaptive" if equalizer == "adaptive" else "device",
         forgetting=args.forgetting,
     )
     fields = 0
+
+    def emit(decoded) -> None:
+        nonlocal fields
+        for ts, _ in decoded:
+            fout.write(ts.tobytes())
+            fields += 1
+
     try:
+        if pending is not None:
+            emit(rx.push(pending))
         while True:
             buf = fin.read(block)
             if len(buf) < block:
-                if buf:
+                if buf and align:
+                    emit(rx.push(_wire_to_complex(buf, args.in_format)))
+                elif buf:
                     print(f"warning: dropping {len(buf)}-byte partial field "
                           "block at EOF", file=sys.stderr)
                 break
             decoded = rx.push(_iq_block_to_complex(buf, args.channels,
                                                    args.in_format))
-            for ts, _ in decoded:
-                fout.write(ts.tobytes())
-                fields += 1
+            emit(decoded)
             if args.max_fields and fields >= args.max_fields:
                 break
         if not args.max_fields or fields < args.max_fields:
-            for ts, _ in rx.flush():
-                fout.write(ts.tobytes())
-                fields += 1
+            emit(rx.flush())
     finally:
         if fin is not sys.stdin.buffer:
             fin.close()
@@ -272,6 +302,8 @@ def run_decode(args) -> dict:
         "segments_corrected": rx.decoder.segments_corrected,
         "segments_uncorrectable": rx.decoder.segments_uncorrectable,
     }
+    if align:
+        summary |= {"align_offset": offset, "align_parity": first_field}
     if args.stats:
         print(json.dumps(summary), file=sys.stderr)
     return summary

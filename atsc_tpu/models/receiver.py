@@ -265,6 +265,53 @@ def find_field_sync(levels: np.ndarray) -> tuple[int, int]:
     return offset, parity
 
 
+def find_field_sync_iq(iq: np.ndarray) -> tuple[int, int]:
+    """Locate a field boundary directly in a raw complex capture, robust
+    to an unknown channel (gain, phase rotation, moderate multipath).
+
+    find_field_sync's real-projection correlator nulls out when the
+    channel rotates the constellation by ~90 deg (Re kills the PN
+    energy). This variant instead correlates the *complex* levels of the
+    single-sideband branch alone — ifft(w_a * U), whose PN correlation
+    magnitude is invariant to any complex channel gain — and resolves
+    the parity by phase-referencing the middle-PN63 correlation to the
+    PN511 peak (both see the same channel phase).
+
+    iq: (n,) or (B, n) complex samples, n >= one field + sync length;
+    only the first stream is used. Derotation treats sample 0 as the
+    start of field 0 — an epoch mismatch is a constant phase the
+    magnitude correlator ignores. Returns (offset, parity): feed
+    iq[offset:] to IqReceiver(first_field=parity, backend="adaptive").
+    """
+    iq = np.atleast_2d(np.asarray(iq))[:1]
+    n_probe = 704
+    n_out = _N + n_probe + 3
+    margin = 2048  # only edge effects ride on this; alignment is coarse
+    lo, hi = -margin, n_out + margin
+    win = np.zeros((hi - lo,), np.complex128)
+    n_have = min(iq.shape[1], hi)
+    win[margin : margin + n_have] = iq[0, :n_have]
+    u = win * np.conj(_oscillator_for_span(lo, hi, 0)) / (P.OSC_AMPLITUDE ** 2)
+    w_a, _ = _equalizer_dft(u.shape[0])
+    clev = np.fft.ifft(w_a * np.fft.fft(u))[margin : margin + n_out]
+
+    template, _ = sync_symbol_templates()
+    probe = template[0, 4:n_probe].astype(np.float64) * 2.0 - 7.0
+    probe -= probe.mean()
+    corr = np.correlate(clev, probe, mode="valid")  # conjugates probe (real)
+    corr = corr[: _N + 4]  # one field period => exactly one sync occurrence
+    peak = int(np.argmax(np.abs(corr)))
+    c0 = corr[peak]
+    offset = peak - 4
+    if offset < 0:
+        offset += _N
+    mid = clev[offset + 578 : offset + 641]
+    ref = template[0, 578:641].astype(np.float64) * 2.0 - 7.0
+    m = np.dot(mid - mid.mean(), ref - ref.mean())
+    parity = 0 if np.real(m * np.conj(c0)) > 0 else 1
+    return offset, parity
+
+
 class IqReceiver:
     """Streaming IQ -> TS: push complex baseband, collect decoded fields.
 
@@ -332,9 +379,17 @@ class IqReceiver:
                     stream_offset=self._base,
                 )
                 field = slice_levels(lev)
+            corrected = self._decoder.segments_corrected
+            uncorrectable = self._decoder.segments_uncorrectable
             ts, nerr = self._decoder.decode(field)
             if self._primed:
                 out.append((ts, nerr))
+            else:
+                # the pre-start virtual field is discarded — roll its RS
+                # stats back so summaries reflect *emitted* fields only
+                # (a mid-stream start makes that field pure garbage)
+                self._decoder.segments_corrected = corrected
+                self._decoder.segments_uncorrectable = uncorrectable
             self._primed = True
             self._next_field += 1
             # drop samples no window will touch again

@@ -99,6 +99,57 @@ def test_cli_decode_adaptive(tmp_path):
     np.testing.assert_array_equal(got, ts[:2, 0].reshape(-1))
 
 
+def test_find_field_sync_iq_phase_robust():
+    """Alignment directly on the raw capture survives a 90-degree channel
+    rotation (which nulls the real-projection correlator) plus an echo."""
+    from atsc_tpu.models.receiver import find_field_sync_iq
+
+    rng = np.random.default_rng(67)
+    ts = _random_ts(rng, 3, 1)
+    iq = _encode_iq(ts)[0]
+    y = np.convolve(iq, [1j, 0, 0, 0.2 * np.exp(0.3j)])[: iq.size]
+    for cut, want_off, want_par in ((0, 0, 0), (1000, N - 1000, 1),
+                                    (N + 7, N - 7, 0)):
+        off, par = find_field_sync_iq(y[cut:])
+        assert off == want_off, (cut, off)
+        assert par == want_par, (cut, par)
+
+
+def test_cli_decode_align_auto(tmp_path):
+    """`decode --align auto` on a capture that starts mid-field and went
+    through a rotated multipath channel: recovers every fully-contained
+    TS field."""
+    from atsc_tpu.cli import main
+
+    rng = np.random.default_rng(71)
+    ts = _random_ts(rng, 4, 1)
+    iq = _encode_iq(ts)[0]
+    y = np.convolve(iq, [0.9j, 0, 0.15 * np.exp(-0.8j)])[: iq.size]
+    cut = 123_457  # mid-field-0: first boundary in the capture = field 1
+    cap = tmp_path / "cap.iq"
+    seg = y[cut:]
+    np.stack([seg.real, seg.imag], axis=-1).astype(np.float32).tofile(cap)
+    out = tmp_path / "out.ts"
+    assert main(["decode", str(cap), "--align", "auto", "-o", str(out)]) == 0
+    got = np.fromfile(out, dtype=np.uint8)
+    # received fields 1..3 -> decoded TS fields 1..2 (one-field latency
+    # exactly covers the missing interleaver history of field 0)
+    np.testing.assert_array_equal(got, ts[1:3, 0].reshape(-1))
+
+    # summary stats count emitted fields only (the discarded pre-start
+    # field is pure garbage at a mid-stream start and must not pollute)
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+
+    args = build_decode_argparser().parse_args(
+        [str(cap), "--align", "auto", "-o", str(out)]
+    )
+    summary = run_decode(args)
+    assert summary["fields_decoded"] == 2
+    assert summary["align_offset"] == N - cut % N
+    assert summary["align_parity"] == 1
+    assert summary["segments_uncorrectable"] == 0
+
+
 def test_adaptive_batch_lanes_train_independently():
     """Each batch lane carries its own normal equations: one receiver
     with a clean lane and a heavily-distorted lane decodes both (the
