@@ -199,6 +199,13 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                     help="IQ wire format of the capture")
     ap.add_argument("--first-field", type=int, default=0,
                     help="oscillator epoch (field index) of the stream start")
+    ap.add_argument("--cfo", default="0", metavar="HZ|auto",
+                    help="carrier frequency offset of the capture: a fixed "
+                         "Hz value, or 'auto' to estimate it from the pilot "
+                         "tone (windowed-FFT peak + quadratic interpolation "
+                         "— sub-Hz from ~2 fields). Non-zero CFO implies "
+                         "--equalizer adaptive (residual rotation is "
+                         "absorbed by per-field training)")
     ap.add_argument("--align", default="none", choices=("none", "auto"),
                     help="'auto': locate the first field boundary by PN511 "
                          "correlation (phase/gain-robust) and decode from "
@@ -242,23 +249,37 @@ def _iq_block_to_complex(buf: bytes, channels: int, fmt: str) -> np.ndarray:
 
 
 def run_decode(args) -> dict:
-    from atsc_tpu.models.receiver import IqReceiver, find_field_sync_iq
+    from atsc_tpu.models.receiver import (
+        CfoCorrector,
+        IqReceiver,
+        estimate_cfo,
+        find_field_sync_iq,
+    )
     from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
 
     block = P.SYMBOLS_PER_FIELD * BYTES_PER_SAMPLE[args.in_format] * args.channels
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
     fout = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     align = args.align == "auto"
-    if align and args.channels != 1:
-        raise ValueError("--align auto is single-channel only")
+    cfo_auto = args.cfo == "auto"
+    if (align or cfo_auto) and args.channels != 1:
+        raise ValueError("--align/--cfo auto are single-channel only")
     first_field, offset, pending = args.first_field, 0, None
     equalizer = args.equalizer
+    iq0 = None
+    if align or cfo_auto:
+        iq0 = _wire_to_complex(fin.read(2 * block), args.in_format)
+    cfo_hz = estimate_cfo(iq0) if cfo_auto else float(args.cfo)
+    if cfo_hz != 0.0:
+        equalizer = "adaptive"  # residual rotation needs training
+    correct = CfoCorrector(cfo_hz)
     if align:
         equalizer = "adaptive"  # the epoch phase offset needs training
-        head = fin.read(2 * block)
-        iq0 = _wire_to_complex(head, args.in_format)
-        offset, first_field = find_field_sync_iq(iq0)
-        pending = iq0[None, offset:]
+        iq0c = correct(iq0)
+        offset, first_field = find_field_sync_iq(iq0c)
+        pending = iq0c[:, offset:]
+    elif iq0 is not None:
+        pending = correct(iq0)
     rx = IqReceiver(
         batch=args.channels, first_field=first_field,
         backend="adaptive" if equalizer == "adaptive" else "device",
@@ -279,13 +300,14 @@ def run_decode(args) -> dict:
             buf = fin.read(block)
             if len(buf) < block:
                 if buf and align:
-                    emit(rx.push(_wire_to_complex(buf, args.in_format)))
+                    emit(rx.push(correct(_wire_to_complex(buf, args.in_format))))
                 elif buf:
                     print(f"warning: dropping {len(buf)}-byte partial field "
                           "block at EOF", file=sys.stderr)
                 break
-            decoded = rx.push(_iq_block_to_complex(buf, args.channels,
-                                                   args.in_format))
+            decoded = rx.push(correct(
+                _iq_block_to_complex(buf, args.channels, args.in_format)
+            ))
             emit(decoded)
             if args.max_fields and fields >= args.max_fields:
                 break
@@ -304,6 +326,8 @@ def run_decode(args) -> dict:
     }
     if align:
         summary |= {"align_offset": offset, "align_parity": first_field}
+    if cfo_hz != 0.0:
+        summary["cfo_hz"] = round(cfo_hz, 3)
     if args.stats:
         print(json.dumps(summary), file=sys.stderr)
     return summary

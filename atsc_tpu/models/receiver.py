@@ -312,6 +312,56 @@ def find_field_sync_iq(iq: np.ndarray) -> tuple[int, int]:
     return offset, parity
 
 
+def estimate_cfo(iq: np.ndarray, search_hz: float = 3000.0) -> float:
+    """Estimate the capture's carrier frequency offset from the pilot.
+
+    The 8VSB pilot (the +1.25 DC bias frequency-shifted by the
+    oscillator) is a strong coherent tone at a known baseband frequency
+    (P.OSC_FREQUENCY = -2,690,589 Hz); any tuner/clock offset moves it.
+    Windowed-FFT peak search within +-search_hz of the nominal pilot,
+    refined by quadratic interpolation of the log-magnitude — sub-Hz
+    accuracy from a couple of fields, far below the ~0.7 Hz/field drift
+    the per-field-trained adaptive equalizer absorbs.
+
+    iq: (n,) or (B, n) complex samples (first stream used; >= ~1 field
+    recommended). Returns the offset in Hz: multiply the capture by
+    exp(-2j*pi*cfo*n/P.SAMPLE_RATE) to correct it.
+    """
+    x = np.asarray(np.atleast_2d(iq)[0], np.complex128)
+    n = min(x.size, 4 * _N)
+    x = x[:n] * np.hanning(n)
+    spec = np.abs(np.fft.fft(x))
+    freqs = np.fft.fftfreq(n, 1.0 / P.SAMPLE_RATE)
+    nominal = P.OSC_FREQUENCY
+    band = np.nonzero(np.abs(freqs - nominal) <= search_hz)[0]
+    k = band[np.argmax(spec[band])]
+    # quadratic interpolation on log|X| around the peak bin
+    a, b, c = np.log(spec[[(k - 1) % n, k, (k + 1) % n]] + 1e-30)
+    denom = a - 2 * b + c
+    delta = 0.5 * (a - c) / denom if abs(denom) > 1e-12 else 0.0
+    return float(freqs[k] + delta * P.SAMPLE_RATE / n - nominal)
+
+
+class CfoCorrector:
+    """Streaming e^{-j*2*pi*cfo*n/fs} derotation with a running sample
+    index (host-side conditioning before the receiver)."""
+
+    def __init__(self, cfo_hz: float):
+        self.cfo_hz = float(cfo_hz)
+        self._n = 0
+
+    def __call__(self, iq: np.ndarray) -> np.ndarray:
+        iq = np.atleast_2d(iq)
+        n = iq.shape[-1]
+        if self.cfo_hz == 0.0:
+            self._n += n
+            return iq
+        w = -2.0j * np.pi * self.cfo_hz / P.SAMPLE_RATE
+        rot = np.exp(w * (self._n + np.arange(n)))
+        self._n += n
+        return iq * rot
+
+
 class IqReceiver:
     """Streaming IQ -> TS: push complex baseband, collect decoded fields.
 

@@ -150,6 +150,47 @@ def test_cli_decode_align_auto(tmp_path):
     assert summary["segments_uncorrectable"] == 0
 
 
+def test_estimate_cfo_from_pilot():
+    """Pilot-tone CFO estimation: sub-Hz accuracy from a 2-field capture
+    with a deliberately fractional offset."""
+    from atsc_tpu.models.receiver import estimate_cfo
+
+    rng = np.random.default_rng(73)
+    ts = _random_ts(rng, 2, 1)
+    iq = _encode_iq(ts)[0]
+    for cfo in (517.3, -1204.8, 0.0):
+        n = np.arange(iq.size)
+        y = iq * np.exp(2j * np.pi * cfo / P.SAMPLE_RATE * n)
+        got = estimate_cfo(y)
+        assert abs(got - cfo) < 1.0, (cfo, got)
+
+
+def test_cli_decode_cfo_auto(tmp_path):
+    """`decode --cfo auto --align auto`: a capture with a 400 Hz tuner
+    offset, channel distortion, and a mid-field start still yields the
+    exact transport stream."""
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+
+    rng = np.random.default_rng(79)
+    ts = _random_ts(rng, 4, 1)
+    iq = _encode_iq(ts)[0]
+    y = np.convolve(iq, [0.9 * np.exp(0.6j), 0, 0.12j])[: iq.size]
+    y = y * np.exp(2j * np.pi * 400.0 / P.SAMPLE_RATE * np.arange(y.size))
+    seg = y[55_555:]
+    cap = tmp_path / "cap.iq"
+    np.stack([seg.real, seg.imag], axis=-1).astype(np.float32).tofile(cap)
+    out = tmp_path / "out.ts"
+    args = build_decode_argparser().parse_args(
+        [str(cap), "--cfo", "auto", "--align", "auto", "-o", str(out)]
+    )
+    summary = run_decode(args)
+    assert abs(summary["cfo_hz"] - 400.0) < 1.0
+    assert summary["fields_decoded"] == 2
+    assert summary["segments_uncorrectable"] == 0
+    got = np.fromfile(out, dtype=np.uint8)
+    np.testing.assert_array_equal(got, ts[1:3, 0].reshape(-1))
+
+
 def test_adaptive_batch_lanes_train_independently():
     """Each batch lane carries its own normal equations: one receiver
     with a clean lane and a heavily-distorted lane decodes both (the
