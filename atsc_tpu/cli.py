@@ -222,6 +222,12 @@ def build_decode_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--forgetting", type=float, default=1.0,
                     help="adaptive equalizer memory: 1.0 = average all "
                          "fields (static channel), 0.0 = retrain per field")
+    ap.add_argument("--trellis", default="hard", choices=("hard", "viterbi"),
+                    help="'hard': slice symbols then invert the trellis "
+                         "algebraically (exact on clean captures); "
+                         "'viterbi': soft-decision maximum-likelihood "
+                         "trellis decoding (~3.5 dB coding gain on noisy "
+                         "captures)")
     ap.add_argument("--max-fields", type=int, default=0)
     ap.add_argument("--stats", action="store_true",
                     help="print a JSON decode summary to stderr")
@@ -284,6 +290,7 @@ def run_decode(args) -> dict:
         batch=args.channels, first_field=first_field,
         backend="adaptive" if equalizer == "adaptive" else "device",
         forgetting=args.forgetting,
+        trellis="soft" if args.trellis == "viterbi" else "hard",
     )
     fields = 0
 

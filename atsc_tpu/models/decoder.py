@@ -68,6 +68,50 @@ def decode_field(
     return DecoderState(prev_il=cur_il, z2_prev=z2_new), codewords, syn
 
 
+class SoftDecoderState(NamedTuple):
+    """Soft-path carried state: adds the Viterbi path metrics."""
+
+    prev_il: jnp.ndarray   # (B, 64584) uint8
+    z2_prev: jnp.ndarray   # (B, 12) int32
+    metrics: jnp.ndarray   # (B, 12, 4) float32 trellis path metrics
+
+
+def init_soft_decoder_state(batch: int) -> SoftDecoderState:
+    from atsc_tpu.ops.viterbi import init_metrics
+
+    hard = init_decoder_state(batch)
+    return SoftDecoderState(
+        prev_il=hard.prev_il, z2_prev=hard.z2_prev,
+        metrics=init_metrics(batch),
+    )
+
+
+def soft_decode_field(
+    state: SoftDecoderState, levels: jnp.ndarray
+) -> tuple[SoftDecoderState, jnp.ndarray, jnp.ndarray]:
+    """Soft-decision twin of decode_field: maximum-likelihood trellis
+    decoding (ops/viterbi.py) instead of hard slicing — ~3.5 dB of
+    coding gain on noisy captures.
+
+    levels: (B, >=260416) float32 equalized soft levels (pilot offset
+    included, NOT sliced). Same returns/latency as decode_field.
+    """
+    from atsc_tpu.ops.viterbi import viterbi_decode_field
+
+    soft = decommutate_field(levels.astype(jnp.float32))
+    bytes_enc, z2_new, metrics = viterbi_decode_field(
+        soft, state.z2_prev, state.metrics
+    )
+    cur_il = enc_major_to_round_major(bytes_enc)
+    rs = deinterleave_field(cur_il, state.prev_il)
+    codewords = rs.reshape(rs.shape[0], P.DATA_SEGMENTS, P.SEGMENT_FEC_BYTES)
+    syn = syndrome_field(codewords)
+    new_state = SoftDecoderState(
+        prev_il=cur_il, z2_prev=z2_new, metrics=metrics
+    )
+    return new_state, codewords, syn
+
+
 class Decoder:
     """Stateful wrapper: symbol fields in, corrected TS fields out."""
 
@@ -107,3 +151,14 @@ class Decoder:
             codewords = jnp.asarray(cw)
         ts = np.asarray(self._derand(codewords))
         return ts, n_errors
+
+
+class SoftDecoder(Decoder):
+    """Decoder taking *soft levels* instead of sliced symbols: the
+    trellis stage runs maximum-likelihood (Viterbi) — use on noisy
+    captures where hard slicing exceeds RS's 10-byte/segment budget."""
+
+    def __init__(self, batch: int = 1):
+        super().__init__(batch)
+        self._state = init_soft_decoder_state(batch)
+        self._step = jax.jit(soft_decode_field)

@@ -169,8 +169,8 @@ def _wl_eq_taps() -> tuple[np.ndarray, np.ndarray]:
     return p[k].astype(np.float32), q[k].astype(np.float32)
 
 
-@functools.lru_cache(maxsize=1)
-def _device_eq_step():
+@functools.lru_cache(maxsize=2)
+def _device_eq_step(soft: bool = False):
     from atsc_tpu.ops.rrc_filter import banded_fir_taps
 
     p_taps, q_taps = _wl_eq_taps()
@@ -186,6 +186,8 @@ def _device_eq_step():
         ur = jax.lax.slice_in_dim(ur, start, ur.shape[-1], axis=-1)
         ui = jax.lax.slice_in_dim(ui, start, ui.shape[-1], axis=-1)
         lev = banded_fir_taps(ur, p_taps, _N) + banded_fir_taps(ui, q_taps, _N)
+        if soft:
+            return lev.astype(jnp.float32)
         sym = jnp.round((lev - P.PILOT_OFFSET + 7.0) * 0.5)
         return jnp.clip(sym, 0, 7).astype(jnp.int8)
 
@@ -223,15 +225,17 @@ def field_window(
 
 def equalize_field_device(
     iq: np.ndarray, g0: int, first_field: int = 0, stream_offset: int = 0,
+    soft: bool = False,
 ) -> np.ndarray:
     """Device-path equalizer: one field starting at stream sample g0.
 
     Same contract as equalize_span(..., n_out=SYMBOLS_PER_FIELD) but the
     derotate/filter/slice chain runs jitted on the accelerator and the
-    return is hard-sliced (B, 260416) int8 symbols.
+    return is hard-sliced (B, 260416) int8 symbols (float32 soft levels
+    when soft=True, for the Viterbi path).
     """
     win_planar, osc_planar = field_window(iq, g0, first_field, stream_offset)
-    step = _device_eq_step()
+    step = _device_eq_step(soft)
     return np.asarray(step(jnp.asarray(win_planar), jnp.asarray(osc_planar)))
 
 
@@ -375,12 +379,16 @@ class IqReceiver:
 
     def __init__(self, batch: int = 1, first_field: int = 0,
                  margin: int | None = None, backend: str = "device",
-                 forgetting: float = 1.0, ridge: float = 1e-4):
+                 forgetting: float = 1.0, ridge: float = 1e-4,
+                 trellis: str = "hard"):
         if backend not in ("device", "numpy", "adaptive"):
             raise ValueError(f"unknown equalizer backend {backend!r}")
+        if trellis not in ("hard", "soft"):
+            raise ValueError(f"unknown trellis mode {trellis!r}")
         self.batch = batch
         self.first_field = first_field
         self.backend = backend
+        self.trellis = trellis
         self.margin = margin if margin is not None else (
             _MARGIN if backend == "numpy" else _DEV_MARGIN
         )
@@ -393,7 +401,11 @@ class IqReceiver:
             self._adaptive = AdaptiveEqualizer(
                 batch=batch, forgetting=forgetting, ridge=ridge
             )
-        self._decoder = Decoder(batch=batch)
+        if trellis == "soft":
+            from atsc_tpu.models.decoder import SoftDecoder
+            self._decoder = SoftDecoder(batch=batch)
+        else:
+            self._decoder = Decoder(batch=batch)
         self._buf = np.zeros((batch, 0), np.complex128)
         self._base = 0  # stream index of _buf[:, 0]
         self._next_field = 0  # next un-equalized field (stream-relative)
@@ -410,17 +422,20 @@ class IqReceiver:
             need = end if final else end + self.margin
             if self._base + self._buf.shape[1] < need:
                 break
+            soft = self.trellis == "soft"
             if self.backend == "adaptive":
                 win, osc = field_window(
                     self._buf, self._next_field * _N,
                     first_field=self.first_field, stream_offset=self._base,
                 )
                 parity = (self.first_field + self._next_field) % 2
-                field = self._adaptive.process_field(win, osc, parity)
+                field = self._adaptive.process_field(win, osc, parity,
+                                                     soft=soft)
             elif self.backend == "device":
                 field = equalize_field_device(
                     self._buf, self._next_field * _N,
                     first_field=self.first_field, stream_offset=self._base,
+                    soft=soft,
                 )
             else:
                 lev = equalize_span(
@@ -428,7 +443,7 @@ class IqReceiver:
                     first_field=self.first_field, margin=self.margin,
                     stream_offset=self._base,
                 )
-                field = slice_levels(lev)
+                field = lev.astype(np.float32) if soft else slice_levels(lev)
             corrected = self._decoder.segments_corrected
             uncorrectable = self._decoder.segments_uncorrectable
             ts, nerr = self._decoder.decode(field)

@@ -128,15 +128,16 @@ def _banded_fir_batched(x: jnp.ndarray, taps: jnp.ndarray, n_out: int) -> jnp.nd
     return out.reshape(x.shape[0], nblk_out * _BLK)[:, :n_out]
 
 
-@functools.partial(jax.jit, static_argnames=("margin",))
+@functools.partial(jax.jit, static_argnames=("margin", "soft"))
 def solve_and_equalize(
     r_mat: jnp.ndarray, v: jnp.ndarray, win: jnp.ndarray, osc: jnp.ndarray,
-    ridge: jnp.ndarray, *, margin: int = WINDOW_MARGIN,
+    ridge: jnp.ndarray, *, margin: int = WINDOW_MARGIN, soft: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Solve the accumulated normal equations and equalize one field.
 
-    Returns (symbols (B, 260416) int8, taps (B, D) — the solved
-    [p, q, bias] vector, for introspection/tests).
+    Returns (symbols (B, 260416) int8 — or the un-sliced float32 soft
+    levels when soft=True, for the Viterbi path — and taps (B, D), the
+    solved [p, q, bias] vector, for introspection/tests).
 
     The feature Gram matrix is rank-deficient by construction (515
     unknowns, but every feature window is a linear image of only ~369
@@ -154,6 +155,8 @@ def solve_and_equalize(
     ur = jax.lax.slice_in_dim(ur, start, ur.shape[-1], axis=-1)
     ui = jax.lax.slice_in_dim(ui, start, ui.shape[-1], axis=-1)
     lev = _banded_fir_batched(ur, p, _N) + _banded_fir_batched(ui, q, _N) + bias
+    if soft:
+        return lev.astype(jnp.float32), w
     sym = jnp.round((lev - P.PILOT_OFFSET + 7.0) * 0.5)
     return jnp.clip(sym, 0, 7).astype(jnp.int8), w
 
@@ -181,13 +184,15 @@ class AdaptiveEqualizer:
         self.taps: np.ndarray | None = None   # last solved (B, D)
 
     def process_field(
-        self, win_planar: np.ndarray, osc_planar: np.ndarray, parity: int
+        self, win_planar: np.ndarray, osc_planar: np.ndarray, parity: int,
+        soft: bool = False,
     ) -> np.ndarray:
         """Train on this field's sync symbols, then equalize it.
 
         win_planar: (B, 2, N + 2*margin) float32 planar IQ; osc_planar:
         (2, same) planar oscillator; parity: this field's sync parity
-        (0 = even). Returns (B, 260416) int8 hard symbols.
+        (0 = even). Returns (B, 260416) int8 hard symbols, or float32
+        soft levels when soft=True.
         """
         _, targets = _training_set()
         self._r, self._v = rls_update(
@@ -196,7 +201,7 @@ class AdaptiveEqualizer:
         )
         sym, w = solve_and_equalize(
             self._r, self._v, jnp.asarray(win_planar), jnp.asarray(osc_planar),
-            self._ridge,
+            self._ridge, soft=soft,
         )
         self.taps = np.asarray(w)
         return np.asarray(sym)

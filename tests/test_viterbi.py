@@ -1,0 +1,90 @@
+"""Soft-decision Viterbi trellis decoding: exactness on clean levels and
+coding gain over hard slicing under AWGN (the reference has no receive
+path at all; this is the ML decoder its trellis code calls for)."""
+
+import numpy as np
+
+from atsc_tpu import params as P
+from atsc_tpu.models.decoder import Decoder, SoftDecoder
+from tests.test_decoder import _encode_symbol_fields, _random_ts
+
+N = P.SYMBOLS_PER_FIELD
+
+
+def _levels(fields: np.ndarray) -> np.ndarray:
+    """(T, B, >=N) int8 symbol fields -> (T, B, N) float32 ideal levels."""
+    return fields[..., :N].astype(np.float32) * 2 - 7 + np.float32(
+        P.PILOT_OFFSET
+    )
+
+
+def test_viterbi_matches_hard_on_clean_levels():
+    """Noiseless levels: the ML decode equals the hard inverse bit-exactly
+    over consecutive fields (path metrics / precoder state carry)."""
+    rng = np.random.default_rng(83)
+    ts = _random_ts(rng, 3, 2)
+    lev = _levels(_encode_symbol_fields(ts))
+    soft = SoftDecoder(batch=2)
+    for k in range(3):
+        out, nerr = soft.decode(lev[k])
+        assert (nerr >= 0).all()
+        if k > 0:
+            np.testing.assert_array_equal(out, ts[k - 1])
+    assert soft.segments_corrected == 0
+    assert soft.segments_uncorrectable == 0
+
+
+def test_iq_receiver_soft_trellis_on_noisy_capture():
+    """End-to-end IQ receiver with trellis='soft': a capture noisy
+    enough to defeat the hard-slicing receiver still decodes exactly."""
+    from atsc_tpu.models.receiver import IqReceiver
+    from tests.test_receiver import _encode_iq
+
+    rng = np.random.default_rng(97)
+    ts = _random_ts(rng, 3, 1)
+    iq = _encode_iq(ts)
+    noise = (rng.normal(size=iq.shape) + 1j * rng.normal(size=iq.shape))
+    y = iq + noise * 0.035
+
+    hard = IqReceiver(batch=1)
+    hard_out = hard.push(y) + hard.flush()
+    hard_ok = all(
+        (nerr >= 0).all() and np.array_equal(out, ts[k])
+        for k, (out, nerr) in enumerate(hard_out)
+    )
+    assert not hard_ok, "noise too benign: hard receiver already decodes"
+
+    soft = IqReceiver(batch=1, trellis="soft")
+    got = soft.push(y) + soft.flush()
+    assert len(got) == 2
+    for k, (out, nerr) in enumerate(got):
+        assert (nerr >= 0).all(), f"uncorrectable segments in field {k}"
+        np.testing.assert_array_equal(out, ts[k])
+
+
+def test_viterbi_coding_gain_over_hard_slicing():
+    """AWGN where hard slicing floods RS beyond its 10-byte/segment
+    budget: the Viterbi path still recovers the TS exactly."""
+    rng = np.random.default_rng(89)
+    ts = _random_ts(rng, 3, 1)
+    lev = _levels(_encode_symbol_fields(ts))
+    noisy = lev + rng.normal(size=lev.shape).astype(np.float32) * 0.6
+
+    hard = Decoder(batch=1)
+    hard_ok = True
+    for k in range(3):
+        sym = np.clip(np.rint((noisy[k] - P.PILOT_OFFSET + 7) / 2), 0, 7)
+        out, nerr = hard.decode(sym.astype(np.int8))
+        if k > 0:
+            hard_ok = hard_ok and (nerr >= 0).all() and np.array_equal(
+                out, ts[k - 1]
+            )
+    assert not hard_ok, "noise too benign: hard slicing already decodes"
+
+    soft = SoftDecoder(batch=1)
+    for k in range(3):
+        out, nerr = soft.decode(noisy[k])
+        assert (nerr >= 0).all(), f"uncorrectable segments in field {k}"
+        if k > 0:
+            np.testing.assert_array_equal(out, ts[k - 1])
+    assert soft.segments_corrected > 0  # RS really was needed
