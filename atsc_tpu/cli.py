@@ -199,6 +199,13 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                     help="IQ wire format of the capture")
     ap.add_argument("--first-field", type=int, default=0,
                     help="oscillator epoch (field index) of the stream start")
+    ap.add_argument("--sro", default="0", metavar="PPM|auto",
+                    help="sample-rate offset of the capture: a fixed ppm "
+                         "value, or 'auto' to estimate it from the sync-peak "
+                         "drift across the capture (sub-ppm). The stream is "
+                         "polyphase-resampled to the nominal symbol rate; "
+                         "reads the whole input up front and implies "
+                         "--align auto")
     ap.add_argument("--cfo", default="0", metavar="HZ|auto",
                     help="carrier frequency offset of the capture: a fixed "
                          "Hz value, or 'auto' to estimate it from the pilot "
@@ -255,26 +262,48 @@ def _iq_block_to_complex(buf: bytes, channels: int, fmt: str) -> np.ndarray:
 
 
 def run_decode(args) -> dict:
+    import io
+
     from atsc_tpu.models.receiver import (
         CfoCorrector,
         IqReceiver,
         estimate_cfo,
+        estimate_sro,
         find_field_sync_iq,
+        resample_stream,
     )
     from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
 
-    block = P.SYMBOLS_PER_FIELD * BYTES_PER_SAMPLE[args.in_format] * args.channels
+    fmt = args.in_format
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
     fout = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     align = args.align == "auto"
     cfo_auto = args.cfo == "auto"
+    sro_rate = None
+    if args.sro != "0":
+        # whole-capture conditioning: resample to the nominal symbol rate,
+        # re-wrap as an in-memory cf32 stream, and force auto-alignment
+        # (the resampler's bulk delay shifts the field boundaries)
+        if args.channels != 1:
+            raise ValueError("--sro is single-channel only")
+        raw = _wire_to_complex(fin.read(), fmt)
+        if fin is not sys.stdin.buffer:
+            fin.close()
+        sro_rate = (estimate_sro(raw) if args.sro == "auto"
+                    else 1.0 + float(args.sro) * 1e-6)
+        cond = resample_stream(raw, sro_rate)[0]
+        fin = io.BytesIO(
+            np.stack([cond.real, cond.imag], -1).astype(np.float32).tobytes()
+        )
+        fmt, align = "cf32", True
+    block = P.SYMBOLS_PER_FIELD * BYTES_PER_SAMPLE[fmt] * args.channels
     if (align or cfo_auto) and args.channels != 1:
         raise ValueError("--align/--cfo auto are single-channel only")
     first_field, offset, pending = args.first_field, 0, None
     equalizer = args.equalizer
     iq0 = None
     if align or cfo_auto:
-        iq0 = _wire_to_complex(fin.read(2 * block), args.in_format)
+        iq0 = _wire_to_complex(fin.read(2 * block), fmt)
     cfo_hz = estimate_cfo(iq0) if cfo_auto else float(args.cfo)
     if cfo_hz != 0.0:
         equalizer = "adaptive"  # residual rotation needs training
@@ -307,13 +336,13 @@ def run_decode(args) -> dict:
             buf = fin.read(block)
             if len(buf) < block:
                 if buf and align:
-                    emit(rx.push(correct(_wire_to_complex(buf, args.in_format))))
+                    emit(rx.push(correct(_wire_to_complex(buf, fmt))))
                 elif buf:
                     print(f"warning: dropping {len(buf)}-byte partial field "
                           "block at EOF", file=sys.stderr)
                 break
             decoded = rx.push(correct(
-                _iq_block_to_complex(buf, args.channels, args.in_format)
+                _iq_block_to_complex(buf, args.channels, fmt)
             ))
             emit(decoded)
             if args.max_fields and fields >= args.max_fields:
@@ -335,6 +364,8 @@ def run_decode(args) -> dict:
         summary |= {"align_offset": offset, "align_parity": first_field}
     if cfo_hz != 0.0:
         summary["cfo_hz"] = round(cfo_hz, 3)
+    if sro_rate is not None:
+        summary["sro_ppm"] = round((sro_rate - 1.0) * 1e6, 3)
     if args.stats:
         print(json.dumps(summary), file=sys.stderr)
     return summary

@@ -269,6 +269,41 @@ def find_field_sync(levels: np.ndarray) -> tuple[int, int]:
     return offset, parity
 
 
+def _ssb_levels(iq: np.ndarray, start: int, n_out: int,
+                margin: int = 2048) -> np.ndarray:
+    """Complex levels of the single-sideband equalizer branch alone —
+    ifft(w_a * U) — over capture samples [start, start + n_out). Unlike
+    the full conjugate combiner, this branch's PN correlation magnitude
+    is invariant to any complex channel gain. Missing edge context is
+    zero-filled; derotation treats capture sample 0 as field 0's start
+    (an epoch mismatch is a constant phase, irrelevant to |corr|)."""
+    iq = np.atleast_2d(np.asarray(iq))[:1]
+    lo, hi = start - margin, start + n_out + margin
+    win = np.zeros((hi - lo,), np.complex128)
+    a0, a1 = max(lo, 0), min(hi, iq.shape[1])
+    if a1 > a0:
+        win[a0 - lo : a1 - lo] = iq[0, a0:a1]
+    u = win * np.conj(_oscillator_for_span(lo, hi, 0)) / (P.OSC_AMPLITUDE ** 2)
+    w_a, _ = _equalizer_dft(u.shape[0])
+    return np.fft.ifft(w_a * np.fft.fft(u))[margin : margin + n_out]
+
+
+def _sync_probe() -> np.ndarray:
+    """(700,) zero-mean known levels of field-sync symbols 4..704."""
+    template, _ = sync_symbol_templates()
+    probe = template[0, 4:704].astype(np.float64) * 2.0 - 7.0
+    return probe - probe.mean()
+
+
+def _corr_peak_refined(corr: np.ndarray, k: int) -> float:
+    """Parabolic sub-sample refinement of |corr| around integer peak k."""
+    if k <= 0 or k >= corr.size - 1:
+        return float(k)
+    a, b, c = np.abs(corr[k - 1 : k + 2])
+    den = a - 2 * b + c
+    return float(k + (0.5 * (a - c) / den if abs(den) > 1e-12 else 0.0))
+
+
 def find_field_sync_iq(iq: np.ndarray) -> tuple[int, int]:
     """Locate a field boundary directly in a raw complex capture, robust
     to an unknown channel (gain, phase rotation, moderate multipath).
@@ -276,32 +311,19 @@ def find_field_sync_iq(iq: np.ndarray) -> tuple[int, int]:
     find_field_sync's real-projection correlator nulls out when the
     channel rotates the constellation by ~90 deg (Re kills the PN
     energy). This variant instead correlates the *complex* levels of the
-    single-sideband branch alone — ifft(w_a * U), whose PN correlation
-    magnitude is invariant to any complex channel gain — and resolves
-    the parity by phase-referencing the middle-PN63 correlation to the
-    PN511 peak (both see the same channel phase).
+    single-sideband branch (_ssb_levels) and resolves the parity by
+    phase-referencing the middle-PN63 correlation to the PN511 peak
+    (both see the same channel phase).
 
     iq: (n,) or (B, n) complex samples, n >= one field + sync length;
-    only the first stream is used. Derotation treats sample 0 as the
-    start of field 0 — an epoch mismatch is a constant phase the
-    magnitude correlator ignores. Returns (offset, parity): feed
+    only the first stream is used. Returns (offset, parity): feed
     iq[offset:] to IqReceiver(first_field=parity, backend="adaptive").
     """
-    iq = np.atleast_2d(np.asarray(iq))[:1]
     n_probe = 704
     n_out = _N + n_probe + 3
-    margin = 2048  # only edge effects ride on this; alignment is coarse
-    lo, hi = -margin, n_out + margin
-    win = np.zeros((hi - lo,), np.complex128)
-    n_have = min(iq.shape[1], hi)
-    win[margin : margin + n_have] = iq[0, :n_have]
-    u = win * np.conj(_oscillator_for_span(lo, hi, 0)) / (P.OSC_AMPLITUDE ** 2)
-    w_a, _ = _equalizer_dft(u.shape[0])
-    clev = np.fft.ifft(w_a * np.fft.fft(u))[margin : margin + n_out]
+    clev = _ssb_levels(iq, 0, n_out)
 
-    template, _ = sync_symbol_templates()
-    probe = template[0, 4:n_probe].astype(np.float64) * 2.0 - 7.0
-    probe -= probe.mean()
+    probe = _sync_probe()
     corr = np.correlate(clev, probe, mode="valid")  # conjugates probe (real)
     corr = corr[: _N + 4]  # one field period => exactly one sync occurrence
     peak = int(np.argmax(np.abs(corr)))
@@ -309,11 +331,80 @@ def find_field_sync_iq(iq: np.ndarray) -> tuple[int, int]:
     offset = peak - 4
     if offset < 0:
         offset += _N
+    template, _ = sync_symbol_templates()
     mid = clev[offset + 578 : offset + 641]
     ref = template[0, 578:641].astype(np.float64) * 2.0 - 7.0
     m = np.dot(mid - mid.mean(), ref - ref.mean())
     parity = 0 if np.real(m * np.conj(c0)) > 0 else 1
     return offset, parity
+
+
+def estimate_sro(iq: np.ndarray) -> float:
+    """Estimate the capture's sample-rate offset from sync-peak drift.
+
+    Correlates the PN511 sync in the first and in the last complete
+    field of the capture (sub-sample peak positions via parabolic
+    interpolation of |corr| on the single-sideband branch); their
+    spacing over m fields gives the rate directly. iq: (n,) or (B, n)
+    complex samples, n >= 2 fields. Returns `rate` = capture samples
+    per nominal symbol-rate sample (1.0 = no offset, 1+20e-6 = capture
+    clock 20 ppm fast); feed it to resample_stream. Sub-sample peak
+    accuracy (~0.05) over a multi-field span resolves well under 1 ppm.
+    """
+    iq = np.atleast_2d(np.asarray(iq))[:1]
+    n_probe, slack = 704, 1024
+    probe = _sync_probe()
+
+    clev0 = _ssb_levels(iq, 0, _N + n_probe + 3)
+    corr0 = np.correlate(clev0, probe, mode="valid")[: _N + 4]
+    k0 = int(np.argmax(np.abs(corr0)))
+    t0 = _corr_peak_refined(corr0, k0)            # sync at sample t0 - 4
+
+    # farthest field whose sync window fits the capture (the first sync
+    # may itself be up to a field in — e.g. a capture cut mid-field)
+    m = (iq.shape[1] - int(t0) - n_probe - slack) // _N
+    if m < 1:
+        raise ValueError("estimate_sro needs at least 2 complete fields")
+    # the same sync lands near t0 + m*N, drifted by (rate-1)*m*N; search
+    # +-slack around it (covers ~±(slack/(m*N)) of rate offset)
+    guess = int(round(t0)) + m * _N
+    clevm = _ssb_levels(iq, guess - slack, n_probe + 2 * slack)
+    corrm = np.correlate(clevm, probe, mode="valid")
+    km = int(np.argmax(np.abs(corrm)))
+    tm = _corr_peak_refined(corrm, km) + (guess - slack)
+    return (tm - t0) / (m * _N)
+
+
+def resample_stream(
+    iq: np.ndarray, rate: float, taps: int = 32, phases: int = 512,
+) -> np.ndarray:
+    """Polyphase Kaiser-sinc resampling of a capture to the nominal rate.
+
+    out[n] = iq(rate * n) via a `taps`-point windowed-sinc interpolator
+    with `phases` fractional-delay phases. The interpolator's static
+    passband ripple/delay error is itself a linear channel, which the
+    adaptive equalizer downstream absorbs — only its (tiny) phase-to-
+    phase variation matters, hence the generous tap/phase budget.
+    iq: (n,) or (B, n); returns (B, floor(n/rate) - taps) samples.
+    """
+    iq = np.atleast_2d(np.asarray(iq, np.complex128))
+    half = taps // 2
+    n_out = int((iq.shape[1] - taps - 2) / rate)
+    pos = rate * np.arange(n_out) + half   # output n taps input at pos[n]
+    # (the constant `half`-sample bulk delay is re-absorbed by alignment)
+    base = np.floor(pos).astype(np.int64)
+    frac = pos - base
+    ph = np.minimum((frac * phases + 0.5).astype(np.int64), phases - 1)
+    # kernel h[p, j] = kaiser(beta=10)-windowed sinc(j - (half-1) - p/phases)
+    j = np.arange(taps)[None, :]
+    t = j - (half - 1) - np.arange(phases)[:, None] / phases
+    x = np.clip(t / (half + 1), -1.0, 1.0)
+    h = np.sinc(t) * np.i0(10.0 * np.sqrt(1.0 - x * x)) / np.i0(10.0)
+    h /= h.sum(axis=1, keepdims=True)
+    out = np.zeros((iq.shape[0], n_out), np.complex128)
+    for jj in range(taps):
+        out += iq[:, base - (half - 1) + jj] * h[ph, jj]
+    return out
 
 
 def estimate_cfo(iq: np.ndarray, search_hz: float = 3000.0) -> float:

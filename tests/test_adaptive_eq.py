@@ -191,6 +191,51 @@ def test_cli_decode_cfo_auto(tmp_path):
     np.testing.assert_array_equal(got, ts[1:3, 0].reshape(-1))
 
 
+def test_estimate_sro_and_resample_roundtrip():
+    """Sample-rate-offset estimation from sync-peak drift: a capture
+    synthesized 37 ppm fast is estimated to < 1 ppm, and rate-1.0
+    resampling is an exact (delayed) copy."""
+    from atsc_tpu.models.receiver import estimate_sro, resample_stream
+
+    rng = np.random.default_rng(101)
+    ts = _random_ts(rng, 4, 1)
+    iq = _encode_iq(ts)
+    assert abs(estimate_sro(iq) - 1.0) * 1e6 < 0.5  # no offset -> ~1.0
+    cap = resample_stream(iq, 1.0 / (1.0 + 37e-6))
+    est = estimate_sro(cap)
+    assert abs((est - 1.0) * 1e6 - 37.0) < 1.0, est
+    ident = resample_stream(iq, 1.0)
+    np.testing.assert_allclose(
+        ident[0, :1000], iq[0, 16 : 16 + 1000], atol=1e-9
+    )
+
+
+def test_cli_decode_sro_auto(tmp_path):
+    """`decode --sro auto`: a capture recorded with a 37 ppm fast clock
+    (plus a rotated channel) is resampled, aligned, and decoded to the
+    exact transport stream."""
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+    from atsc_tpu.models.receiver import resample_stream
+
+    rng = np.random.default_rng(103)
+    ts = _random_ts(rng, 5, 1)
+    iq = _encode_iq(ts) * (0.9 * np.exp(0.8j))
+    cap = resample_stream(iq, 1.0 / (1.0 + 37e-6))[0]
+    path = tmp_path / "cap.iq"
+    np.stack([cap.real, cap.imag], axis=-1).astype(np.float32).tofile(path)
+    out = tmp_path / "out.ts"
+    args = build_decode_argparser().parse_args(
+        [str(path), "--sro", "auto", "-o", str(out)]
+    )
+    summary = run_decode(args)
+    assert abs(summary["sro_ppm"] - 37.0) < 1.0, summary
+    assert summary["fields_decoded"] >= 2
+    assert summary["segments_uncorrectable"] == 0
+    got = np.fromfile(out, dtype=np.uint8)
+    want = ts[1 : 1 + summary["fields_decoded"], 0].reshape(-1)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_adaptive_batch_lanes_train_independently():
     """Each batch lane carries its own normal equations: one receiver
     with a clean lane and a heavily-distorted lane decodes both (the
