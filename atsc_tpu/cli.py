@@ -235,6 +235,12 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                          "'viterbi': soft-decision maximum-likelihood "
                          "trellis decoding (~3.5 dB coding gain on noisy "
                          "captures)")
+    ap.add_argument("--erasures", default="off", choices=("off", "burst"),
+                    help="'burst': detect impulse-noise bursts from slicer "
+                         "residuals and pass the affected bytes to RS as "
+                         "erasures (2*errors + erasures <= 20 per segment "
+                         "instead of errors <= 10 — roughly doubles the "
+                         "correctable burst length)")
     ap.add_argument("--max-fields", type=int, default=0)
     ap.add_argument("--stats", action="store_true",
                     help="print a JSON decode summary to stderr")
@@ -320,6 +326,7 @@ def run_decode(args) -> dict:
         backend="adaptive" if equalizer == "adaptive" else "device",
         forgetting=args.forgetting,
         trellis="soft" if args.trellis == "viterbi" else "hard",
+        erasures=None if args.erasures == "off" else args.erasures,
     )
     fields = 0
 
@@ -360,6 +367,10 @@ def run_decode(args) -> dict:
         "segments_corrected": rx.decoder.segments_corrected,
         "segments_uncorrectable": rx.decoder.segments_uncorrectable,
     }
+    if args.erasures != "off":
+        summary["segments_erasure_assisted"] = (
+            rx.decoder.segments_erasure_assisted
+        )
     if align:
         summary |= {"align_offset": offset, "align_parity": first_field}
     if cfo_hz != 0.0:

@@ -30,6 +30,7 @@ from atsc_tpu.ops.decode import (
     deinterleave_field,
     derandomize_field,
     enc_major_to_round_major,
+    propagate_erasure_flags,
     trellis_decode_field,
 )
 from atsc_tpu.ops.rs_decode import correct_segment_np, syndrome_field
@@ -120,16 +121,28 @@ class Decoder:
         self._state = init_decoder_state(batch)
         self._step = jax.jit(decode_field)
         self._derand = jax.jit(derandomize_field)
+        self._flag_step = jax.jit(propagate_erasure_flags)
+        self._flag_il: jnp.ndarray | None = None  # carried erasure flags
         self.segments_corrected = 0
         self.segments_uncorrectable = 0
+        self.segments_erasure_assisted = 0
 
     @property
     def state(self) -> DecoderState:
         return self._state
 
-    def decode(self, field: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def decode(
+        self, field: np.ndarray, erasure_flags: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         """(B, >=260416) int8 symbol field k -> (ts (B, 58656) uint8 of
         field k-1, n_errors (B, 312) int32; -1 marks uncorrectable).
+
+        erasure_flags: optional (B, >=260416) uint8/bool per-symbol
+        unreliability flags for the *same* received field (e.g. from
+        ops/erasures.py's burst detector); flagged bytes are treated as
+        RS erasures — 2*errors + erasures <= 20 per segment instead of
+        errors <= 10. Once used, keep supplying flags every call (they
+        carry one field of state, like the symbols themselves).
 
         The first call after a cold start returns the all-zero pre-start
         field (see module docstring); callers should drop it.
@@ -137,15 +150,33 @@ class Decoder:
         self._state, codewords, syn = self._step(
             self._state, jnp.asarray(field)
         )
+        cw_flags = None
+        if erasure_flags is not None or self._flag_il is not None:
+            if self._flag_il is None:
+                self._flag_il = jnp.zeros(
+                    (self.batch, P.DATA_PER_FIELD), dtype=jnp.uint8
+                )
+            flags_in = (
+                jnp.zeros((self.batch, P.SYMBOLS_PER_FIELD), dtype=jnp.uint8)
+                if erasure_flags is None
+                else jnp.asarray(erasure_flags)
+            )
+            cwf, self._flag_il = self._flag_step(flags_in, self._flag_il)
+            cw_flags = np.asarray(cwf)
         n_errors = np.zeros((self.batch, P.DATA_SEGMENTS), dtype=np.int32)
         dirty = np.asarray(jnp.any(syn != 0, axis=-1))  # (B, 312) bool
         if dirty.any():
             cw = np.array(codewords)  # mutable host copy
             for b, seg in zip(*np.nonzero(dirty)):
-                cw[b, seg], n = correct_segment_np(cw[b, seg])
+                era = ()
+                if cw_flags is not None:
+                    era = tuple(np.nonzero(cw_flags[b, seg])[0].tolist())
+                cw[b, seg], n = correct_segment_np(cw[b, seg], erasures=era)
                 n_errors[b, seg] = n
                 if n > 0:
                     self.segments_corrected += 1
+                    if len(era) > 0:
+                        self.segments_erasure_assisted += 1
                 elif n < 0:
                     self.segments_uncorrectable += 1
             codewords = jnp.asarray(cw)

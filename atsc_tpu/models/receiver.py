@@ -471,15 +471,18 @@ class IqReceiver:
     def __init__(self, batch: int = 1, first_field: int = 0,
                  margin: int | None = None, backend: str = "device",
                  forgetting: float = 1.0, ridge: float = 1e-4,
-                 trellis: str = "hard"):
+                 trellis: str = "hard", erasures: str | None = None):
         if backend not in ("device", "numpy", "adaptive"):
             raise ValueError(f"unknown equalizer backend {backend!r}")
         if trellis not in ("hard", "soft"):
             raise ValueError(f"unknown trellis mode {trellis!r}")
+        if erasures not in (None, "burst"):
+            raise ValueError(f"unknown erasure mode {erasures!r}")
         self.batch = batch
         self.first_field = first_field
         self.backend = backend
         self.trellis = trellis
+        self.erasures = erasures
         self.margin = margin if margin is not None else (
             _MARGIN if backend == "numpy" else _DEV_MARGIN
         )
@@ -514,6 +517,7 @@ class IqReceiver:
             if self._base + self._buf.shape[1] < need:
                 break
             soft = self.trellis == "soft"
+            want_levels = soft or self.erasures is not None
             if self.backend == "adaptive":
                 win, osc = field_window(
                     self._buf, self._next_field * _N,
@@ -521,12 +525,12 @@ class IqReceiver:
                 )
                 parity = (self.first_field + self._next_field) % 2
                 field = self._adaptive.process_field(win, osc, parity,
-                                                     soft=soft)
+                                                     soft=want_levels)
             elif self.backend == "device":
                 field = equalize_field_device(
                     self._buf, self._next_field * _N,
                     first_field=self.first_field, stream_offset=self._base,
-                    soft=soft,
+                    soft=want_levels,
                 )
             else:
                 lev = equalize_span(
@@ -534,10 +538,19 @@ class IqReceiver:
                     first_field=self.first_field, margin=self.margin,
                     stream_offset=self._base,
                 )
-                field = lev.astype(np.float32) if soft else slice_levels(lev)
+                field = lev.astype(np.float32) if want_levels else (
+                    slice_levels(lev)
+                )
+            flags = None
+            if self.erasures is not None:
+                from atsc_tpu.ops.erasures import burst_erasure_flags
+                flags = burst_erasure_flags(field)
+                if not soft:  # detector consumed the levels; decoder
+                    field = slice_levels(field)  # still wants hard symbols
             corrected = self._decoder.segments_corrected
             uncorrectable = self._decoder.segments_uncorrectable
-            ts, nerr = self._decoder.decode(field)
+            assisted = self._decoder.segments_erasure_assisted
+            ts, nerr = self._decoder.decode(field, erasure_flags=flags)
             if self._primed:
                 out.append((ts, nerr))
             else:
@@ -546,6 +559,7 @@ class IqReceiver:
                 # (a mid-stream start makes that field pure garbage)
                 self._decoder.segments_corrected = corrected
                 self._decoder.segments_uncorrectable = uncorrectable
+                self._decoder.segments_erasure_assisted = assisted
             self._primed = True
             self._next_field += 1
             # drop samples no window will touch again

@@ -128,6 +128,31 @@ def deinterleave_field(
     return jnp.take(both, jnp.asarray(_deinterleave_src()), axis=-1)
 
 
+def propagate_erasure_flags(
+    flag_field: jnp.ndarray, prev_flag_il: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Carry per-symbol unreliability flags through the inverse chain.
+
+    A symbol flagged unreliable (e.g. by the receiver's burst detector,
+    ops/erasures.py) marks its trellis byte, which lands in some RS
+    codeword position — the *same* gathers decode_field uses move the
+    flags, so each codeword learns exactly which of its bytes came from
+    flagged symbols and RS can treat them as erasures (twice the
+    correction budget of unknown-position errors).
+
+    flag_field: (B, >=260416) uint8/bool flags of received field k;
+    prev_flag_il: (B, 64584) uint8 carried flags (previous field).
+    Returns (codeword flags (B, 312, 207) uint8 for RS field k-1,
+    new carried flags (B, 64584) uint8).
+    """
+    f = decommutate_field(flag_field.astype(jnp.uint8))
+    b = f.shape[0]
+    fb = f.reshape(b, P.TRELLIS_ENCODERS, _NB, 4).max(axis=-1)
+    cur = enc_major_to_round_major(fb)
+    rs = deinterleave_field(cur, prev_flag_il)
+    return rs.reshape(b, P.DATA_SEGMENTS, P.SEGMENT_FEC_BYTES), cur
+
+
 def derandomize_field(rs_data: jnp.ndarray) -> jnp.ndarray:
     """(B, 312, 207) uint8 corrected codewords -> (B, 58656) uint8 TS
     packets (PN XOR undone, 0x47 sync bytes re-inserted)."""

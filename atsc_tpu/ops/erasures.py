@@ -1,0 +1,71 @@
+"""Burst/impulse-noise detection for erasure-assisted RS decoding.
+
+Impulse noise (A/74's canonical 8VSB impairment — gated bursts of strong
+wideband noise) corrupts a contiguous run of received symbols. The
+convolutional interleaver spreads such a run thinly over many RS
+codewords, and when the receiver can point at the affected bytes, each
+costs RS half of what an unknown-position error costs (2*errors +
+erasures <= 20): flagging a burst doubles the correctable burst length.
+
+Detection is slicer-residual based: within a burst the equalized levels
+sit far from the 8VSB constellation, so the windowed mean of
+|level - nearest_level| rises well above the stream's clean-air baseline
+(strong impulses also drive levels outside [-7, +7], unbounded residual
+after clipping). Flags are dilated by one window to cover burst edges.
+
+No counterpart in the reference (TX-only, and its RS decoder is dead
+code — src/atsc/reed_solomon.h:41-190).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from atsc_tpu import params as P
+
+
+def slicer_residual(levels: np.ndarray) -> np.ndarray:
+    """|level - nearest 8VSB constellation point| per symbol."""
+    lev = np.atleast_2d(np.asarray(levels, np.float64))
+    sym = np.clip(np.rint((lev - P.PILOT_OFFSET + 7.0) / 2.0), 0, 7)
+    return np.abs(lev - (sym * 2.0 - 7.0 + P.PILOT_OFFSET))
+
+
+def burst_erasure_flags(
+    levels: np.ndarray,
+    window: int = 64,
+    factor: float = 2.5,
+    floor: float = 0.45,
+) -> np.ndarray:
+    """Per-symbol erasure flags from a windowed slicer-residual detector.
+
+    levels: (B, n) or (n,) equalized soft levels (pilot offset included).
+    A position is flagged when the `window`-symbol mean residual exceeds
+    max(factor * median_window_residual, floor) — the median is the
+    clean-air baseline (bursts are assumed to cover well under half the
+    stream), the absolute floor keeps quiet captures from flagging their
+    own noise. Flags are dilated by `window` on each side.
+
+    Returns (B, n) uint8. Intended regime: impulse/gated-noise bursts on
+    an otherwise decodable capture; at very low SNR the baseline itself
+    approaches the burst residual and detection (correctly) vanishes.
+    """
+    r = slicer_residual(levels)
+    b, n = r.shape
+    c = np.cumsum(np.concatenate([np.zeros((b, 1)), r], axis=1), axis=1)
+    w = (c[:, window:] - c[:, :-window]) / window  # (b, n - window + 1)
+    base = np.median(w, axis=1, keepdims=True)
+    hot = w > np.maximum(factor * base, floor)
+    # valid-window flags -> per-symbol flags, dilated by one window
+    flags = np.zeros((b, n), dtype=np.uint8)
+    pad = np.zeros((b, 1), dtype=bool)
+    edges = np.diff(np.concatenate([pad, hot, pad], axis=1).astype(np.int8),
+                    axis=1)
+    for bi in range(b):
+        starts = np.nonzero(edges[bi] == 1)[0]
+        ends = np.nonzero(edges[bi] == -1)[0]
+        for s, e in zip(starts, ends):
+            lo = max(s - window, 0)
+            hi = min(e - 1 + 2 * window, n)  # window span + dilation
+            flags[bi, lo:hi] = 1
+    return flags

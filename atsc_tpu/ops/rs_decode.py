@@ -85,18 +85,146 @@ def _gf_pow(base_log: int, k: int) -> int:
     return (base_log * k) % 255
 
 
-def correct_segment_np(codeword: np.ndarray) -> tuple[np.ndarray, int]:
-    """Correct up to 10 byte errors in one 207-byte codeword.
+# -- GF(256) polynomial helpers (ascending coefficients: p[i] is x^i) ----
 
-    Returns (corrected codeword, n_errors); n_errors = -1 if uncorrectable.
-    Classic Berlekamp-Massey -> Chien search -> Forney, numpy scalar
-    (receiver-side utility; not on the TX hot path).
+def _poly_trim(p: np.ndarray) -> np.ndarray:
+    nz = np.nonzero(p)[0]
+    return p[: nz[-1] + 1] if nz.size else p[:1]
+
+
+def _poly_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    out = np.zeros(a.size + b.size - 1, dtype=np.uint8)
+    for i, ai in enumerate(a):
+        if ai:
+            out[i : i + b.size] ^= gf_mul(b, ai)
+    return out
+
+
+def _poly_eval(p: np.ndarray, x_log: int) -> int:
+    """Evaluate p at alpha^x_log (Horner, ascending coefficients)."""
+    exp, log = gf_tables()
+    acc = 0
+    for c in p[::-1]:
+        acc = (exp[(log[acc] + x_log) % 255] if acc else 0) ^ int(c)
+    return acc
+
+
+def _correct_with_erasures(
+    cw: np.ndarray, syn: np.ndarray, erasures: tuple[int, ...]
+) -> tuple[np.ndarray, int]:
+    """Errors-and-erasures correction via the Sugiyama (extended Euclid)
+    key-equation solver: corrects nu errors + e erasures whenever
+    2*nu + e <= 20. Positions in `erasures` are byte indices into the
+    207-byte codeword (0 = first transmitted byte, degree 206).
+
+    Returns (corrected codeword, n_corrected); n = -1 if uncorrectable.
+    """
+    exp, log = gf_tables()
+    e = len(erasures)
+    if e > _NROOTS:
+        return cw, -1
+
+    # erasure locator Gamma(x) = prod (1 - X_i x), X_i = alpha^(206 - i)
+    gamma = np.zeros(1, dtype=np.uint8)
+    gamma[0] = 1
+    for i in erasures:
+        xi = exp[(_N - 1 - i) % 255]
+        gamma = _poly_mul(gamma, np.array([1, xi], dtype=np.uint8))
+
+    # modified syndrome Xi(x) = S(x) * Gamma(x) mod x^2t
+    s_poly = np.asarray(syn, dtype=np.uint8)
+    xi_poly = _poly_mul(s_poly, gamma)[:_NROOTS]
+
+    # Sugiyama: Euclid on (x^2t, Xi) until deg(remainder) < (2t + e) / 2
+    r_prev = np.zeros(_NROOTS + 1, dtype=np.uint8)
+    r_prev[_NROOTS] = 1
+    r_cur = _poly_trim(xi_poly.copy())
+    t_prev = np.zeros(1, dtype=np.uint8)
+    t_cur = np.ones(1, dtype=np.uint8)
+    while r_cur.any() and 2 * (r_cur.size - 1) >= _NROOTS + e:
+        # quotient/remainder of r_prev / r_cur
+        rem = r_prev.copy()
+        q = np.zeros(max(rem.size - r_cur.size + 1, 1), dtype=np.uint8)
+        lead_log = log[int(r_cur[-1])]
+        for d in range(rem.size - r_cur.size, -1, -1):
+            c = int(rem[d + r_cur.size - 1])
+            if c:
+                qc = exp[(log[c] - lead_log) % 255]
+                q[d] = qc
+                rem[d : d + r_cur.size] ^= gf_mul(r_cur, qc)
+        t_next = np.zeros(max(t_prev.size, q.size + t_cur.size - 1),
+                          dtype=np.uint8)
+        t_next[: t_prev.size] = t_prev
+        t_next[: q.size + t_cur.size - 1] ^= _poly_mul(q, t_cur)
+        r_prev, r_cur = r_cur, _poly_trim(rem)
+        t_prev, t_cur = t_cur, _poly_trim(t_next)
+    lam, omega = t_cur, r_cur
+    if lam[0] == 0:
+        return cw, -1
+    inv0 = exp[255 - log[int(lam[0])]]
+    lam = gf_mul(lam, inv0)
+    omega = gf_mul(omega, inv0)
+    # 2*deg(Lambda) + e must fit the parity budget
+    if 2 * (lam.size - 1) + e > _NROOTS:
+        return cw, -1
+
+    psi = _poly_trim(_poly_mul(lam, gamma))  # combined locator
+
+    # Chien search over the 207 valid positions
+    pos = []
+    for i in range(_N):
+        x_inv_log = (255 - (_N - 1 - i)) % 255
+        if _poly_eval(psi, x_inv_log) == 0:
+            pos.append(i)
+    if len(pos) != psi.size - 1:
+        return cw, -1
+
+    # Forney: Y_i = X_i * Omega(X_i^{-1}) / Psi'(X_i^{-1})
+    out = cw.copy()
+    n_changed = 0
+    for i in pos:
+        j = _N - 1 - i
+        x_inv_log = (255 - j) % 255
+        num = _poly_eval(omega, x_inv_log)
+        den = 0
+        for k in range(1, psi.size, 2):  # formal derivative: odd terms
+            if psi[k]:
+                den ^= exp[(log[int(psi[k])] + _gf_pow(x_inv_log, k - 1)) % 255]
+        if den == 0:
+            return cw, -1
+        mag = gf_mul(gf_mul(num, exp[255 - log[den]]), exp[j % 255])
+        if mag:
+            out[i] ^= mag
+            n_changed += 1
+    if syndromes_np(out).any():
+        return cw, -1
+    return out, n_changed
+
+
+def correct_segment_np(
+    codeword: np.ndarray, erasures: tuple[int, ...] = ()
+) -> tuple[np.ndarray, int]:
+    """Correct byte errors (and optionally erasures) in one 207-byte
+    codeword: up to 10 unknown errors, or any mix with 2*errors +
+    erasures <= 20 when erasure positions are supplied (e.g. from the
+    receiver's burst detector — erasures cost half an error's parity).
+
+    Returns (corrected codeword, n_corrected); -1 if uncorrectable.
+    Errors-only: classic Berlekamp-Massey -> Chien -> Forney; with
+    erasures: Sugiyama key-equation solver on the modified syndrome.
+    Numpy scalar (receiver-side utility; not on the TX hot path).
     """
     exp, log = gf_tables()
     cw = np.array(codeword, dtype=np.uint8)
     syn = syndromes_np(cw)
     if not syn.any():
         return cw, 0
+    if erasures:
+        out, n = _correct_with_erasures(cw, syn, tuple(erasures))
+        if n >= 0:
+            return out, n
+        # erasure hints may be wrong/excessive — fall through and retry
+        # as unknown-position errors (succeeds whenever true errors <= 10)
 
     # Berlekamp-Massey for the error locator Lambda(x)
     lam = np.zeros(_NROOTS + 1, dtype=np.uint8)

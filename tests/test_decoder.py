@@ -84,3 +84,31 @@ def test_decoder_corrects_injected_symbol_errors():
         np.testing.assert_array_equal(out, ts[k - 1])
     assert dec.segments_corrected > 0
     assert dec.segments_uncorrectable == 0
+
+
+def test_decoder_erasure_flags_double_burst_tolerance():
+    """A 3000-symbol burst (~750 bytes) deinterleaves to ~14 corrupted
+    bytes per segment — beyond the 10-error unknown-position budget but
+    within the 20-erasure budget when the burst is flagged. (The plain
+    errors-only decoder measurably fails on this length: ~51
+    uncorrectable segments; the A/53 interleaver design point is ~500
+    bytes.)"""
+    rng = np.random.default_rng(5)
+    ts = _random_ts(rng, 3, 1)
+    fields = _encode_symbol_fields(ts).copy()
+    start, length = 5 * 832 + 100, 3000
+    fields[1, 0, start : start + length] = rng.integers(
+        0, 8, length, dtype=np.int8
+    )
+    flags = np.zeros((1, P.SYMBOLS_PER_FIELD), np.uint8)
+    flags[0, start : start + length] = 1
+    zeros = np.zeros_like(flags)
+    dec = Decoder(batch=1)
+    dec.decode(fields[0], erasure_flags=zeros)
+    out1, nerr1 = dec.decode(fields[1], erasure_flags=flags)
+    out2, nerr2 = dec.decode(fields[2], erasure_flags=zeros)
+    assert (nerr1 >= 0).all() and (nerr2 >= 0).all()
+    np.testing.assert_array_equal(out1, ts[0])
+    np.testing.assert_array_equal(out2, ts[1])
+    assert dec.segments_uncorrectable == 0
+    assert dec.segments_erasure_assisted > 40  # erasures did the work

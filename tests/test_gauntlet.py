@@ -1,0 +1,63 @@
+"""The full-gauntlet integration test: every capture impairment at once,
+decoded with every conditioning feature at once.
+
+Impairments (in realistic order): multipath channel with complex gain ->
+carrier frequency offset -> sample-rate offset -> AWGN -> a strong
+impulse-noise burst -> mid-field capture start. Decode: `--sro auto`
+(implies align + adaptive equalizer) + `--cfo auto` + `--trellis
+viterbi` + `--erasures burst`. Proves the conditioning front end
+composes — each estimator must still lock on a capture the *other*
+impairments have already mangled.
+"""
+
+import numpy as np
+
+from atsc_tpu import params as P
+from tests.test_decoder import _random_ts
+from tests.test_receiver import _encode_iq
+
+N = P.SYMBOLS_PER_FIELD
+
+
+def test_cli_decode_full_gauntlet(tmp_path):
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+    from atsc_tpu.models.receiver import resample_stream
+
+    rng = np.random.default_rng(131)
+    ts = _random_ts(rng, 5, 1)
+    iq = _encode_iq(ts)[0]
+
+    # multipath + complex gain
+    y = np.convolve(iq, [0.85 * np.exp(0.7j), 0, 0.12 * np.exp(-1.1j), 0,
+                         0.05j])[: iq.size]
+    # 400 Hz tuner offset
+    y = y * np.exp(2j * np.pi * 400.0 / P.SAMPLE_RATE * np.arange(y.size))
+    # 25 ppm fast capture clock
+    y = resample_stream(y, 1.0 / (1.0 + 25e-6))[0]
+    # 24 dB AWGN
+    p_sig = float(np.mean(np.abs(y) ** 2))
+    sigma = np.sqrt(p_sig / 10 ** (24.0 / 10.0) / 2.0)
+    y = y + (rng.normal(size=y.size) + 1j * rng.normal(size=y.size)) * sigma
+    # 2600-sample impulse burst in field 2's data region
+    s0 = 2 * N + 97_000
+    y[s0 : s0 + 2600] += (
+        rng.normal(size=2600) + 1j * rng.normal(size=2600)
+    ) * 4.0
+    # capture starts mid-field-0
+    y = y[77_777:]
+
+    cap = tmp_path / "cap.iq"
+    np.stack([y.real, y.imag], axis=-1).astype(np.float32).tofile(cap)
+    out = tmp_path / "out.ts"
+    args = build_decode_argparser().parse_args(
+        [str(cap), "--sro", "auto", "--cfo", "auto",
+         "--trellis", "viterbi", "--erasures", "burst", "-o", str(out)]
+    )
+    summary = run_decode(args)
+    assert abs(summary["sro_ppm"] - 25.0) < 1.0, summary
+    assert abs(summary["cfo_hz"] - 400.0) < 2.0, summary
+    assert summary["segments_uncorrectable"] == 0, summary
+    assert summary["fields_decoded"] >= 2
+    got = np.fromfile(out, dtype=np.uint8)
+    want = ts[1 : 1 + summary["fields_decoded"], 0].reshape(-1)
+    np.testing.assert_array_equal(got, want)

@@ -115,3 +115,25 @@ def test_cli_decode_roundtrip(tmp_path):
         np.testing.assert_array_equal(
             got, ts[:3, 0].reshape(-1), err_msg=f"format {fmt}"
         )
+
+
+def test_iq_receiver_burst_erasures_recover_impulse_noise():
+    """A 3000-sample strong impulse burst overwhelms errors-only RS
+    (measured: ~51 uncorrectable segments) but decodes exactly when the
+    slicer-residual burst detector flags it and RS runs with erasures
+    (2*errors + erasures <= 20 per segment)."""
+    rng = np.random.default_rng(11)
+    ts = _random_ts(rng, 4, 1)
+    iq = _encode_iq(ts).copy()
+    s0 = N + 40_000
+    iq[:, s0 : s0 + 3000] += (
+        rng.normal(size=3000) + 1j * rng.normal(size=3000)
+    ) * 6.0
+    rx = IqReceiver(batch=1, erasures="burst")
+    got = rx.push(iq) + rx.flush()
+    assert len(got) == 3
+    for k, (out, nerr) in enumerate(got):
+        assert (nerr >= 0).all(), f"uncorrectable segments in field {k}"
+        np.testing.assert_array_equal(out, ts[k])
+    assert rx.decoder.segments_uncorrectable == 0
+    assert rx.decoder.segments_erasure_assisted > 40

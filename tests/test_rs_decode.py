@@ -58,6 +58,46 @@ def test_uncorrectable_detected(clean_field):
     assert n == -1
 
 
+@pytest.mark.parametrize("n_erasures,n_errors", [(20, 0), (14, 3), (8, 6),
+                                                 (1, 9), (4, 8)])
+def test_correct_errors_and_erasures(clean_field, n_erasures, n_errors):
+    """2*errors + erasures <= 20 must correct exactly (beyond the
+    10-error budget of unknown-position decoding)."""
+    rng = np.random.default_rng(n_erasures * 31 + n_errors)
+    cw = clean_field[11].copy()
+    pos = rng.choice(P.SEGMENT_FEC_BYTES, size=n_erasures + n_errors,
+                     replace=False)
+    bad = cw.copy()
+    for p in pos:
+        bad[p] ^= rng.integers(1, 256)
+    era = tuple(int(p) for p in pos[:n_erasures])
+    fixed, n = correct_segment_np(bad, erasures=era)
+    assert n == n_erasures + n_errors
+    np.testing.assert_array_equal(fixed, cw)
+
+
+def test_erasures_on_clean_bytes_are_harmless(clean_field):
+    cw = clean_field[2].copy()
+    bad = cw.copy()
+    bad[60] ^= 0x21
+    fixed, n = correct_segment_np(bad, erasures=(5, 6, 7, 8))
+    assert n == 1
+    np.testing.assert_array_equal(fixed, cw)
+
+
+def test_wrong_erasure_hints_fall_back_to_errors_only(clean_field):
+    """Hints that miss the real errors must not break decoding when the
+    true error count is within the errors-only budget."""
+    rng = np.random.default_rng(77)
+    cw = clean_field[9].copy()
+    bad = cw.copy()
+    for p in range(120, 128):
+        bad[p] ^= 0x0F
+    fixed, n = correct_segment_np(bad, erasures=(1, 2, 3, 4, 5, 6))
+    assert n == 8
+    np.testing.assert_array_equal(fixed, cw)
+
+
 def test_decode_field(clean_field):
     rng = np.random.default_rng(4)
     bad = clean_field.copy()

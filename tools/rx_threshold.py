@@ -7,9 +7,9 @@ receivers quote ~15.2 dB white-noise threshold; this measures where this
 framework's chain stands and quantifies the Viterbi path's coding gain.
 
 Measured (4 fields, seed 7, real TPU, 2026-08-17): hard slicing is exact
-down to 20 dB (fails at 18); soft Viterbi is exact at every swept point
-down to 14 dB (26 RS-corrected segments there, none uncorrectable) —
-below the commercial threshold, >=6 dB coding gain over hard slicing.
+down to 20 dB (fails at 18); soft Viterbi is exact down to 12 dB (856
+RS-corrected segments there, none uncorrectable; fails at 11) — 3 dB
+below the commercial threshold, ~8 dB coding gain over hard slicing.
 
 Usage:
     python tools/rx_threshold.py [--fields 4] [--snrs 22,20,18,17,16,15,14]
