@@ -1,0 +1,108 @@
+"""Receive-path throughput measurement on the real chip.
+
+Times the two jitted device cores (widely-linear equalizer step,
+symbol-field decoder step) and the composed host-side IqReceiver.push
+loop, at a given channel batch. Prints one JSON line per probe with
+fields/s and the real-time channel count (41.327 fields/s/channel).
+
+Timing rule (PERF.md): value-fetch barrier via float(jnp.sum(...)) —
+block_until_ready returns early over the axon tunnel.
+
+Usage:
+    python tools/rx_bench.py [--batch 64] [--iters 10] [--mode hard]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax.numpy as jnp  # noqa: E402
+
+from atsc_tpu import params as P  # noqa: E402
+from atsc_tpu.models.encoder import Encoder, iq_to_complex  # noqa: E402
+
+FIELD_RATE = P.SAMPLE_RATE / P.SYMBOLS_PER_FIELD  # 41.327 fields/s
+
+
+def _report(name: str, batch: int, dt: float, iters: int) -> None:
+    per_step = dt / iters
+    fps = batch / per_step
+    print(json.dumps({
+        "probe": name, "batch": batch, "ms_per_step": round(per_step * 1e3, 3),
+        "fields_per_s": round(fps, 1),
+        "realtime_channels": round(fps / FIELD_RATE, 1),
+    }), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--fields", type=int, default=3)
+    ap.add_argument("--mode", default="hard", choices=("hard", "soft"))
+    args = ap.parse_args()
+    b = args.batch
+
+    rng = np.random.default_rng(3)
+    ts = rng.integers(0, 256, size=(args.fields, 1, P.FIELD_TS_BYTES),
+                      dtype=np.uint8)
+    ts[..., ::188] = 0x47
+    enc = Encoder(batch=1, donate=False)
+    iq1 = np.concatenate(
+        [iq_to_complex(np.asarray(enc.encode(ts[k])))
+         for k in range(args.fields)], axis=-1)
+    iq = np.broadcast_to(iq1, (b, iq1.shape[1])).copy()
+
+    # -- probe 1: device equalizer step alone (one field window) --------
+    from atsc_tpu.models.receiver import (
+        IqReceiver, _device_eq_step, field_window,
+    )
+    soft = args.mode == "soft"
+    win, osc = field_window(iq, 0)
+    winj, oscj = jnp.asarray(win), jnp.asarray(osc)
+    step = _device_eq_step(soft)
+    float(jnp.sum(step(winj, oscj).astype(jnp.float32)))  # compile+warm
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = step(winj, oscj)
+    float(jnp.sum(out.astype(jnp.float32)))
+    _report(f"equalizer_step_{args.mode}", b, time.perf_counter() - t0,
+            args.iters)
+
+    # -- probe 2: decoder device core (decommutate+trellis+deinterleave
+    #    +syndromes) ------------------------------------------------------
+    from atsc_tpu.models.decoder import Decoder, SoftDecoder
+    dec = SoftDecoder(batch=b) if soft else Decoder(batch=b)
+    field = np.asarray(step(winj, oscj))
+    fj = jnp.asarray(field)
+    st, cw, syn = dec._step(dec._state, fj)
+    float(jnp.sum(syn.astype(jnp.float32)))  # compile+warm
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        st, cw, syn = dec._step(dec._state, fj)
+    float(jnp.sum(syn.astype(jnp.float32)))
+    _report(f"decoder_step_{args.mode}", b, time.perf_counter() - t0,
+            args.iters)
+
+    # -- probe 3: composed IqReceiver.push (host buffer management, window
+    #    assembly, device steps, RS host check, derandomize) -------------
+    rx = IqReceiver(batch=b, trellis=args.mode)
+    rx.push(iq)  # warm all jits + prime state
+    rx2 = IqReceiver(batch=b, trellis=args.mode)
+    n_fields = args.fields
+    t0 = time.perf_counter()
+    got = rx2.push(iq) + rx2.flush()
+    dt = time.perf_counter() - t0
+    assert len(got) == n_fields - 1
+    _report(f"iq_receiver_e2e_{args.mode}", b, dt, n_fields)
+
+
+if __name__ == "__main__":
+    main()
