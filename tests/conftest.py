@@ -11,6 +11,14 @@ backend-init time, so setting it here works.
 import os
 import sys
 
+# The tests are CPU-only; drop the TPU plugin's injected site dir so a
+# wedged device tunnel can never hang plugin registration (observed:
+# jax backend init blocking indefinitely during tunnel outages).
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+os.environ["PYTHONPATH"] = ":".join(
+    p for p in os.environ.get("PYTHONPATH", "").split(":")
+    if p and ".axon_site" not in p
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
