@@ -169,16 +169,21 @@ def _wl_eq_taps() -> tuple[np.ndarray, np.ndarray]:
     return p[k].astype(np.float32), q[k].astype(np.float32)
 
 
-@functools.lru_cache(maxsize=2)
-def _device_eq_step(soft: bool = False):
+@functools.lru_cache(maxsize=8)
+def _device_eq_step(soft: bool = False, dequant: float = 1.0):
+    """dequant: extra multiplier folded into the derotation constant —
+    pass 1/quantize_scale(fmt) to accept raw cs16/cs8 integer-code
+    windows (the cast fuses; quantized H2D is 2-4x smaller)."""
     from atsc_tpu.ops.rrc_filter import banded_fir_taps
 
     p_taps, q_taps = _wl_eq_taps()
-    inv_p2 = np.float32(1.0 / (P.OSC_AMPLITUDE ** 2))
+    inv_p2 = np.float32(dequant / (P.OSC_AMPLITUDE ** 2))
 
     def step(win: jnp.ndarray, osc: jnp.ndarray) -> jnp.ndarray:
-        # win: (B, 2, W) planar IQ; osc: (2, W) planar oscillator
-        wr, wi = win[:, 0], win[:, 1]
+        # win: (B, 2, W) planar IQ (float32 or integer codes);
+        # osc: (2, W) planar oscillator
+        wr = win[:, 0].astype(jnp.float32)
+        wi = win[:, 1].astype(jnp.float32)
         cr, ci = osc[0], osc[1]
         ur = (wr * cr + wi * ci) * inv_p2   # u = win * conj(osc) / P^2
         ui = (wi * cr - wr * ci) * inv_p2
@@ -192,6 +197,14 @@ def _device_eq_step(soft: bool = False):
         return jnp.clip(sym, 0, 7).astype(jnp.int8)
 
     return jax.jit(step)
+
+
+def _osc_planar(lo: int, hi: int, first_field: int) -> np.ndarray:
+    """(2, hi-lo) float32 planar oscillator for stream span [lo, hi)."""
+    osc = _oscillator_for_span(lo, hi, first_field)
+    return np.stack(
+        [osc.real.astype(np.float32), osc.imag.astype(np.float32)]
+    )
 
 
 def field_window(
@@ -208,19 +221,92 @@ def field_window(
     lo, hi = g0 - margin, g0 + _N + margin
     avail_lo = max(lo, stream_offset)
     avail_hi = min(hi, stream_offset + iq.shape[1])
-    win = np.zeros((iq.shape[0], hi - lo), np.complex128)
+    win = np.zeros((iq.shape[0], 2, hi - lo), np.float32)
     if avail_hi > avail_lo:
-        win[:, avail_lo - lo : avail_hi - lo] = iq[
-            :, avail_lo - stream_offset : avail_hi - stream_offset
-        ]
-    osc = _oscillator_for_span(lo, hi, first_field)
-    win_planar = np.stack(
-        [win.real.astype(np.float32), win.imag.astype(np.float32)], axis=1
-    )
-    osc_planar = np.stack(
-        [osc.real.astype(np.float32), osc.imag.astype(np.float32)]
-    )
-    return win_planar, osc_planar
+        src = iq[:, avail_lo - stream_offset : avail_hi - stream_offset]
+        win[:, 0, avail_lo - lo : avail_hi - lo] = src.real
+        win[:, 1, avail_lo - lo : avail_hi - lo] = src.imag
+    return win, _osc_planar(lo, hi, first_field)
+
+
+class _PlanarStream:
+    """Chunked planar-float32 sample buffer for the streaming receiver.
+
+    The naive approach (one growing complex128 array, re-concatenated on
+    every push and re-copied on every trim) moves ~2 GB of host memory
+    per decoded field at batch 64 and dominates the whole receive path
+    (measured 11.3 s/field vs ~16 ms of device work — tools/rx_bench.py).
+    Here chunks are converted to planar float32 once on append (the wire
+    formats carry <= float32 anyway) and windows are assembled with one
+    bounded copy; nothing is ever re-concatenated. For quantized wire
+    formats (cs16/cs8) the stream can instead hold the integer codes
+    verbatim (`dtype=int16/int8`, append_codes) so windows stay 2-4x
+    smaller all the way onto the device — dequantization happens inside
+    the jitted equalizer step, folded into its derotation constant.
+    """
+
+    def __init__(self, batch: int, dtype: np.dtype = np.float32):
+        self.batch = batch
+        self.dtype = np.dtype(dtype)
+        self._chunks: list[np.ndarray] = []   # (B, 2, n) `dtype` each
+        self._starts: list[int] = []          # stream index of chunk start
+        self.base = 0   # trim watermark: reads below this are undefined
+        self.end = 0    # one past the last buffered stream index
+
+    def _check_batch(self, got: int) -> None:
+        if got != self.batch:
+            raise ValueError(
+                f"pushed batch {got} != receiver batch {self.batch}"
+            )
+
+    def append(self, iq: np.ndarray) -> None:
+        """iq: (B, n) or (n,) complex samples (float streams only)."""
+        if self.dtype.kind != "f":
+            raise ValueError("quantized stream wants push_codes(), "
+                             "not complex samples")
+        iq = np.atleast_2d(iq)
+        self._check_batch(iq.shape[0])
+        ch = np.empty((iq.shape[0], 2, iq.shape[1]), self.dtype)
+        ch[:, 0] = iq.real
+        ch[:, 1] = iq.imag
+        self._chunks.append(ch)
+        self._starts.append(self.end)
+        self.end += iq.shape[1]
+
+    def append_codes(self, codes: np.ndarray) -> None:
+        """codes: (B, n, 2) or (n, 2) integer wire samples (I, Q last),
+        dtype matching the stream exactly (no silent re-quantization)."""
+        codes = np.asarray(codes)
+        if codes.dtype != self.dtype:
+            raise ValueError(
+                f"codes dtype {codes.dtype} != stream dtype {self.dtype}"
+            )
+        if codes.ndim == 2:
+            codes = codes[None]
+        self._check_batch(codes.shape[0])
+        ch = np.ascontiguousarray(codes.transpose(0, 2, 1))
+        self._chunks.append(ch)
+        self._starts.append(self.end)
+        self.end += codes.shape[1]
+
+    def window(self, lo: int, hi: int) -> np.ndarray:
+        """(B, 2, hi-lo) `dtype` covering stream span [lo, hi); samples
+        outside the buffered range are zero."""
+        out = np.zeros((self.batch, 2, hi - lo), self.dtype)
+        for s, ch in zip(self._starts, self._chunks):
+            e = s + ch.shape[-1]
+            a, b = max(lo, s), min(hi, e)
+            if b > a:
+                out[:, :, a - lo : b - lo] = ch[:, :, a - s : b - s]
+        return out
+
+    def trim(self, keep_from: int) -> None:
+        """Drop whole chunks entirely below stream index keep_from."""
+        while (self._chunks
+               and self._starts[0] + self._chunks[0].shape[-1] <= keep_from):
+            self._starts.pop(0)
+            self._chunks.pop(0)
+        self.base = max(self.base, min(keep_from, self.end))
 
 
 def equalize_field_device(
@@ -471,18 +557,34 @@ class IqReceiver:
     def __init__(self, batch: int = 1, first_field: int = 0,
                  margin: int | None = None, backend: str = "device",
                  forgetting: float = 1.0, ridge: float = 1e-4,
-                 trellis: str = "hard", erasures: str | None = None):
+                 trellis: str = "hard", erasures: str | None = None,
+                 wire_format: str = "cf32"):
         if backend not in ("device", "numpy", "adaptive"):
             raise ValueError(f"unknown equalizer backend {backend!r}")
         if trellis not in ("hard", "soft"):
             raise ValueError(f"unknown trellis mode {trellis!r}")
         if erasures not in (None, "burst"):
             raise ValueError(f"unknown erasure mode {erasures!r}")
+        if wire_format not in ("cf32", "cs16", "cs8"):
+            raise ValueError(f"unknown wire format {wire_format!r}")
+        if wire_format != "cf32" and backend != "device":
+            raise ValueError("quantized wire input needs backend='device' "
+                             "(dequantize on the host for other backends)")
         self.batch = batch
         self.first_field = first_field
         self.backend = backend
         self.trellis = trellis
         self.erasures = erasures
+        self.wire_format = wire_format
+        if wire_format == "cf32":
+            self._dequant = 1.0
+            # the numpy backend is the high-precision reference path:
+            # keep full float64 planes there (device paths are f32 anyway)
+            stream_dtype = np.float64 if backend == "numpy" else np.float32
+        else:
+            from atsc_tpu.ops.quantize import quantize_scale
+            self._dequant = 1.0 / quantize_scale(wire_format)
+            stream_dtype = np.int16 if wire_format == "cs16" else np.int8
         self.margin = margin if margin is not None else (
             _MARGIN if backend == "numpy" else _DEV_MARGIN
         )
@@ -500,8 +602,7 @@ class IqReceiver:
             self._decoder = SoftDecoder(batch=batch)
         else:
             self._decoder = Decoder(batch=batch)
-        self._buf = np.zeros((batch, 0), np.complex128)
-        self._base = 0  # stream index of _buf[:, 0]
+        self._stream = _PlanarStream(batch, dtype=stream_dtype)
         self._next_field = 0  # next un-equalized field (stream-relative)
         self._primed = False
 
@@ -512,41 +613,46 @@ class IqReceiver:
     def _decode_available(self, final: bool) -> list[tuple[np.ndarray, np.ndarray]]:
         out = []
         while True:
-            end = (self._next_field + 1) * _N
-            need = end if final else end + self.margin
-            if self._base + self._buf.shape[1] < need:
+            g0 = self._next_field * _N
+            need = g0 + _N if final else g0 + _N + self.margin
+            if self._stream.end < need:
                 break
             soft = self.trellis == "soft"
             want_levels = soft or self.erasures is not None
-            if self.backend == "adaptive":
-                win, osc = field_window(
-                    self._buf, self._next_field * _N,
-                    first_field=self.first_field, stream_offset=self._base,
-                )
-                parity = (self.first_field + self._next_field) % 2
-                field = self._adaptive.process_field(win, osc, parity,
-                                                     soft=want_levels)
-            elif self.backend == "device":
-                field = equalize_field_device(
-                    self._buf, self._next_field * _N,
-                    first_field=self.first_field, stream_offset=self._base,
-                    soft=want_levels,
-                )
-            else:
+            if self.backend == "numpy":
+                lo, hi = g0 - self.margin, g0 + _N + self.margin
+                w = self._stream.window(lo, hi)
+                cplx = w[:, 0].astype(np.complex128)
+                cplx += 1j * w[:, 1]
                 lev = equalize_span(
-                    self._buf, self._next_field * _N,
-                    first_field=self.first_field, margin=self.margin,
-                    stream_offset=self._base,
+                    cplx, g0, first_field=self.first_field,
+                    margin=self.margin, stream_offset=lo,
                 )
                 field = lev.astype(np.float32) if want_levels else (
                     slice_levels(lev)
                 )
+            else:
+                win = self._stream.window(g0 - _DEV_MARGIN,
+                                          g0 + _N + _DEV_MARGIN)
+                osc = _osc_planar(g0 - _DEV_MARGIN, g0 + _N + _DEV_MARGIN,
+                                  self.first_field)
+                if self.backend == "adaptive":
+                    parity = (self.first_field + self._next_field) % 2
+                    field = self._adaptive.process_field(
+                        win, osc, parity, soft=want_levels
+                    )
+                else:
+                    # stays a device array: the decoder's jitted step
+                    # consumes it in place (no D2H/H2D round trip)
+                    step = _device_eq_step(want_levels, self._dequant)
+                    field = step(jnp.asarray(win), jnp.asarray(osc))
             flags = None
             if self.erasures is not None:
                 from atsc_tpu.ops.erasures import burst_erasure_flags
-                flags = burst_erasure_flags(field)
+                levels = np.asarray(field)
+                flags = burst_erasure_flags(levels)
                 if not soft:  # detector consumed the levels; decoder
-                    field = slice_levels(field)  # still wants hard symbols
+                    field = slice_levels(levels)  # still wants hard symbols
             corrected = self._decoder.segments_corrected
             uncorrectable = self._decoder.segments_uncorrectable
             assisted = self._decoder.segments_erasure_assisted
@@ -563,17 +669,23 @@ class IqReceiver:
             self._primed = True
             self._next_field += 1
             # drop samples no window will touch again
-            keep_from = max(self._next_field * _N - self.margin, 0)
-            if keep_from > self._base:
-                self._buf = self._buf[:, keep_from - self._base :]
-                self._base = keep_from
+            self._stream.trim(max(self._next_field * _N - self.margin, 0))
         return out
 
     def push(self, iq: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
         """iq: (B, n) or (n,) complex samples. Returns newly decoded
         fields (possibly empty)."""
-        iq = np.atleast_2d(np.asarray(iq))
-        self._buf = np.concatenate([self._buf, iq.astype(np.complex128)], axis=1)
+        self._stream.append(np.asarray(iq))
+        return self._decode_available(final=False)
+
+    def push_codes(self, codes: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Quantized wire input: (B, n, 2) or (n, 2) int16/int8 I,Q codes
+        matching `wire_format` — stored and uploaded verbatim (2-4x less
+        host->device traffic than cf32), dequantized inside the jitted
+        equalizer step. Returns newly decoded fields."""
+        if self.wire_format == "cf32":
+            raise ValueError("push_codes needs wire_format='cs16'/'cs8'")
+        self._stream.append_codes(codes)
         return self._decode_available(final=False)
 
     def flush(self) -> list[tuple[np.ndarray, np.ndarray]]:

@@ -112,3 +112,29 @@ def test_decoder_erasure_flags_double_burst_tolerance():
     np.testing.assert_array_equal(out2, ts[1])
     assert dec.segments_uncorrectable == 0
     assert dec.segments_erasure_assisted > 40  # erasures did the work
+
+
+def test_decoder_erasure_flags_carry_across_field_boundary():
+    """A burst straddling the boundary between received fields 1 and 2:
+    its flags ride the carried interleaved-flag state exactly like the
+    data bytes do, so both affected RS output fields decode exactly."""
+    rng = np.random.default_rng(9)
+    ts = _random_ts(rng, 4, 1)
+    fields = _encode_symbol_fields(ts).copy()
+    tail, head = 1400, 1400  # ~350+350 bytes around the boundary
+    tail_start = P.SYMBOLS_PER_FIELD - tail
+    fields[1, 0, tail_start : P.SYMBOLS_PER_FIELD] = rng.integers(
+        0, 8, tail, dtype=np.int8
+    )
+    fields[2, 0, 832 : 832 + head] = rng.integers(0, 8, head, dtype=np.int8)
+    flags = np.zeros((4, 1, P.SYMBOLS_PER_FIELD), np.uint8)
+    flags[1, 0, tail_start:] = 1
+    flags[2, 0, 832 : 832 + head] = 1
+    dec = Decoder(batch=1)
+    dec.decode(fields[0], erasure_flags=flags[0])
+    for k in range(1, 4):
+        out, nerr = dec.decode(fields[k], erasure_flags=flags[k])
+        assert (nerr >= 0).all(), k
+        np.testing.assert_array_equal(out, ts[k - 1])
+    assert dec.segments_uncorrectable == 0
+    assert dec.segments_erasure_assisted > 0

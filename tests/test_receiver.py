@@ -137,3 +137,70 @@ def test_iq_receiver_burst_erasures_recover_impulse_noise():
         np.testing.assert_array_equal(out, ts[k])
     assert rx.decoder.segments_uncorrectable == 0
     assert rx.decoder.segments_erasure_assisted > 40
+
+
+def test_iq_receiver_quantized_code_path():
+    """push_codes: cs16/cs8 integer wire samples buffered and decoded
+    without host dequantization (the equalizer step dequantizes via its
+    folded derotation constant) — exact TS either way."""
+    from atsc_tpu.ops.quantize import QMAX, quantize_scale
+
+    rng = np.random.default_rng(47)
+    ts = _random_ts(rng, 3, 1)
+    iq = _encode_iq(ts)
+    for fmt, dt in (("cs16", np.int16), ("cs8", np.int8)):
+        s = quantize_scale(fmt)
+        codes = np.stack([iq.real, iq.imag], axis=-1) * s
+        codes = np.clip(np.round(codes), -QMAX[fmt], QMAX[fmt]).astype(dt)
+        rx = IqReceiver(batch=1, wire_format=fmt)
+        got = rx.push_codes(codes[:, :100_003]) + rx.push_codes(
+            codes[:, 100_003:]
+        ) + rx.flush()
+        assert len(got) == 2, fmt
+        for k, (out, nerr) in enumerate(got):
+            assert (nerr >= 0).all(), (fmt, k)
+            np.testing.assert_array_equal(out, ts[k], err_msg=fmt)
+
+
+def test_planar_stream_windows_and_trim():
+    from atsc_tpu.models.receiver import _PlanarStream
+
+    rng = np.random.default_rng(53)
+    iq = rng.normal(size=(2, 1000)) + 1j * rng.normal(size=(2, 1000))
+    st = _PlanarStream(2)
+    st.append(iq[:, :137])
+    st.append(iq[:, 137:612])
+    st.append(iq[:, 612:])
+    assert st.end == 1000
+    # window spanning all three chunks plus out-of-range context
+    w = st.window(-50, 1100)
+    assert w.shape == (2, 2, 1150) and w.dtype == np.float32
+    np.testing.assert_allclose(w[:, 0, 50:1050], iq.real, atol=1e-7)
+    np.testing.assert_allclose(w[:, 1, 50:1050], iq.imag, atol=1e-7)
+    assert not w[:, :, :50].any() and not w[:, :, 1050:].any()
+    # trim drops whole chunks strictly below keep_from; reads at or
+    # above keep_from stay exact
+    st.trim(400)
+    w2 = st.window(450, 700)  # spans retained chunks 2 and 3
+    np.testing.assert_allclose(w2[:, 0], iq.real[:, 450:700], atol=1e-7)
+    st.trim(2000)
+    assert st.window(0, 10).sum() == 0 and st.base == 1000
+
+
+def test_cli_decode_multichannel(tmp_path):
+    """decode --channels 2: a two-channel interleaved capture (as the
+    encoder CLI writes it) decodes both lanes exactly, through the
+    quantized cs8 code path."""
+    from atsc_tpu.cli import main
+
+    rng = np.random.default_rng(59)
+    ts = _random_ts(rng, 3, 2)
+    a, b, cap, out = (tmp_path / n for n in
+                      ("a.ts", "b.ts", "cap.iq", "out.ts"))
+    a.write_bytes(ts[:, 0].tobytes())
+    b.write_bytes(ts[:, 1].tobytes())
+    assert main([str(a), str(b), "-o", str(cap), "--format", "cs8"]) == 0
+    assert main(["decode", str(cap), "--channels", "2", "--format", "cs8",
+                 "-o", str(out)]) == 0
+    got = np.fromfile(out, dtype=np.uint8).reshape(-1, 2, P.FIELD_TS_BYTES)
+    np.testing.assert_array_equal(got, ts[:2])

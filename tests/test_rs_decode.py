@@ -106,3 +106,24 @@ def test_decode_field(clean_field):
     fixed, nerr = decode_field_np(bad)
     np.testing.assert_array_equal(fixed, clean_field)
     assert nerr[0] == 1 and nerr[100] == 1 and nerr[1:100].sum() == 0
+
+
+def test_errors_and_erasures_fuzz(clean_field):
+    """Seeded sweep across the full 2*errors + erasures <= 20 capacity
+    region, random positions and magnitudes every trial."""
+    rng = np.random.default_rng(2024)
+    for trial in range(40):
+        cw = clean_field[trial % P.DATA_SEGMENTS].copy()
+        e = int(rng.integers(0, 21))
+        nu = int(rng.integers(0, (20 - e) // 2 + 1))
+        pos = rng.choice(P.SEGMENT_FEC_BYTES, size=e + nu, replace=False)
+        bad = cw.copy()
+        for p in pos:
+            v = bad[p]
+            while bad[p] == v:
+                bad[p] = rng.integers(0, 256)
+        fixed, n = correct_segment_np(
+            bad, erasures=tuple(int(x) for x in pos[:e])
+        )
+        assert n == e + nu, (trial, e, nu, n)
+        np.testing.assert_array_equal(fixed, cw, err_msg=f"trial {trial}")

@@ -47,6 +47,9 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--fields", type=int, default=3)
     ap.add_argument("--mode", default="hard", choices=("hard", "soft"))
+    ap.add_argument("--wire", default="cf32", choices=("cf32", "cs16", "cs8"),
+                    help="input wire format for the e2e probe (quantized "
+                         "formats upload integer codes: 2-4x less H2D)")
     args = ap.parse_args()
     b = args.batch
 
@@ -92,16 +95,30 @@ def main() -> None:
             args.iters)
 
     # -- probe 3: composed IqReceiver.push (host buffer management, window
-    #    assembly, device steps, RS host check, derandomize) -------------
-    rx = IqReceiver(batch=b, trellis=args.mode)
-    rx.push(iq)  # warm all jits + prime state
-    rx2 = IqReceiver(batch=b, trellis=args.mode)
+    #    assembly, H2D, device steps, RS host check, derandomize) --------
+    def make_rx():
+        return IqReceiver(batch=b, trellis=args.mode, wire_format=args.wire)
+
+    if args.wire == "cf32":
+        payload = iq
+        push = lambda rx, x: rx.push(x)  # noqa: E731
+    else:
+        from atsc_tpu.ops.quantize import QMAX, quantize_scale
+        s = quantize_scale(args.wire)
+        codes = np.stack([iq.real, iq.imag], axis=-1) * s
+        payload = np.clip(np.round(codes), -QMAX[args.wire],
+                          QMAX[args.wire]).astype(
+            np.int16 if args.wire == "cs16" else np.int8)
+        push = lambda rx, x: rx.push_codes(x)  # noqa: E731
+    warm = make_rx()
+    push(warm, payload)  # warm all jits + prime state
+    rx2 = make_rx()
     n_fields = args.fields
     t0 = time.perf_counter()
-    got = rx2.push(iq) + rx2.flush()
+    got = push(rx2, payload) + rx2.flush()
     dt = time.perf_counter() - t0
     assert len(got) == n_fields - 1
-    _report(f"iq_receiver_e2e_{args.mode}", b, dt, n_fields)
+    _report(f"iq_receiver_e2e_{args.mode}_{args.wire}", b, dt, n_fields)
 
 
 if __name__ == "__main__":
