@@ -65,6 +65,23 @@ def main() -> int:
         np.testing.assert_array_equal(ts[0], g["input"][k])
     print(f"receiver loopback: 3 fields TS-exact "
           f"(corrected={rx.decoder.segments_corrected})")
+
+    # quantized code path: cs8 wire samples uploaded verbatim, in-step
+    # dequantization (2-4x less H2D than cf32)
+    from atsc_tpu.ops.quantize import QMAX, quantize_scale
+
+    cap = iq_to_complex(iq).reshape(1, -1)
+    s = quantize_scale("cs8")
+    codes = np.clip(np.round(np.stack([cap.real, cap.imag], -1) * s),
+                    -QMAX["cs8"], QMAX["cs8"]).astype(np.int8)
+    rx8 = IqReceiver(batch=1, wire_format="cs8")
+    got8 = rx8.push_codes(codes) + rx8.flush()
+    assert len(got8) == 3, len(got8)
+    for k, (ts, nerr) in enumerate(got8):
+        assert (nerr >= 0).all(), f"cs8: uncorrectable segments, field {k}"
+        np.testing.assert_array_equal(ts[0], g["input"][k])
+    print(f"cs8 code-path loopback: 3 fields TS-exact "
+          f"(corrected={rx8.decoder.segments_corrected})")
     print("PASS")
     return 0
 
