@@ -235,6 +235,13 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                          "'viterbi': soft-decision maximum-likelihood "
                          "trellis decoding (~3.5 dB coding gain on noisy "
                          "captures)")
+    ap.add_argument("--eq-profile", default="auto",
+                    choices=("auto", "exact", "fast"),
+                    help="zf equalizer accuracy/speed tier: 'exact' = full "
+                         "+-256-tap support at 6-pass fp32 matmul precision "
+                         "(golden regression), 'fast' = +-128 taps at bf16 "
+                         "(~0.03-level worst-case error vs the 1.0 slicing "
+                         "margin; the production default)")
     ap.add_argument("--erasures", default="off", choices=("off", "burst"),
                     help="'burst': detect impulse-noise bursts from slicer "
                          "residuals and pass the affected bytes to RS as "
@@ -340,6 +347,7 @@ def run_decode(args) -> dict:
         trellis="soft" if args.trellis == "viterbi" else "hard",
         erasures=None if args.erasures == "off" else args.erasures,
         wire_format=fmt if codes_path else "cf32",
+        eq_profile=args.eq_profile,
     )
     fields = 0
 

@@ -150,12 +150,32 @@ def equalize_span(
 # no complex-number support). Derotation is a planar conjugate multiply;
 # hard slicing is fused so only (B, 260416) int8 symbols leave the device.
 
-_EQ_K = 256                # one-sided support of the equalizer taps
+_EQ_K = 256                # one-sided support of the full equalizer taps
 _DEV_MARGIN = 384          # window context per side (>= _EQ_K, block slack)
 
+# Receive-side accuracy tiers. The taps decay geometrically: truncating at
+# K=128 leaves a worst-case level error of sum|tail| * max|lev| ~ 0.03
+# against the 1.0 hard-decision margin, and 1-pass bf16 matmuls add
+# ~0.01-0.05 — both negligible next to channel noise at any SNR where
+# decoding is possible at all. "exact" reproduces equalize_span to f32
+# rounding (the golden-regression tier); "fast" is the production tier
+# (3 fused K=256 dots per field instead of 10 six-pass dots).
+#   profile -> (one-sided tap support K, matmul precision, fused WL dot)
+EQ_PROFILES: dict[str, tuple[int, str, bool]] = {
+    "exact": (256, "highest", False),
+    "fast": (128, "default", True),
+}
+DEFAULT_EQ_PROFILE = "fast"
 
-@functools.lru_cache(maxsize=1)
-def _wl_eq_taps() -> tuple[np.ndarray, np.ndarray]:
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+@functools.lru_cache(maxsize=4)
+def _wl_eq_taps(eq_k: int = _EQ_K) -> tuple[np.ndarray, np.ndarray]:
     """(p, q) float32 forward-FIR taps of length 2K+1: tap j applies to
     input sample i + j with the window already shifted by -K."""
     length = 1 << 16
@@ -165,18 +185,24 @@ def _wl_eq_taps() -> tuple[np.ndarray, np.ndarray]:
     p = np.real(ga) + np.real(gb)
     q = np.imag(gb) - np.imag(ga)
     # circular kernel -> linear taps: lev[i] = sum_k g[(-k) mod L] u[i+k]
-    k = (_EQ_K - np.arange(2 * _EQ_K + 1)) % length
+    k = (eq_k - np.arange(2 * eq_k + 1)) % length
     return p[k].astype(np.float32), q[k].astype(np.float32)
 
 
-@functools.lru_cache(maxsize=8)
-def _device_eq_step(soft: bool = False, dequant: float = 1.0):
+@functools.lru_cache(maxsize=16)
+def _device_eq_step(soft: bool = False, dequant: float = 1.0,
+                    profile: str = "auto"):
     """dequant: extra multiplier folded into the derotation constant —
     pass 1/quantize_scale(fmt) to accept raw cs16/cs8 integer-code
-    windows (the cast fuses; quantized H2D is 2-4x smaller)."""
-    from atsc_tpu.ops.rrc_filter import banded_fir_taps
+    windows (the cast fuses; quantized H2D is 2-4x smaller).
+    profile: EQ_PROFILES key ("auto" = DEFAULT_EQ_PROFILE)."""
+    from atsc_tpu.ops.rrc_filter import banded_fir_taps, banded_fir_wl
 
-    p_taps, q_taps = _wl_eq_taps()
+    if profile == "auto":
+        profile = DEFAULT_EQ_PROFILE
+    eq_k, prec_name, fused = EQ_PROFILES[profile]
+    precision = _PRECISIONS[prec_name]
+    p_taps, q_taps = _wl_eq_taps(eq_k)
     inv_p2 = np.float32(dequant / (P.OSC_AMPLITUDE ** 2))
 
     def step(win: jnp.ndarray, osc: jnp.ndarray) -> jnp.ndarray:
@@ -187,10 +213,15 @@ def _device_eq_step(soft: bool = False, dequant: float = 1.0):
         cr, ci = osc[0], osc[1]
         ur = (wr * cr + wi * ci) * inv_p2   # u = win * conj(osc) / P^2
         ui = (wi * cr - wr * ci) * inv_p2
-        start = _DEV_MARGIN - _EQ_K
+        start = _DEV_MARGIN - eq_k
         ur = jax.lax.slice_in_dim(ur, start, ur.shape[-1], axis=-1)
         ui = jax.lax.slice_in_dim(ui, start, ui.shape[-1], axis=-1)
-        lev = banded_fir_taps(ur, p_taps, _N) + banded_fir_taps(ui, q_taps, _N)
+        if fused:
+            lev = banded_fir_wl(ur, ui, p_taps, q_taps, _N,
+                                precision=precision)
+        else:
+            lev = (banded_fir_taps(ur, p_taps, _N, precision=precision)
+                   + banded_fir_taps(ui, q_taps, _N, precision=precision))
         if soft:
             return lev.astype(jnp.float32)
         sym = jnp.round((lev - P.PILOT_OFFSET + 7.0) * 0.5)
@@ -311,7 +342,7 @@ class _PlanarStream:
 
 def equalize_field_device(
     iq: np.ndarray, g0: int, first_field: int = 0, stream_offset: int = 0,
-    soft: bool = False,
+    soft: bool = False, eq_profile: str = "auto",
 ) -> np.ndarray:
     """Device-path equalizer: one field starting at stream sample g0.
 
@@ -321,7 +352,7 @@ def equalize_field_device(
     when soft=True, for the Viterbi path).
     """
     win_planar, osc_planar = field_window(iq, g0, first_field, stream_offset)
-    step = _device_eq_step(soft)
+    step = _device_eq_step(soft, profile=eq_profile)
     return np.asarray(step(jnp.asarray(win_planar), jnp.asarray(osc_planar)))
 
 
@@ -558,9 +589,11 @@ class IqReceiver:
                  margin: int | None = None, backend: str = "device",
                  forgetting: float = 1.0, ridge: float = 1e-4,
                  trellis: str = "hard", erasures: str | None = None,
-                 wire_format: str = "cf32"):
+                 wire_format: str = "cf32", eq_profile: str = "auto"):
         if backend not in ("device", "numpy", "adaptive"):
             raise ValueError(f"unknown equalizer backend {backend!r}")
+        if eq_profile != "auto" and eq_profile not in EQ_PROFILES:
+            raise ValueError(f"unknown eq profile {eq_profile!r}")
         if trellis not in ("hard", "soft"):
             raise ValueError(f"unknown trellis mode {trellis!r}")
         if erasures not in (None, "burst"):
@@ -576,6 +609,7 @@ class IqReceiver:
         self.trellis = trellis
         self.erasures = erasures
         self.wire_format = wire_format
+        self.eq_profile = eq_profile
         if wire_format == "cf32":
             self._dequant = 1.0
             # the numpy backend is the high-precision reference path:
@@ -644,7 +678,8 @@ class IqReceiver:
                 else:
                     # stays a device array: the decoder's jitted step
                     # consumes it in place (no D2H/H2D round trip)
-                    step = _device_eq_step(want_levels, self._dequant)
+                    step = _device_eq_step(want_levels, self._dequant,
+                                           self.eq_profile)
                     field = step(jnp.asarray(win), jnp.asarray(osc))
             flags = None
             if self.erasures is not None:

@@ -89,11 +89,17 @@ def _band_matrices_for(taps_bytes: bytes, n_taps: int) -> tuple[np.ndarray, ...]
     return tuple(out)
 
 
-def banded_fir_taps(x: jnp.ndarray, taps: np.ndarray, n_out: int) -> jnp.ndarray:
+def banded_fir_taps(
+    x: jnp.ndarray, taps: np.ndarray, n_out: int,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
     """Forward FIR out[i] = sum_k x[..., i+k] taps[k] for arbitrary tap
     counts, as a sum of shifted 128-block MXU matmuls.
 
     x: (..., n_in) float32 with n_in >= n_out + len(taps) - 1.
+    precision: HIGHEST (6-pass fp32, the transmit-side 1e-6 contract)
+    down to DEFAULT (1-pass bf16 — fine for receive-side slicing, whose
+    decision margin is ~1.0 level).
     """
     taps = np.ascontiguousarray(taps, dtype=np.float32)
     bands = _band_matrices_for(taps.tobytes(), taps.size)
@@ -109,8 +115,48 @@ def banded_fir_taps(x: jnp.ndarray, taps: np.ndarray, n_out: int) -> jnp.ndarray
         out = out + jnp.dot(
             a[:, s : s + nblk_out].reshape(-1, _BLK),
             jnp.asarray(w),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
+    return out.reshape(*lead, nblk_out * _BLK)[..., :n_out]
+
+
+def banded_fir_wl(
+    xr: jnp.ndarray, xi: jnp.ndarray, taps_r: np.ndarray, taps_i: np.ndarray,
+    n_out: int,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Widely-linear two-plane FIR out[i] = sum_k xr[..,i+k] tr[k] +
+    xi[..,i+k] ti[k], fused into one K=256 MXU dot per band (the receive
+    equalizer's shape: both planes contract into one real output).
+
+    xr, xi: (..., n_in) float32 with n_in >= n_out + len(taps) - 1.
+    """
+    taps_r = np.ascontiguousarray(taps_r, dtype=np.float32)
+    taps_i = np.ascontiguousarray(taps_i, dtype=np.float32)
+    assert taps_r.size == taps_i.size
+    bands_r = _band_matrices_for(taps_r.tobytes(), taps_r.size)
+    bands_i = _band_matrices_for(taps_i.tobytes(), taps_i.size)
+    *lead, n_in = xr.shape
+    nblk_out = -(-n_out // _BLK)
+    nblk_in = nblk_out + len(bands_r) - 1
+    pad = nblk_in * _BLK - n_in
+    if pad > 0:
+        padding = [(0, 0)] * len(lead) + [(0, pad)]
+        xr = jnp.pad(xr, padding)
+        xi = jnp.pad(xi, padding)
+    ar = xr[..., : nblk_in * _BLK].reshape(-1, nblk_in, _BLK)
+    ai = xi[..., : nblk_in * _BLK].reshape(-1, nblk_in, _BLK)
+    out = 0.0
+    for s, (wr, wi) in enumerate(zip(bands_r, bands_i)):
+        a2 = jnp.concatenate(
+            [
+                ar[:, s : s + nblk_out].reshape(-1, _BLK),
+                ai[:, s : s + nblk_out].reshape(-1, _BLK),
+            ],
+            axis=-1,
+        )
+        w2 = np.concatenate([wr, wi], axis=0)  # (256, 128)
+        out = out + jnp.dot(a2, jnp.asarray(w2), precision=precision)
     return out.reshape(*lead, nblk_out * _BLK)[..., :n_out]
 
 

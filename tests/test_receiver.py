@@ -97,6 +97,34 @@ def test_equalize_field_device_matches_numpy():
     )
 
 
+def test_eq_profiles_agree():
+    """The 'fast' tier (+-128-tap truncation, fused WL dot, reduced matmul
+    precision) must slice identically to 'exact' on clean signal and keep
+    its soft levels within the truncation bound (~0.03 level worst-case,
+    far inside the 1.0 decision margin)."""
+    import jax.numpy as jnp
+
+    from atsc_tpu.models.receiver import _device_eq_step, field_window
+
+    rng = np.random.default_rng(41)
+    ts = _random_ts(rng, 2, 2)
+    iq = _encode_iq(ts)
+    win, osc = field_window(iq, 0)
+    winj, oscj = jnp.asarray(win), jnp.asarray(osc)
+    hard_exact = np.asarray(_device_eq_step(False, profile="exact")(winj, oscj))
+    hard_fast = np.asarray(_device_eq_step(False, profile="fast")(winj, oscj))
+    np.testing.assert_array_equal(hard_exact, hard_fast)
+    soft_exact = np.asarray(_device_eq_step(True, profile="exact")(winj, oscj))
+    soft_fast = np.asarray(_device_eq_step(True, profile="fast")(winj, oscj))
+    assert np.abs(soft_exact - soft_fast).max() < 0.1
+
+    # end-to-end: the explicit fast profile recovers the TS exactly
+    rx = IqReceiver(batch=2, eq_profile="fast")
+    got = rx.push(iq) + rx.flush()
+    assert len(got) == 1
+    np.testing.assert_array_equal(got[0][0], ts[0])
+
+
 def test_cli_decode_roundtrip(tmp_path):
     from atsc_tpu.cli import main
 

@@ -47,6 +47,9 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--fields", type=int, default=3)
     ap.add_argument("--mode", default="hard", choices=("hard", "soft"))
+    ap.add_argument("--eq-profile", default="auto",
+                    choices=("auto", "exact", "fast"),
+                    help="ZF equalizer tier (models/receiver.py EQ_PROFILES)")
     ap.add_argument("--wire", default="cf32", choices=("cf32", "cs16", "cs8"),
                     help="input wire format for the e2e probe (quantized "
                          "formats upload integer codes: 2-4x less H2D)")
@@ -70,14 +73,22 @@ def main() -> None:
     soft = args.mode == "soft"
     win, osc = field_window(iq, 0)
     winj, oscj = jnp.asarray(win), jnp.asarray(osc)
-    step = _device_eq_step(soft)
+    step = _device_eq_step(soft, profile=args.eq_profile)
     float(jnp.sum(step(winj, oscj).astype(jnp.float32)))  # compile+warm
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = step(winj, oscj)
     float(jnp.sum(out.astype(jnp.float32)))
-    _report(f"equalizer_step_{args.mode}", b, time.perf_counter() - t0,
-            args.iters)
+    _report(f"equalizer_step_{args.mode}_{args.eq_profile}", b,
+            time.perf_counter() - t0, args.iters)
+    if args.eq_profile == "auto":
+        # cross-check the fast tier against exact on-device: identical
+        # hard decisions expected on clean loopback signal
+        he = _device_eq_step(False, profile="exact")(winj, oscj)
+        hf = _device_eq_step(False, profile="fast")(winj, oscj)
+        mism = int(jnp.sum((he != hf).astype(jnp.int32)))
+        print(json.dumps({"probe": "eq_fast_vs_exact_symbol_mismatches",
+                          "batch": b, "count": mism}), flush=True)
 
     # -- probe 2: decoder device core (decommutate+trellis+deinterleave
     #    +syndromes) ------------------------------------------------------
@@ -97,7 +108,8 @@ def main() -> None:
     # -- probe 3: composed IqReceiver.push (host buffer management, window
     #    assembly, H2D, device steps, RS host check, derandomize) --------
     def make_rx():
-        return IqReceiver(batch=b, trellis=args.mode, wire_format=args.wire)
+        return IqReceiver(batch=b, trellis=args.mode, wire_format=args.wire,
+                          eq_profile=args.eq_profile)
 
     if args.wire == "cf32":
         payload = iq
