@@ -628,8 +628,11 @@ class IqReceiver:
         self._adaptive = None
         if backend == "adaptive":
             from atsc_tpu.ops.adaptive_eq import AdaptiveEqualizer
+            resolved = (DEFAULT_EQ_PROFILE if eq_profile == "auto"
+                        else eq_profile)
             self._adaptive = AdaptiveEqualizer(
-                batch=batch, forgetting=forgetting, ridge=ridge
+                batch=batch, forgetting=forgetting, ridge=ridge,
+                apply_precision=EQ_PROFILES[resolved][1],
             )
         if trellis == "soft":
             from atsc_tpu.models.decoder import SoftDecoder

@@ -102,7 +102,10 @@ def rls_update(
     return r_new, v_new
 
 
-def _banded_fir_batched(x: jnp.ndarray, taps: jnp.ndarray, n_out: int) -> jnp.ndarray:
+def _banded_fir_batched(
+    x: jnp.ndarray, taps: jnp.ndarray, n_out: int,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
     """Forward FIR out[b, i] = sum_k x[b, i+k] taps[b, k] with traced
     per-channel taps, as blocked MXU matmuls (the rrc_filter idiom with
     the band matrices gathered from the tap vector at trace time)."""
@@ -117,21 +120,21 @@ def _banded_fir_batched(x: jnp.ndarray, taps: jnp.ndarray, n_out: int) -> jnp.nd
     m = np.arange(_BLK)[:, None]
     r = np.arange(_BLK)[None, :]
     out = 0.0
-    hi = jax.lax.Precision.HIGHEST
     for s in range(n_bands):
         k = s * _BLK + m - r
         valid = jnp.asarray((k >= 0) & (k < n_taps), jnp.float32)
         w = jnp.take(taps, jnp.asarray(np.clip(k, 0, n_taps - 1)), axis=-1) * valid
         out = out + jnp.einsum(
-            "bnk,bkm->bnm", a[:, s : s + nblk_out], w, precision=hi
+            "bnk,bkm->bnm", a[:, s : s + nblk_out], w, precision=precision
         )
     return out.reshape(x.shape[0], nblk_out * _BLK)[:, :n_out]
 
 
-@functools.partial(jax.jit, static_argnames=("margin", "soft"))
+@functools.partial(jax.jit, static_argnames=("margin", "soft", "apply_precision"))
 def solve_and_equalize(
     r_mat: jnp.ndarray, v: jnp.ndarray, win: jnp.ndarray, osc: jnp.ndarray,
     ridge: jnp.ndarray, *, margin: int = WINDOW_MARGIN, soft: bool = False,
+    apply_precision: str = "highest",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Solve the accumulated normal equations and equalize one field.
 
@@ -154,7 +157,10 @@ def solve_and_equalize(
     start = margin - EQ_HALF
     ur = jax.lax.slice_in_dim(ur, start, ur.shape[-1], axis=-1)
     ui = jax.lax.slice_in_dim(ui, start, ui.shape[-1], axis=-1)
-    lev = _banded_fir_batched(ur, p, _N) + _banded_fir_batched(ui, q, _N) + bias
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[apply_precision]
+    lev = (_banded_fir_batched(ur, p, _N, precision=prec)
+           + _banded_fir_batched(ui, q, _N, precision=prec) + bias)
     if soft:
         return lev.astype(jnp.float32), w
     sym = jnp.round((lev - P.PILOT_OFFSET + 7.0) * 0.5)
@@ -172,13 +178,19 @@ class AdaptiveEqualizer:
     ridge: Tikhonov floor keeping the first solve well-posed (one field
     already gives ~1.9k training rows > D = 515 unknowns, so this only
     matters at noise extremes; scaled relative to trace(R)).
+    apply_precision: matmul precision of the per-field *apply* FIRs
+    ("highest" = 6-pass fp32; "default" = 1-pass bf16 — adds ~0.01-0.05
+    level of arithmetic noise, negligible next to the channel estimation
+    error on any capture that needs this equalizer). Training/solve
+    always run at full precision (normal-equation conditioning).
     """
 
     def __init__(self, batch: int = 1, forgetting: float = 1.0,
-                 ridge: float = 1e-4):
+                 ridge: float = 1e-4, apply_precision: str = "highest"):
         self.batch = batch
         self._lam = jnp.float32(forgetting)
         self._ridge = jnp.float32(ridge)
+        self._apply_precision = apply_precision
         self._r = jnp.zeros((batch, EQ_DIM, EQ_DIM), jnp.float32)
         self._v = jnp.zeros((batch, EQ_DIM), jnp.float32)
         self.taps: np.ndarray | None = None   # last solved (B, D)
@@ -201,7 +213,7 @@ class AdaptiveEqualizer:
         )
         sym, w = solve_and_equalize(
             self._r, self._v, jnp.asarray(win_planar), jnp.asarray(osc_planar),
-            self._ridge, soft=soft,
+            self._ridge, soft=soft, apply_precision=self._apply_precision,
         )
         self.taps = np.asarray(w)
         return np.asarray(sym)
