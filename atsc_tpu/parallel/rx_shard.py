@@ -1,0 +1,181 @@
+"""Receive-path field-stream sharding: decode T = n_time * F consecutive
+received symbol fields per channel in one step, fields distributed over
+the "time" mesh axis, channels over "ch".
+
+Mirror of parallel/field_shard.py for the inverse chain (the reference is
+transmit-only and single-threaded — both directions of parallelism are
+new here). The decoder's cross-field state is even lighter than the
+encoder's, because nothing recurses through *decoded* data:
+
+  * the trellis precoder state z2_prev of field k is just bit 2 of field
+    k-1's last received symbol per encoder — pure local compute on the
+    neighbor's input, exchanged as one ring-permute of 12 bits/channel;
+  * the de-interleaver needs field k-1's interleaved byte image, which is
+    field-local compute (decommutate + trellis decode of that field) —
+    one ring-permute of 64,584 B/channel;
+  * RS syndromes are field-local MXU matmuls.
+
+So the device step is embarrassingly parallel plus two O(1) ppermutes,
+and its outputs (pre-correction codewords + syndromes) equal the
+sequential models/decoder.py decode_field chain exactly. Reed-Solomon
+correction of dirty segments stays host-side (as in Decoder.decode):
+clean segments never leave the device path, and error correction is a
+sparse, data-dependent fixup that would waste MXU time if run densely.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+
+from atsc_tpu import params as P
+from atsc_tpu.models.decoder import DecoderState, init_decoder_state
+from atsc_tpu.ops.decode import (
+    decommutate_field,
+    deinterleave_field,
+    derandomize_field,
+    enc_major_to_round_major,
+    trellis_decode_field,
+)
+from atsc_tpu.ops.rs_decode import correct_segment_np, syndrome_field
+from atsc_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
+
+
+def _local_step(state: DecoderState, fields: jnp.ndarray):
+    """Per-device body (runs under shard_map).
+
+    fields: (F, b, >=260416) int8 local received fields; state leaves are
+    (b, ...) local channel shards, replicated over the time axis.
+    Returns (new state, codewords (F, b, 312, 207), syndromes (F, b, 312, 20)).
+    """
+    f_dev = fields.shape[0]
+    b = fields.shape[1]
+    t_idx = jax.lax.axis_index(TIME_AXIS)
+    n_time = jax.lax.axis_size(TIME_AXIS)
+    ring = [(t, (t + 1) % n_time) for t in range(n_time)]
+
+    # ---- field-local: decommutate + read each field's tail z2 bits ------
+    syms = jax.vmap(decommutate_field)(fields)       # (F, b, 12, 21528) int8
+    z2_tails = (syms[..., -1].astype(jnp.int32) >> 2) & 1      # (F, b, 12)
+
+    # precoder state of local field f = tail of field f-1 (left neighbor's
+    # last field for f=0; the carried state on device 0)
+    tail_from_left = jax.lax.ppermute(z2_tails[-1], TIME_AXIS, ring)
+    incoming_z2 = jnp.where(t_idx == 0, state.z2_prev, tail_from_left)
+    z2_prev = jnp.concatenate([incoming_z2[None], z2_tails[:-1]], axis=0)
+
+    bytes_enc, _ = jax.vmap(trellis_decode_field)(syms, z2_prev)
+    cur_il = jax.vmap(enc_major_to_round_major)(bytes_enc)     # (F, b, 64584)
+
+    # ---- de-interleave: needs the previous field's interleaved image ----
+    il_from_left = jax.lax.ppermute(cur_il[-1], TIME_AXIS, ring)
+    incoming_il = jnp.where(t_idx == 0, state.prev_il, il_from_left)
+    prev_il = jnp.concatenate([incoming_il[None], cur_il[:-1]], axis=0)
+    rs = jax.vmap(deinterleave_field)(cur_il, prev_il)         # (F, b, 64584)
+
+    codewords = rs.reshape(f_dev, b, P.DATA_SEGMENTS, P.SEGMENT_FEC_BYTES)
+    syn = jax.vmap(syndrome_field)(codewords)
+
+    # ---- next state (replicated over time via masked psum) --------------
+    is_last_u8 = (t_idx == n_time - 1).astype(jnp.uint8)
+    new_state = DecoderState(
+        prev_il=jax.lax.psum(cur_il[-1] * is_last_u8, TIME_AXIS),
+        z2_prev=jax.lax.psum(
+            z2_tails[-1] * is_last_u8.astype(jnp.int32), TIME_AXIS
+        ),
+    )
+    return new_state, codewords, syn
+
+
+class ShardedDecoder:
+    """Multi-device symbol-field decoder over a ("time", "ch") mesh.
+
+    Decodes T = n_time * fields_per_device consecutive received fields for
+    B channels per step; B must be divisible by n_ch. Step k's output TS
+    fields are k-1-shifted exactly like the sequential Decoder (one-field
+    interleaver latency: a cold-start decoder's first output field is the
+    encoder's virtual pre-start field — drop it).
+    """
+
+    def __init__(self, mesh: Mesh, batch: int, fields_per_device: int = 1):
+        self.mesh = mesh
+        self.batch = batch
+        self.f_dev = fields_per_device
+        self.n_time = mesh.shape[TIME_AXIS]
+        self.n_ch = mesh.shape[CH_AXIS]
+        self.t_total = self.n_time * fields_per_device
+        assert batch % self.n_ch == 0
+        self.segments_corrected = 0
+        self.segments_uncorrectable = 0
+
+        state_spec = DecoderState(
+            prev_il=PSpec(CH_AXIS, None),
+            z2_prev=PSpec(CH_AXIS, None),
+        )
+        fields_spec = PSpec(TIME_AXIS, CH_AXIS, None)
+        cw_spec = PSpec(TIME_AXIS, CH_AXIS, None, None)
+
+        mapped = jax.shard_map(
+            _local_step,
+            mesh=mesh,
+            in_specs=(state_spec, fields_spec),
+            out_specs=(state_spec, cw_spec, cw_spec),
+            check_vma=False,
+        )
+        self._step = jax.jit(mapped, donate_argnums=(0,))
+        self._derand = jax.jit(derandomize_field)
+        self.state_sharding = jax.tree.map(
+            lambda s: NamedSharding(mesh, s), state_spec,
+            is_leaf=lambda x: isinstance(x, PSpec),
+        )
+        self.fields_sharding = NamedSharding(mesh, fields_spec)
+        self._state = jax.device_put(
+            init_decoder_state(batch), self.state_sharding
+        )
+
+    @property
+    def state(self) -> DecoderState:
+        return self._state
+
+    def decode(self, fields: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(T, B, >=260416) int8 received fields k..k+T-1 ->
+        (ts (T, B, 58656) uint8 of fields k-1..k+T-2,
+        n_errors (T, B, 312) int32; -1 marks uncorrectable segments)."""
+        fields = jax.device_put(jnp.asarray(fields), self.fields_sharding)
+        self._state, codewords, syn = self._step(self._state, fields)
+        t, b = codewords.shape[:2]
+        n_errors = np.zeros((t, b, P.DATA_SEGMENTS), dtype=np.int32)
+        dirty = np.asarray(jnp.any(syn != 0, axis=-1))    # (T, B, 312) bool
+        if dirty.any():
+            cw = np.array(codewords)
+            for k, ch, seg in zip(*np.nonzero(dirty)):
+                cw[k, ch, seg], n = correct_segment_np(cw[k, ch, seg])
+                n_errors[k, ch, seg] = n
+                if n > 0:
+                    self.segments_corrected += 1
+                elif n < 0:
+                    self.segments_uncorrectable += 1
+            codewords = jnp.asarray(cw)
+        flat = codewords.reshape(t * b, P.DATA_SEGMENTS, P.SEGMENT_FEC_BYTES)
+        ts = np.asarray(self._derand(flat)).reshape(t, b, P.FIELD_TS_BYTES)
+        return ts, n_errors
+
+
+def dryrun(n_devices: int) -> None:
+    """Compile + run one full multi-chip decode step on an n_devices mesh
+    with both axes in use (time-block x channel sharding)."""
+    from atsc_tpu.parallel.mesh import make_mesh
+
+    n_time = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    n_ch = n_devices // n_time
+    mesh = make_mesh(n_time, n_ch)
+    dec = ShardedDecoder(mesh, batch=n_ch, fields_per_device=1)
+    fields = np.zeros(
+        (dec.t_total, n_ch, P.SYMBOLS_PER_FIELD), dtype=np.int8
+    )
+    ts, nerr = dec.decode(fields)
+    assert ts.shape == (dec.t_total, n_ch, P.FIELD_TS_BYTES)
