@@ -249,6 +249,16 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                          "instead of errors <= 10 — roughly doubles the "
                          "correctable burst length)")
     ap.add_argument("--max-fields", type=int, default=0)
+    ap.add_argument("--checkpoint", default=None, metavar="PATH",
+                    help="periodically save the complete resumable receiver "
+                         "state (decode progress, un-consumed sample window, "
+                         "decoder/Viterbi/RLS state, RS stats) to PATH")
+    ap.add_argument("--checkpoint-every", type=int, default=64,
+                    metavar="FIELDS")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint (input must be seekable "
+                         "or re-fed from the same stream position; not "
+                         "combinable with --align/--sro auto-conditioning)")
     ap.add_argument("--stats", action="store_true",
                     help="print a JSON decode summary to stderr")
     return ap
@@ -295,8 +305,10 @@ def run_decode(args) -> dict:
     from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
 
     fmt = args.in_format
+    resume = bool(getattr(args, "resume", False) and args.checkpoint)
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
-    fout = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    fout = (sys.stdout.buffer if args.output == "-"
+            else open(args.output, "ab" if resume else "wb"))
     align = args.align == "auto"
     cfo_auto = args.cfo == "auto"
     sro_rate = None
@@ -340,22 +352,57 @@ def run_decode(args) -> dict:
     # dequantized inside the jitted equalizer step
     codes_path = (fmt in ("cs16", "cs8") and equalizer != "adaptive"
                   and not align and cfo_hz == 0.0 and pending is None)
-    rx = IqReceiver(
-        batch=args.channels, first_field=first_field,
-        backend="adaptive" if equalizer == "adaptive" else "device",
-        forgetting=args.forgetting,
-        trellis="soft" if args.trellis == "viterbi" else "hard",
-        erasures=None if args.erasures == "off" else args.erasures,
-        wire_format=fmt if codes_path else "cf32",
-        eq_profile=args.eq_profile,
-    )
+    if resume and (align or sro_rate is not None or cfo_auto):
+        raise ValueError("--resume cannot re-run --align/--sro/--cfo auto "
+                         "conditioning (pass the numeric values instead)")
+    if resume:
+        from atsc_tpu.utils.checkpoint import load_receiver
+
+        rx = load_receiver(args.checkpoint)
+        if rx.batch != args.channels:
+            raise ValueError(f"checkpoint batch {rx.batch} != --channels "
+                             f"{args.channels}")
+        # skip input already consumed by the checkpointed stream
+        consumed = rx._stream.end
+        skip = consumed * BYTES_PER_SAMPLE[
+            rx.wire_format if rx.wire_format != "cf32" else fmt
+        ] * args.channels
+        if fin.seekable():
+            fin.seek(skip)
+        else:
+            while skip > 0:
+                skip -= len(fin.read(min(skip, 1 << 20)))
+        correct._n = consumed  # numeric-CFO phase continuity
+        codes_path = rx.wire_format != "cf32"
+    else:
+        rx = IqReceiver(
+            batch=args.channels, first_field=first_field,
+            backend="adaptive" if equalizer == "adaptive" else "device",
+            forgetting=args.forgetting,
+            trellis="soft" if args.trellis == "viterbi" else "hard",
+            erasures=None if args.erasures == "off" else args.erasures,
+            wire_format=fmt if codes_path else "cf32",
+            eq_profile=args.eq_profile,
+        )
     fields = 0
+    last_ckpt = 0
 
     def emit(decoded) -> None:
         nonlocal fields
         for ts, _ in decoded:
             fout.write(ts.tobytes())
             fields += 1
+
+    def maybe_checkpoint(force: bool = False) -> None:
+        nonlocal last_ckpt
+        if not args.checkpoint:
+            return
+        if force or fields - last_ckpt >= args.checkpoint_every:
+            from atsc_tpu.utils.checkpoint import save_receiver
+
+            fout.flush()
+            save_receiver(args.checkpoint, rx)
+            last_ckpt = fields
 
     try:
         if pending is not None:
@@ -378,10 +425,12 @@ def run_decode(args) -> dict:
                     _iq_block_to_complex(buf, args.channels, fmt)
                 ))
             emit(decoded)
+            maybe_checkpoint()
             if args.max_fields and fields >= args.max_fields:
                 break
         if not args.max_fields or fields < args.max_fields:
             emit(rx.flush())
+        maybe_checkpoint(force=True)
     finally:
         if fin is not sys.stdin.buffer:
             fin.close()

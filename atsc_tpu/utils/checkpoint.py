@@ -1,10 +1,17 @@
-"""Checkpoint/resume for encoder streams (SURVEY.md §5.4 — a capability
-the reference lacks; its resumable state is tiny and enumerable, which is
-exactly what EncoderState captures).
+"""Checkpoint/resume for encoder and receiver streams (SURVEY.md §5.4 —
+a capability the reference lacks; its resumable state is tiny and
+enumerable, which is exactly what EncoderState captures).
 
 Format: a single .npz with the state leaves + the field counter. Restoring
 into a sharded encoder re-places leaves onto the mesh automatically via
 jax.device_put in ShardedEncoder/init paths.
+
+The receiver side (save_receiver/load_receiver) persists the complete
+resumable state of a streaming IqReceiver: configuration, decode
+progress, the bounded un-consumed sample window, the decoder's carried
+interleaver/precoder/Viterbi state, erasure-flag carry, RS statistics,
+and (adaptive backend) the accumulated RLS normal equations — so a
+decode can stop at any push boundary and continue byte-identically.
 """
 
 from __future__ import annotations
@@ -27,3 +34,88 @@ def load_state(path: str) -> tuple[EncoderState, int]:
     z = np.load(path)
     state = EncoderState(**{name: jax.numpy.asarray(z[name]) for name in _FIELDS})
     return state, int(z["__fields_encoded__"])
+
+
+# -- receiver checkpoints -----------------------------------------------
+
+_RX_CONFIG = ("batch", "first_field", "backend", "trellis", "erasures",
+              "wire_format", "eq_profile")
+
+
+def save_receiver(path: str, rx) -> None:
+    """Persist an IqReceiver (models/receiver.py) mid-stream."""
+    dec = rx.decoder
+    arrays = {
+        "__kind__": np.asarray("iq_receiver"),
+        "config": np.asarray(
+            [str(getattr(rx, k)) for k in _RX_CONFIG], dtype=np.str_
+        ),
+        "next_field": np.asarray(rx._next_field, dtype=np.int64),
+        "primed": np.asarray(rx._primed),
+        "stream_base": np.asarray(rx._stream.base, dtype=np.int64),
+        "stream_window": rx._stream.window(rx._stream.base, rx._stream.end),
+        "dec_prev_il": np.asarray(dec._state.prev_il),
+        "dec_z2_prev": np.asarray(dec._state.z2_prev),
+        "rs_stats": np.asarray(
+            [dec.segments_corrected, dec.segments_uncorrectable,
+             dec.segments_erasure_assisted], dtype=np.int64,
+        ),
+    }
+    if hasattr(dec._state, "metrics"):          # soft (Viterbi) decoder
+        arrays["dec_metrics"] = np.asarray(dec._state.metrics)
+    if dec._flag_il is not None:                # erasure-flag carry
+        arrays["dec_flag_il"] = np.asarray(dec._flag_il)
+    if rx._adaptive is not None:                # RLS normal equations
+        arrays["rls_r"] = np.asarray(rx._adaptive._r)
+        arrays["rls_v"] = np.asarray(rx._adaptive._v)
+        arrays["rls_lam"] = np.asarray(rx._adaptive._lam)
+        arrays["rls_ridge"] = np.asarray(rx._adaptive._ridge)
+    np.savez_compressed(path, **arrays)
+
+
+def load_receiver(path: str):
+    """Reconstruct the checkpointed IqReceiver; decoding continues
+    byte-identically from the saved push boundary."""
+    import jax.numpy as jnp
+
+    from atsc_tpu.models.receiver import IqReceiver
+
+    z = np.load(path)
+    assert str(z["__kind__"]) == "iq_receiver", "not a receiver checkpoint"
+    cfg = dict(zip(_RX_CONFIG, (str(s) for s in z["config"])))
+    rx = IqReceiver(
+        batch=int(cfg["batch"]), first_field=int(cfg["first_field"]),
+        backend=cfg["backend"], trellis=cfg["trellis"],
+        erasures=None if cfg["erasures"] == "None" else cfg["erasures"],
+        wire_format=cfg["wire_format"], eq_profile=cfg["eq_profile"],
+    )
+    rx._next_field = int(z["next_field"])
+    rx._primed = bool(z["primed"])
+    base = int(z["stream_base"])
+    win = z["stream_window"]
+    st = rx._stream
+    if win.shape[-1]:
+        st._chunks = [win.astype(st.dtype, copy=False)]
+        st._starts = [base]
+    st.base = base
+    st.end = base + win.shape[-1]
+    dec = rx.decoder
+    state_kw = {
+        "prev_il": jnp.asarray(z["dec_prev_il"]),
+        "z2_prev": jnp.asarray(z["dec_z2_prev"]),
+    }
+    if "dec_metrics" in z:
+        state_kw["metrics"] = jnp.asarray(z["dec_metrics"])
+    dec._state = type(dec._state)(**state_kw)
+    if "dec_flag_il" in z:
+        dec._flag_il = jnp.asarray(z["dec_flag_il"])
+    stats = z["rs_stats"]
+    dec.segments_corrected = int(stats[0])
+    dec.segments_uncorrectable = int(stats[1])
+    dec.segments_erasure_assisted = int(stats[2])
+    if rx._adaptive is not None:
+        rx._adaptive._r = jnp.asarray(z["rls_r"])
+        rx._adaptive._v = jnp.asarray(z["rls_v"])
+        rx._adaptive._lam = jnp.asarray(z["rls_lam"])
+        rx._adaptive._ridge = jnp.asarray(z["rls_ridge"])
+    return rx

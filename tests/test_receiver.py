@@ -125,6 +125,59 @@ def test_eq_profiles_agree():
     np.testing.assert_array_equal(got[0][0], ts[0])
 
 
+def test_receiver_checkpoint_resume(tmp_path):
+    """A receiver checkpointed mid-stream and reloaded continues
+    byte-identically (decoder state, stream window, RS stats)."""
+    from atsc_tpu.utils.checkpoint import load_receiver, save_receiver
+
+    rng = np.random.default_rng(43)
+    ts = _random_ts(rng, 4, 1)
+    iq = _encode_iq(ts).copy()
+    iq[:, int(1.5 * N) : int(1.5 * N) + 25] = 0  # force RS corrections
+
+    ref = IqReceiver(batch=1)
+    want = ref.push(iq) + ref.flush()
+
+    cut = N + 12345  # mid-field split point
+    rx = IqReceiver(batch=1)
+    got = rx.push(iq[:, :cut])
+    path = str(tmp_path / "rx.npz")
+    save_receiver(path, rx)
+    rx2 = load_receiver(path)
+    got += rx2.push(iq[:, cut:]) + rx2.flush()
+
+    assert len(got) == len(want) == 3
+    for (a, na), (b, nb) in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(na, nb)
+    assert rx2.decoder.segments_corrected == ref.decoder.segments_corrected
+
+
+def test_cli_decode_checkpoint_resume(tmp_path):
+    from atsc_tpu.cli import main
+
+    rng = np.random.default_rng(47)
+    ts = _random_ts(rng, 4, 1)
+    iq = _encode_iq(ts)[0]
+    cap = tmp_path / "cap.iq"
+    cap.write_bytes(
+        np.stack([iq.real, iq.imag], -1).astype(np.float32).tobytes()
+    )
+    out = tmp_path / "out.ts"
+    ck = tmp_path / "rx.npz"
+    # run 1: stop after the first decoded field, checkpointing
+    main(["decode", str(cap), "-o", str(out), "--checkpoint", str(ck),
+          "--checkpoint-every", "1", "--max-fields", "1"])
+    assert ck.exists()
+    # run 2: resume to completion; output file is appended
+    main(["decode", str(cap), "-o", str(out), "--checkpoint", str(ck),
+          "--resume"])
+    got = np.fromfile(out, np.uint8).reshape(-1, P.FIELD_TS_BYTES)
+    assert got.shape[0] == 3
+    for k in range(3):
+        np.testing.assert_array_equal(got[k], ts[k, 0])
+
+
 def test_cli_decode_roundtrip(tmp_path):
     from atsc_tpu.cli import main
 
