@@ -242,6 +242,14 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                          "(golden regression), 'fast' = +-128 taps at bf16 "
                          "(~0.03-level worst-case error vs the 1.0 slicing "
                          "margin; the production default)")
+    ap.add_argument("--ntsc", default="off", choices=("off", "comb", "auto"),
+                    help="analog NTSC co-channel interference rejection: "
+                         "12-symbol comb filter (nulls every 897 kHz, near "
+                         "the NTSC visual/chroma/audio carriers) + 16-state "
+                         "partial-response ML trellis decoding; 'auto' "
+                         "measures the first field's slicer residuals and "
+                         "engages the comb only if it wins (it costs ~3 dB "
+                         "against white noise)")
     ap.add_argument("--erasures", default="off", choices=("off", "burst"),
                     help="'burst': detect impulse-noise bursts from slicer "
                          "residuals and pass the affected bytes to RS as "
@@ -383,6 +391,7 @@ def run_decode(args) -> dict:
             erasures=None if args.erasures == "off" else args.erasures,
             wire_format=fmt if codes_path else "cf32",
             eq_profile=args.eq_profile,
+            ntsc=None if args.ntsc == "off" else args.ntsc,
         )
     fields = 0
     last_ckpt = 0
@@ -446,6 +455,8 @@ def run_decode(args) -> dict:
         summary["segments_erasure_assisted"] = (
             rx.decoder.segments_erasure_assisted
         )
+    if args.ntsc != "off":
+        summary["ntsc_comb"] = rx.ntsc_active
     if align:
         summary |= {"align_offset": offset, "align_parity": first_field}
     if cfo_hz != 0.0:

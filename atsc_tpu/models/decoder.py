@@ -193,3 +193,58 @@ class SoftDecoder(Decoder):
         super().__init__(batch)
         self._state = init_soft_decoder_state(batch)
         self._step = jax.jit(soft_decode_field)
+
+
+class NtscDecoderState(NamedTuple):
+    """Comb-path carried state: 16-state partial-response path metrics."""
+
+    prev_il: jnp.ndarray   # (B, 64584) uint8
+    z2_prev: jnp.ndarray   # (B, 12) int32
+    metrics: jnp.ndarray   # (B, 12, 16) float32 PR path metrics
+
+
+def init_ntsc_decoder_state(batch: int) -> NtscDecoderState:
+    from atsc_tpu.ops.ntsc import init_pr_metrics
+
+    hard = init_decoder_state(batch)
+    return NtscDecoderState(
+        prev_il=hard.prev_il, z2_prev=hard.z2_prev,
+        metrics=init_pr_metrics(batch),
+    )
+
+
+def ntsc_decode_field(
+    state: NtscDecoderState, levels: jnp.ndarray
+) -> tuple[NtscDecoderState, jnp.ndarray, jnp.ndarray]:
+    """NTSC-rejection twin of soft_decode_field: 12-symbol comb filter +
+    16-state partial-response Viterbi (ops/ntsc.py) — use on captures
+    with analog co-channel interference, which the comb nulls at the
+    ~3 dB white-noise cost the code was designed to absorb.
+
+    levels: (B, >=260416) float32 equalized soft levels (pilot offset
+    included, NOT sliced). Same returns/latency as decode_field.
+    """
+    from atsc_tpu.ops.ntsc import comb_field, viterbi_pr_decode_field
+
+    y = decommutate_field(comb_field(levels.astype(jnp.float32)))
+    bytes_enc, z2_new, metrics = viterbi_pr_decode_field(
+        y, state.z2_prev, state.metrics
+    )
+    cur_il = enc_major_to_round_major(bytes_enc)
+    rs = deinterleave_field(cur_il, state.prev_il)
+    codewords = rs.reshape(rs.shape[0], P.DATA_SEGMENTS, P.SEGMENT_FEC_BYTES)
+    syn = syndrome_field(codewords)
+    new_state = NtscDecoderState(
+        prev_il=cur_il, z2_prev=z2_new, metrics=metrics
+    )
+    return new_state, codewords, syn
+
+
+class NtscDecoder(Decoder):
+    """Decoder for NTSC co-channel-impaired captures: soft levels in,
+    comb-filtered 15-level partial-response ML trellis decoding."""
+
+    def __init__(self, batch: int = 1):
+        super().__init__(batch)
+        self._state = init_ntsc_decoder_state(batch)
+        self._step = jax.jit(ntsc_decode_field)

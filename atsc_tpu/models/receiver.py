@@ -589,7 +589,8 @@ class IqReceiver:
                  margin: int | None = None, backend: str = "device",
                  forgetting: float = 1.0, ridge: float = 1e-4,
                  trellis: str = "hard", erasures: str | None = None,
-                 wire_format: str = "cf32", eq_profile: str = "auto"):
+                 wire_format: str = "cf32", eq_profile: str = "auto",
+                 ntsc: str | None = None):
         if backend not in ("device", "numpy", "adaptive"):
             raise ValueError(f"unknown equalizer backend {backend!r}")
         if eq_profile != "auto" and eq_profile not in EQ_PROFILES:
@@ -598,6 +599,12 @@ class IqReceiver:
             raise ValueError(f"unknown trellis mode {trellis!r}")
         if erasures not in (None, "burst"):
             raise ValueError(f"unknown erasure mode {erasures!r}")
+        if ntsc not in (None, "comb", "auto"):
+            raise ValueError(f"unknown ntsc mode {ntsc!r}")
+        if ntsc is not None and erasures is not None:
+            raise ValueError("ntsc rejection and burst erasures are "
+                             "mutually exclusive (the burst detector "
+                             "assumes the plain 8-level slicer)")
         if wire_format not in ("cf32", "cs16", "cs8"):
             raise ValueError(f"unknown wire format {wire_format!r}")
         if wire_format != "cf32" and backend != "device":
@@ -634,7 +641,15 @@ class IqReceiver:
                 batch=batch, forgetting=forgetting, ridge=ridge,
                 apply_precision=EQ_PROFILES[resolved][1],
             )
-        if trellis == "soft":
+        self.ntsc = ntsc
+        # "auto" decides from the first field's levels (detect_ntsc),
+        # before any decoder state exists, then sticks
+        self._ntsc_pending = ntsc == "auto"
+        self.ntsc_active = ntsc == "comb"
+        if self.ntsc_active:
+            from atsc_tpu.models.decoder import NtscDecoder
+            self._decoder = NtscDecoder(batch=batch)
+        elif trellis == "soft":
             from atsc_tpu.models.decoder import SoftDecoder
             self._decoder = SoftDecoder(batch=batch)
         else:
@@ -655,7 +670,8 @@ class IqReceiver:
             if self._stream.end < need:
                 break
             soft = self.trellis == "soft"
-            want_levels = soft or self.erasures is not None
+            want_levels = (soft or self.erasures is not None
+                           or self._ntsc_pending or self.ntsc_active)
             if self.backend == "numpy":
                 lo, hi = g0 - self.margin, g0 + _N + self.margin
                 w = self._stream.window(lo, hi)
@@ -684,6 +700,13 @@ class IqReceiver:
                     step = _device_eq_step(want_levels, self._dequant,
                                            self.eq_profile)
                     field = step(jnp.asarray(win), jnp.asarray(osc))
+            if self._ntsc_pending:
+                from atsc_tpu.ops.ntsc import detect_ntsc
+                self._ntsc_pending = False
+                if detect_ntsc(np.asarray(field)):
+                    from atsc_tpu.models.decoder import NtscDecoder
+                    self._decoder = NtscDecoder(batch=self.batch)
+                    self.ntsc_active = True
             flags = None
             if self.erasures is not None:
                 from atsc_tpu.ops.erasures import burst_erasure_flags
@@ -691,6 +714,10 @@ class IqReceiver:
                 flags = burst_erasure_flags(levels)
                 if not soft:  # detector consumed the levels; decoder
                     field = slice_levels(levels)  # still wants hard symbols
+            elif not soft and want_levels and not self.ntsc_active:
+                # ntsc auto-detection rejected the comb: the hard-path
+                # decoder still wants sliced symbols
+                field = slice_levels(np.asarray(field))
             corrected = self._decoder.segments_corrected
             uncorrectable = self._decoder.segments_uncorrectable
             assisted = self._decoder.segments_erasure_assisted

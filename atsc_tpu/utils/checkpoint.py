@@ -39,7 +39,7 @@ def load_state(path: str) -> tuple[EncoderState, int]:
 # -- receiver checkpoints -----------------------------------------------
 
 _RX_CONFIG = ("batch", "first_field", "backend", "trellis", "erasures",
-              "wire_format", "eq_profile")
+              "wire_format", "eq_profile", "ntsc")
 
 
 def save_receiver(path: str, rx) -> None:
@@ -59,6 +59,9 @@ def save_receiver(path: str, rx) -> None:
         "rs_stats": np.asarray(
             [dec.segments_corrected, dec.segments_uncorrectable,
              dec.segments_erasure_assisted], dtype=np.int64,
+        ),
+        "ntsc_flags": np.asarray(
+            [rx._ntsc_pending, rx.ntsc_active]
         ),
     }
     if hasattr(dec._state, "metrics"):          # soft (Viterbi) decoder
@@ -88,7 +91,15 @@ def load_receiver(path: str):
         backend=cfg["backend"], trellis=cfg["trellis"],
         erasures=None if cfg["erasures"] == "None" else cfg["erasures"],
         wire_format=cfg["wire_format"], eq_profile=cfg["eq_profile"],
+        ntsc=None if cfg.get("ntsc", "None") == "None" else cfg["ntsc"],
     )
+    if "ntsc_flags" in z:
+        rx._ntsc_pending = bool(z["ntsc_flags"][0])
+        was_active = bool(z["ntsc_flags"][1])
+        if was_active and not rx.ntsc_active:  # auto-detected comb mode
+            from atsc_tpu.models.decoder import NtscDecoder
+            rx._decoder = NtscDecoder(batch=rx.batch)
+        rx.ntsc_active = was_active
     rx._next_field = int(z["next_field"])
     rx._primed = bool(z["primed"])
     base = int(z["stream_base"])
