@@ -49,6 +49,12 @@ def build_argparser() -> argparse.ArgumentParser:
                          "'soapy[:driver]' for SDR transmit")
     ap.add_argument("-c", "--channels", type=int, default=1,
                     help="encode the stream as N parallel channels")
+    ap.add_argument("--mesh", default=None, metavar="TIMExCH",
+                    help="multi-device encode over a jax mesh, e.g. '4x2' = "
+                         "4 field time-block shards x 2 channel shards "
+                         "(consecutive fields across devices with O(1) "
+                         "state exchange; channels must divide CH). "
+                         "Default: single-device batch")
     ap.add_argument("--fields-per-step", type=int, default=8)
     ap.add_argument("--realtime", action="store_true",
                     help="pace output to the 10.762238 MHz sample clock")
@@ -123,16 +129,38 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
                             gain_db=cfg.gain_db, stream_format=cfg.out_format)
     else:
         sink = IqSink(cfg.sink, pace_bytes_per_sec=pace)
-    enc = Encoder(batch=cfg.channels, out_format=cfg.out_format)
+    meshed = cfg.n_time * cfg.n_ch > 1
+    if meshed:
+        if cfg.out_format != "cf32":
+            raise ValueError("--mesh currently emits cf32 only")
+        import jax
+
+        from atsc_tpu.parallel.field_shard import ShardedEncoder
+        from atsc_tpu.parallel.mesh import make_mesh
+
+        f_dev = max(1, cfg.fields_per_step // cfg.n_time)
+        enc = ShardedEncoder(
+            make_mesh(cfg.n_time, cfg.n_ch), batch=cfg.channels,
+            fields_per_device=f_dev,
+        )
+        state = enc.init_state()
+        t_total = enc.t_total
+    else:
+        enc = Encoder(batch=cfg.channels, out_format=cfg.out_format)
+        t_total = cfg.fields_per_step
     meter = ThroughputMeter(channels=cfg.channels)
 
     field_bytes = P.FIELD_TS_BYTES
-    step_bytes = field_bytes * cfg.fields_per_step
+    step_bytes = field_bytes * t_total
     fields_done = 0
     if resume:
         if not checkpoint:
             raise ValueError("--resume requires --checkpoint")
-        enc.state, fields_done = load_state(checkpoint)
+        loaded, fields_done = load_state(checkpoint)
+        if meshed:
+            state = jax.device_put(loaded, enc.state_sharding)
+        else:
+            enc.state = loaded
         # file inputs: skip the already-encoded prefix of each stream
         skip = fields_done * field_bytes
         for r in readers:
@@ -143,6 +171,7 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
                     break
                 left -= len(got)
     last_saved = fields_done
+    state_clean = True   # meshed: state has not advanced past pad fields
     try:
         with (profile(profile_dir) if profile_dir
               else contextlib.nullcontext()):
@@ -154,19 +183,36 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
                     ts = np.broadcast_to(
                         ts, (whole, cfg.channels, field_bytes)
                     )
-                # per-field dispatch (a scanned multi-field step pays an
-                # extra device copy of the stacked IQ — see PERF.md)
-                for f in range(whole):
-                    out = np.asarray(enc.encode(ts[f]))
-                    if isinstance(sink, IqSink):
-                        # planar handoff: native sink interleaves off-GIL
-                        sink.write_planar(out, P.SYMBOLS_PER_FIELD)
-                    else:
-                        sink.write(iq_interleave(out))
+                if meshed:
+                    if whole < t_total:   # zero-pad the EOF tail step
+                        ts = np.concatenate([
+                            ts, np.zeros((t_total - whole, cfg.channels,
+                                          field_bytes), np.uint8),
+                        ])
+                        state_clean = False
+                    state, iq = enc.step(state, ts)
+                    iq_np = np.asarray(iq)     # (T, B, 2, PADDED_OUT)
+                    for f in range(whole):
+                        if isinstance(sink, IqSink):
+                            sink.write_planar(iq_np[f], P.SYMBOLS_PER_FIELD)
+                        else:
+                            sink.write(iq_interleave(iq_np[f]))
+                else:
+                    # per-field dispatch (a scanned multi-field step pays an
+                    # extra device copy of the stacked IQ — see PERF.md)
+                    for f in range(whole):
+                        out = np.asarray(enc.encode(ts[f]))
+                        if isinstance(sink, IqSink):
+                            # planar handoff: native sink interleaves off-GIL
+                            sink.write_planar(out, P.SYMBOLS_PER_FIELD)
+                        else:
+                            sink.write(iq_interleave(out))
                 meter.add_fields(whole * cfg.channels)
                 fields_done += whole
-                if checkpoint and fields_done - last_saved >= checkpoint_every:
-                    save_state(checkpoint, enc.state, fields_done)
+                if (checkpoint and state_clean
+                        and fields_done - last_saved >= checkpoint_every):
+                    save_state(checkpoint,
+                               state if meshed else enc.state, fields_done)
                     last_saved = fields_done
                 if max_fields and meter.fields >= max_fields * cfg.channels:
                     break
@@ -174,8 +220,8 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
         for r in readers:
             r.close()
         sink.close()
-    if checkpoint and fields_done != last_saved:
-        save_state(checkpoint, enc.state, fields_done)
+    if checkpoint and fields_done != last_saved and state_clean:
+        save_state(checkpoint, state if meshed else enc.state, fields_done)
 
     summary = meter.summary()
     if stats:
@@ -483,9 +529,19 @@ def main(argv=None) -> int:
                   f"{channels}", file=sys.stderr)
             return 2
         channels = len(args.input)
+    n_time = n_ch = 1
+    if args.mesh:
+        try:
+            n_time, n_ch = (int(v) for v in args.mesh.lower().split("x"))
+        except ValueError:
+            print(f"error: --mesh wants TIMExCH (e.g. 4x2), got "
+                  f"{args.mesh!r}", file=sys.stderr)
+            return 2
     cfg = EncoderConfig(
         channels=channels,
         fields_per_step=args.fields_per_step,
+        n_time=n_time,
+        n_ch=n_ch,
         sink=args.output,
         realtime=args.realtime,
         out_format=args.out_format,

@@ -212,3 +212,29 @@ def test_cli_checkpoint_resume(golden, tmp_path):
                  "--checkpoint", str(ck)]) == 0
     got = p1.read_bytes() + p2.read_bytes()
     assert got == full.read_bytes()
+
+
+def test_cli_mesh_encode_matches_golden(golden, tmp_path):
+    """`--mesh TxC` routes the CLI through the multi-device sharded
+    encoder; output must match the golden IQ like the single-device path
+    (incl. a zero-padded EOF tail step)."""
+    from atsc_tpu.cli import main
+
+    ts_path = tmp_path / "in.ts"
+    ts_path.write_bytes(golden["input"].reshape(-1).tobytes())
+
+    out = tmp_path / "mesh.iq"
+    assert main([str(ts_path), "-o", str(out), "--mesh", "2x1",
+                 "--fields-per-step", "4"]) == 0
+    iq = np.fromfile(out, np.float32).reshape(4, P.SYMBOLS_PER_FIELD, 2)
+    got = (iq[..., 0] + 1j * iq[..., 1]).astype(np.complex64)
+    assert np.abs(got - golden["iq"]).max() < 5e-6
+
+    # channels over the ch axis + a tail step that needs padding
+    out2 = tmp_path / "mesh2.iq"
+    assert main([str(ts_path), "-o", str(out2), "--mesh", "2x2",
+                 "--channels", "2", "--fields-per-step", "6"]) == 0
+    iq2 = np.fromfile(out2, np.float32).reshape(4, 2, P.SYMBOLS_PER_FIELD, 2)
+    got2 = (iq2[..., 0] + 1j * iq2[..., 1]).astype(np.complex64)
+    for ch in range(2):
+        assert np.abs(got2[:, ch] - golden["iq"]).max() < 5e-6
