@@ -189,10 +189,12 @@ def _wl_eq_taps(eq_k: int = _EQ_K) -> tuple[np.ndarray, np.ndarray]:
     return p[k].astype(np.float32), q[k].astype(np.float32)
 
 
-@functools.lru_cache(maxsize=16)
-def _device_eq_step(soft: bool = False, dequant: float = 1.0,
-                    profile: str = "auto"):
-    """dequant: extra multiplier folded into the derotation constant —
+def _eq_step_fn(soft: bool = False, dequant: float = 1.0,
+                profile: str = "auto"):
+    """Pure (unjitted) device equalizer step — also traced inside
+    shard_map by parallel/rx_shard.py's multi-device receiver.
+
+    dequant: extra multiplier folded into the derotation constant —
     pass 1/quantize_scale(fmt) to accept raw cs16/cs8 integer-code
     windows (the cast fuses; quantized H2D is 2-4x smaller).
     profile: EQ_PROFILES key ("auto" = DEFAULT_EQ_PROFILE)."""
@@ -227,7 +229,13 @@ def _device_eq_step(soft: bool = False, dequant: float = 1.0,
         sym = jnp.round((lev - P.PILOT_OFFSET + 7.0) * 0.5)
         return jnp.clip(sym, 0, 7).astype(jnp.int8)
 
-    return jax.jit(step)
+    return step
+
+
+@functools.lru_cache(maxsize=16)
+def _device_eq_step(soft: bool = False, dequant: float = 1.0,
+                    profile: str = "auto"):
+    return jax.jit(_eq_step_fn(soft, dequant, profile))
 
 
 def _osc_planar(lo: int, hi: int, first_field: int) -> np.ndarray:

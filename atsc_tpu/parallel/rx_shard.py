@@ -46,7 +46,7 @@ from atsc_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
 
 
 def _local_step(state: DecoderState, fields: jnp.ndarray):
-    """Per-device body (runs under shard_map).
+    """Per-device decode body (runs under shard_map).
 
     fields: (F, b, >=260416) int8 local received fields; state leaves are
     (b, ...) local channel shards, replicated over the time axis.
@@ -165,9 +165,125 @@ class ShardedDecoder:
         return ts, n_errors
 
 
+class ShardedReceiver:
+    """Full multi-device receive chain: planar IQ in, TS out.
+
+    Each device equalizes its own fields locally (the +-384-sample window
+    context is supplied host-side in the overlapping windows — the
+    equalizer needs no collectives at all) and then runs the sharded
+    decode body above; the only cross-device traffic remains the two O(1)
+    ring permutes. The hard-decision ZF path only (the high-throughput
+    sample-synchronous configuration); conditioned captures go through
+    IqReceiver's richer host loop.
+    """
+
+    def __init__(self, mesh: Mesh, batch: int, fields_per_device: int = 1,
+                 first_field: int = 0, eq_profile: str = "auto"):
+        from atsc_tpu.models.receiver import _DEV_MARGIN, _eq_step_fn
+
+        self.mesh = mesh
+        self.batch = batch
+        self.n_time = mesh.shape[TIME_AXIS]
+        self.n_ch = mesh.shape[CH_AXIS]
+        self.t_total = self.n_time * fields_per_device
+        assert batch % self.n_ch == 0
+        self.window = P.SYMBOLS_PER_FIELD + 2 * _DEV_MARGIN
+        self._margin = _DEV_MARGIN
+        self._next_field = first_field       # oscillator epoch counter
+        self.segments_corrected = 0
+        self.segments_uncorrectable = 0
+
+        eq = _eq_step_fn(False, 1.0, eq_profile)
+
+        def body(state, wins, oscs):
+            # wins (F, b, 2, W) float32; oscs (F, 2, W) float32
+            fields = jax.vmap(eq)(wins, oscs)          # (F, b, N) int8
+            return _local_step(state, fields)
+
+        state_spec = DecoderState(
+            prev_il=PSpec(CH_AXIS, None), z2_prev=PSpec(CH_AXIS, None)
+        )
+        win_spec = PSpec(TIME_AXIS, CH_AXIS, None, None)
+        osc_spec = PSpec(TIME_AXIS, None, None)
+        cw_spec = PSpec(TIME_AXIS, CH_AXIS, None, None)
+        mapped = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(state_spec, win_spec, osc_spec),
+            out_specs=(state_spec, cw_spec, cw_spec),
+            check_vma=False,
+        )
+        self._step = jax.jit(mapped, donate_argnums=(0,))
+        self._derand = jax.jit(derandomize_field)
+        self.state_sharding = jax.tree.map(
+            lambda s: NamedSharding(mesh, s), state_spec,
+            is_leaf=lambda x: isinstance(x, PSpec),
+        )
+        self._win_sharding = NamedSharding(mesh, win_spec)
+        self._osc_sharding = NamedSharding(mesh, osc_spec)
+        self._state = jax.device_put(
+            init_decoder_state(batch), self.state_sharding
+        )
+
+    def decode_iq(
+        self, iq: np.ndarray, with_context: bool = False
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """iq: (B, T*260416) complex baseband — the next T = t_total
+        consecutive fields of the stream, field-aligned. With
+        with_context=True, iq instead carries 384 extra samples on each
+        side ((B, T*260416 + 768)) so the equalizer sees real context at
+        the step edges; otherwise edge context is zero-filled (the
+        resulting handful of boundary symbol errors deinterleave across
+        codewords and RS absorbs them). Returns (ts (T, B, 58656),
+        n_errors (T, B, 312)) with the usual one-field output latency."""
+        from atsc_tpu.models.receiver import _osc_planar, field_window
+
+        iq = np.atleast_2d(iq)
+        n = P.SYMBOLS_PER_FIELD
+        off = -self._margin if with_context else 0
+        assert iq.shape[1] == self.t_total * n - 2 * off, (
+            f"want exactly {self.t_total} fields of samples"
+            + (" + 2*384 context" if with_context else "")
+        )
+        wins = np.empty((self.t_total, iq.shape[0], 2, self.window),
+                        np.float32)
+        oscs = np.empty((self.t_total, 2, self.window), np.float32)
+        for f in range(self.t_total):
+            g0 = f * n
+            wins[f], _ = field_window(iq, g0, stream_offset=off)
+            # oscillator epoch: this step begins at absolute stream field
+            # _next_field, so field f's span is offset by that many fields
+            oscs[f] = _osc_planar(
+                g0 - self._margin, g0 + n + self._margin, self._next_field
+            )
+        self._next_field += self.t_total
+        wj = jax.device_put(jnp.asarray(wins), self._win_sharding)
+        oj = jax.device_put(jnp.asarray(oscs), self._osc_sharding)
+        self._state, codewords, syn = self._step(self._state, wj, oj)
+        return self._correct(codewords, syn)
+
+    def _correct(self, codewords, syn) -> tuple[np.ndarray, np.ndarray]:
+        t, b = codewords.shape[:2]
+        n_errors = np.zeros((t, b, P.DATA_SEGMENTS), dtype=np.int32)
+        dirty = np.asarray(jnp.any(syn != 0, axis=-1))
+        if dirty.any():
+            cw = np.array(codewords)
+            for k, ch, seg in zip(*np.nonzero(dirty)):
+                cw[k, ch, seg], nerr = correct_segment_np(cw[k, ch, seg])
+                n_errors[k, ch, seg] = nerr
+                if nerr > 0:
+                    self.segments_corrected += 1
+                elif nerr < 0:
+                    self.segments_uncorrectable += 1
+            codewords = jnp.asarray(cw)
+        flat = codewords.reshape(t * b, P.DATA_SEGMENTS, P.SEGMENT_FEC_BYTES)
+        ts = np.asarray(self._derand(flat)).reshape(t, b, P.FIELD_TS_BYTES)
+        return ts, n_errors
+
+
 def dryrun(n_devices: int) -> None:
     """Compile + run one full multi-chip decode step on an n_devices mesh
-    with both axes in use (time-block x channel sharding)."""
+    with both axes in use (time-block x channel sharding), for both the
+    symbol-field decoder and the IQ-in receive chain."""
     from atsc_tpu.parallel.mesh import make_mesh
 
     n_time = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
@@ -179,3 +295,7 @@ def dryrun(n_devices: int) -> None:
     )
     ts, nerr = dec.decode(fields)
     assert ts.shape == (dec.t_total, n_ch, P.FIELD_TS_BYTES)
+    rx = ShardedReceiver(mesh, batch=n_ch, fields_per_device=1)
+    iq = np.zeros((n_ch, rx.t_total * P.SYMBOLS_PER_FIELD), np.complex64)
+    ts, nerr = rx.decode_iq(iq)
+    assert ts.shape == (rx.t_total, n_ch, P.FIELD_TS_BYTES)

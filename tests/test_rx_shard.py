@@ -73,5 +73,63 @@ def test_rx_sharded_multi_step_with_errors():
         np.testing.assert_array_equal(got_ts[k], ts[k - 1])
 
 
+def test_sharded_receiver_matches_iq_receiver():
+    """Full device-parallel receive chain (eq + decode under shard_map):
+    with real edge context it must match the streaming IqReceiver's hard
+    path exactly, across two consecutive steps."""
+    from atsc_tpu.models.receiver import IqReceiver
+    from atsc_tpu.parallel.rx_shard import ShardedReceiver
+    from tests.test_receiver import _encode_iq
+
+    n_time, n_ch, f_dev = 2, 2, 1
+    t_total = n_time * f_dev
+    batch = n_ch
+    rng = np.random.default_rng(71)
+    ts = _random_ts(rng, 2 * t_total, batch)
+    iq = _encode_iq(ts)                      # (B, 4*260416) complex
+    n = P.SYMBOLS_PER_FIELD
+    m = 384
+
+    seq = IqReceiver(batch=batch)
+    want = seq.push(iq) + seq.flush()        # 2*t_total - 1 fields
+
+    mesh = make_mesh(n_time, n_ch)
+    rx = ShardedReceiver(mesh, batch=batch, fields_per_device=f_dev)
+    # step 1 with real right-context, zero left (stream start)
+    step1 = np.concatenate(
+        [np.zeros((batch, m), iq.dtype), iq[:, : t_total * n + m]], axis=1
+    )
+    ts_a, nerr_a = rx.decode_iq(step1, with_context=True)
+    # step 2: real left context, zero right (stream end)
+    step2 = np.concatenate(
+        [iq[:, t_total * n - m :], np.zeros((batch, m), iq.dtype)], axis=1
+    )
+    ts_b, nerr_b = rx.decode_iq(step2, with_context=True)
+    got = np.concatenate([ts_a, ts_b], axis=0)
+
+    # output k is TS field k-1 (field 0 of the step stream is the
+    # pre-start virtual field, matching IqReceiver's dropped first field)
+    for k in range(1, 2 * t_total):
+        np.testing.assert_array_equal(got[k], want[k - 1][0])
+        np.testing.assert_array_equal(got[k], ts[k - 1])
+
+
+def test_sharded_receiver_zero_context_still_decodes():
+    """Without edge context the boundary symbol errors deinterleave
+    across codewords and RS corrects them all."""
+    from atsc_tpu.parallel.rx_shard import ShardedReceiver
+    from tests.test_receiver import _encode_iq
+
+    n_time, n_ch = 2, 1
+    rng = np.random.default_rng(73)
+    ts = _random_ts(rng, 2, 1)
+    iq = _encode_iq(ts)
+    mesh = make_mesh(n_time, n_ch)
+    rx = ShardedReceiver(mesh, batch=1, fields_per_device=1)
+    got, nerr = rx.decode_iq(iq)
+    assert (nerr >= 0).all()                 # nothing uncorrectable
+    np.testing.assert_array_equal(got[1], ts[0])
+
+
 def test_rx_dryrun():
     dryrun(8)
