@@ -288,6 +288,13 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                          "(golden regression), 'fast' = +-128 taps at bf16 "
                          "(~0.03-level worst-case error vs the 1.0 slicing "
                          "margin; the production default)")
+    ap.add_argument("--viterbi-chunks", type=int, default=1,
+                    metavar="N",
+                    help="chunk-parallel Viterbi: decode each encoder "
+                         "stream as N independent chunks with 128-symbol "
+                         "warmup halos (N-times less sequential scan depth "
+                         "on the accelerator; byte-identical at operating "
+                         "SNRs; must divide 21528, e.g. 24). 1 = exact MLSE")
     ap.add_argument("--ntsc", default="off", choices=("off", "comb", "auto"),
                     help="analog NTSC co-channel interference rejection: "
                          "12-symbol comb filter (nulls every 897 kHz, near "
@@ -438,6 +445,7 @@ def run_decode(args) -> dict:
             wire_format=fmt if codes_path else "cf32",
             eq_profile=args.eq_profile,
             ntsc=None if args.ntsc == "off" else args.ntsc,
+            viterbi_chunks=args.viterbi_chunks,
         )
     fields = 0
     last_ckpt = 0

@@ -18,6 +18,7 @@ src/atsc/atsc.cpp:34).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -88,7 +89,7 @@ def init_soft_decoder_state(batch: int) -> SoftDecoderState:
 
 
 def soft_decode_field(
-    state: SoftDecoderState, levels: jnp.ndarray
+    state: SoftDecoderState, levels: jnp.ndarray, n_chunks: int = 1
 ) -> tuple[SoftDecoderState, jnp.ndarray, jnp.ndarray]:
     """Soft-decision twin of decode_field: maximum-likelihood trellis
     decoding (ops/viterbi.py) instead of hard slicing — ~3.5 dB of
@@ -96,12 +97,14 @@ def soft_decode_field(
 
     levels: (B, >=260416) float32 equalized soft levels (pilot offset
     included, NOT sliced). Same returns/latency as decode_field.
+    n_chunks > 1: chunk-parallel near-MLSE Viterbi (byte-identical at
+    operating SNRs, ~n_chunks-times less sequential scan depth).
     """
     from atsc_tpu.ops.viterbi import viterbi_decode_field
 
     soft = decommutate_field(levels.astype(jnp.float32))
     bytes_enc, z2_new, metrics = viterbi_decode_field(
-        soft, state.z2_prev, state.metrics
+        soft, state.z2_prev, state.metrics, n_chunks
     )
     cur_il = enc_major_to_round_major(bytes_enc)
     rs = deinterleave_field(cur_il, state.prev_il)
@@ -189,10 +192,12 @@ class SoftDecoder(Decoder):
     trellis stage runs maximum-likelihood (Viterbi) — use on noisy
     captures where hard slicing exceeds RS's 10-byte/segment budget."""
 
-    def __init__(self, batch: int = 1):
+    def __init__(self, batch: int = 1, viterbi_chunks: int = 1):
         super().__init__(batch)
         self._state = init_soft_decoder_state(batch)
-        self._step = jax.jit(soft_decode_field)
+        self._step = jax.jit(
+            functools.partial(soft_decode_field, n_chunks=viterbi_chunks)
+        )
 
 
 class NtscDecoderState(NamedTuple):
@@ -214,7 +219,7 @@ def init_ntsc_decoder_state(batch: int) -> NtscDecoderState:
 
 
 def ntsc_decode_field(
-    state: NtscDecoderState, levels: jnp.ndarray
+    state: NtscDecoderState, levels: jnp.ndarray, n_chunks: int = 1
 ) -> tuple[NtscDecoderState, jnp.ndarray, jnp.ndarray]:
     """NTSC-rejection twin of soft_decode_field: 12-symbol comb filter +
     16-state partial-response Viterbi (ops/ntsc.py) — use on captures
@@ -228,7 +233,7 @@ def ntsc_decode_field(
 
     y = decommutate_field(comb_field(levels.astype(jnp.float32)))
     bytes_enc, z2_new, metrics = viterbi_pr_decode_field(
-        y, state.z2_prev, state.metrics
+        y, state.z2_prev, state.metrics, n_chunks
     )
     cur_il = enc_major_to_round_major(bytes_enc)
     rs = deinterleave_field(cur_il, state.prev_il)
@@ -244,7 +249,9 @@ class NtscDecoder(Decoder):
     """Decoder for NTSC co-channel-impaired captures: soft levels in,
     comb-filtered 15-level partial-response ML trellis decoding."""
 
-    def __init__(self, batch: int = 1):
+    def __init__(self, batch: int = 1, viterbi_chunks: int = 1):
         super().__init__(batch)
         self._state = init_ntsc_decoder_state(batch)
-        self._step = jax.jit(ntsc_decode_field)
+        self._step = jax.jit(
+            functools.partial(ntsc_decode_field, n_chunks=viterbi_chunks)
+        )

@@ -598,7 +598,7 @@ class IqReceiver:
                  forgetting: float = 1.0, ridge: float = 1e-4,
                  trellis: str = "hard", erasures: str | None = None,
                  wire_format: str = "cf32", eq_profile: str = "auto",
-                 ntsc: str | None = None):
+                 ntsc: str | None = None, viterbi_chunks: int = 1):
         if backend not in ("device", "numpy", "adaptive"):
             raise ValueError(f"unknown equalizer backend {backend!r}")
         if eq_profile != "auto" and eq_profile not in EQ_PROFILES:
@@ -650,16 +650,19 @@ class IqReceiver:
                 apply_precision=EQ_PROFILES[resolved][1],
             )
         self.ntsc = ntsc
+        self.viterbi_chunks = viterbi_chunks
         # "auto" decides from the first field's levels (detect_ntsc),
         # before any decoder state exists, then sticks
         self._ntsc_pending = ntsc == "auto"
         self.ntsc_active = ntsc == "comb"
         if self.ntsc_active:
             from atsc_tpu.models.decoder import NtscDecoder
-            self._decoder = NtscDecoder(batch=batch)
+            self._decoder = NtscDecoder(batch=batch,
+                                        viterbi_chunks=viterbi_chunks)
         elif trellis == "soft":
             from atsc_tpu.models.decoder import SoftDecoder
-            self._decoder = SoftDecoder(batch=batch)
+            self._decoder = SoftDecoder(batch=batch,
+                                        viterbi_chunks=viterbi_chunks)
         else:
             self._decoder = Decoder(batch=batch)
         self._stream = _PlanarStream(batch, dtype=stream_dtype)
@@ -713,7 +716,10 @@ class IqReceiver:
                 self._ntsc_pending = False
                 if detect_ntsc(np.asarray(field)):
                     from atsc_tpu.models.decoder import NtscDecoder
-                    self._decoder = NtscDecoder(batch=self.batch)
+                    self._decoder = NtscDecoder(
+                        batch=self.batch,
+                        viterbi_chunks=self.viterbi_chunks,
+                    )
                     self.ntsc_active = True
             flags = None
             if self.erasures is not None:

@@ -131,19 +131,20 @@ def init_pr_metrics(batch: int) -> jnp.ndarray:
 
 
 def _pr_acs_step(metrics: jnp.ndarray, xs):
-    """metrics (B, 12, 16); xs = (y (B, 12), reset (12,), const (12,))."""
+    """metrics (B, 12[, C], 16); xs = (y (B, 12[, C]), reset (12[, C],),
+    const (12[, C],)) — broadcast-generic so the chunked driver can add
+    a chunk axis."""
     y, reset, const = xs
     lv, _, pred_idx, prev_lev = _pr_tables()
     m_pred = jnp.take(metrics, jnp.asarray(pred_idx).reshape(-1), axis=-1)
-    m_pred = m_pred.reshape(*metrics.shape[:-1], 16, 4)    # (B, 12, 16, 4)
+    m_pred = m_pred.reshape(*metrics.shape[:-1], 16, 4)  # (B, 12[, C], 16, 4)
     # delayed-reference level: the predecessor-state symbol, or the known
     # segment-sync constant at reset steps (same for all 4 hypotheses)
     prev_term = jnp.where(
-        reset[:, None, None], const[:, None, None],
-        jnp.asarray(prev_lev)[None, :, :],
-    )                                                       # (12, 16, 4)
-    bm = (y[..., None, None] - jnp.asarray(lv)[None, None, :, None]
-          + prev_term[None]) ** 2
+        reset[..., None, None], const[..., None, None],
+        jnp.asarray(prev_lev),
+    )                                                    # (12[, C], 16, 4)
+    bm = (y[..., None, None] - jnp.asarray(lv)[:, None] + prev_term) ** 2
     cand = m_pred + bm
     h_prev = jnp.argmin(cand, axis=-1)
     new_m = jnp.min(cand, axis=-1)
@@ -165,35 +166,54 @@ def _pr_traceback_step(state: jnp.ndarray, dec: jnp.ndarray):
 
 
 def viterbi_pr_bits(
-    y: jnp.ndarray, metrics: jnp.ndarray
+    y: jnp.ndarray, metrics: jnp.ndarray, n_chunks: int = 1,
+    warmup: int = 128,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """MLSE over one field of combed observations.
 
     y: (B, 12, 21528) float32 encoder-major comb outputs; metrics:
     (B, 12, 16) carried combined-state path metrics.
     Returns (x1, z2 (B, 12, 21528) int32, new metrics).
+    n_chunks > 1: chunk-parallel near-MLSE (ops.viterbi.viterbi_bits).
     """
     reset, const = _pr_reset_tables()
-    obs_t = jnp.moveaxis(y, -1, 0)                         # (T, B, 12)
-    xs = (obs_t, jnp.asarray(reset), jnp.asarray(const))
-    new_metrics, decs = jax.lax.scan(_pr_acs_step, metrics, xs)
-    start = jnp.argmin(new_metrics, axis=-1).astype(jnp.int32)
-    _, (x1_t, z2_t) = jax.lax.scan(_pr_traceback_step, start, decs,
-                                   reverse=True)
-    return (
-        jnp.moveaxis(x1_t, 0, -1),
-        jnp.moveaxis(z2_t, 0, -1),
-        new_metrics,
+    if n_chunks <= 1:
+        obs_t = jnp.moveaxis(y, -1, 0)                     # (T, B, 12)
+        xs = (obs_t, jnp.asarray(reset), jnp.asarray(const))
+        new_metrics, decs = jax.lax.scan(_pr_acs_step, metrics, xs)
+        start = jnp.argmin(new_metrics, axis=-1).astype(jnp.int32)
+        _, (x1_t, z2_t) = jax.lax.scan(_pr_traceback_step, start, decs,
+                                       reverse=True)
+        return (
+            jnp.moveaxis(x1_t, 0, -1),
+            jnp.moveaxis(z2_t, 0, -1),
+            new_metrics,
+        )
+    from atsc_tpu.ops.viterbi import _chunked_mlse
+
+    b = y.shape[0]
+    m0 = jnp.full((b, P.TRELLIS_ENCODERS, n_chunks, 16), 0.0, jnp.float32)
+    m0 = m0.at[:, :, 0, :].set(metrics)
+    # per-step tables arrive as (C, 12); the step wants (12, C)
+    step = lambda m, xs: _pr_acs_step(  # noqa: E731
+        m, (xs[0], jnp.swapaxes(xs[1], 0, 1), jnp.swapaxes(xs[2], 0, 1))
     )
+    (x1, z2), new_metrics = _chunked_mlse(
+        step, _pr_traceback_step,
+        (y, jnp.asarray(reset), jnp.asarray(const)),
+        m0, 16, n_chunks, warmup, _NSYM,
+    )
+    return x1, z2, new_metrics
 
 
 def viterbi_pr_decode_field(
-    y: jnp.ndarray, z2_prev: jnp.ndarray, metrics: jnp.ndarray
+    y: jnp.ndarray, z2_prev: jnp.ndarray, metrics: jnp.ndarray,
+    n_chunks: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """PR twin of ops.viterbi.viterbi_decode_field: combed observations
     in, trellis bytes out. Returns (bytes (B, 12, 5382) uint8, new
     z2_prev (B, 12) int32, new metrics (B, 12, 16))."""
-    x1, z2, new_metrics = viterbi_pr_bits(y, metrics)
+    x1, z2, new_metrics = viterbi_pr_bits(y, metrics, n_chunks)
     z2_shifted = jnp.concatenate([z2_prev[..., None], z2[..., :-1]], axis=-1)
     x2 = z2 ^ z2_shifted
     return pack_trellis_bytes(x2, x1), z2[..., -1], new_metrics

@@ -94,8 +94,54 @@ def _traceback_step(state: jnp.ndarray, dec: jnp.ndarray):
     return pred, (x1, z2)
 
 
+def _chunk_plan(t: int, n_chunks: int, warmup: int):
+    """Static chunking layout: n_chunks equal windows of length
+    L + 2*warmup, clamped inside [0, t) (so the first window has no left
+    warmup and the last has a doubled one), plus the per-chunk offset of
+    the kept L-symbol region inside its window."""
+    assert t % n_chunks == 0, f"{n_chunks} chunks must divide {t}"
+    length = t // n_chunks
+    w = length + 2 * warmup
+    assert w <= t, "warmup too large for this chunk count"
+    starts = np.clip(np.arange(n_chunks) * length - warmup, 0, t - w)
+    offs = np.arange(n_chunks) * length - starts
+    return length, w, starts, offs
+
+
+def _chunked_mlse(step, traceback, obs_xs, metrics, flat_metric_shape,
+                  n_chunks: int, warmup: int, t: int):
+    """Shared chunked-MLSE driver: windows the per-step scan inputs,
+    runs ACS + traceback vectorized over the chunk axis, and re-
+    assembles the kept regions.
+
+    obs_xs: tuple of per-step arrays; element 0 is the (B, 12, T)
+    observations (windowed over batch dims), the rest are (T, ...) step
+    tables (windowed over the leading axis). Returns (bits tuple, new
+    metrics from the last chunk's exact tail).
+    """
+    length, w, starts, offs = _chunk_plan(t, n_chunks, warmup)
+    idx = jnp.asarray((starts[:, None] + np.arange(w)).astype(np.int32))
+    obs = jnp.take(obs_xs[0], idx, axis=-1)          # (B, 12, C, W)
+    xs = (jnp.moveaxis(obs, -1, 0),)                 # (W, B, 12, C)
+    for extra in obs_xs[1:]:                         # (T, ...) tables
+        win = jnp.take(extra, idx, axis=0)           # (C, W, ...)
+        xs += (jnp.moveaxis(win, 1, 0),)             # (W, C, ...)
+    final, decs = jax.lax.scan(step, metrics, xs)
+    start = jnp.argmin(final, axis=-1).astype(jnp.int32)
+    _, bits_t = jax.lax.scan(traceback, start, decs, reverse=True)
+    out = []
+    for bt in bits_t:
+        b = jnp.moveaxis(bt, 0, -1)                  # (B, 12, C, W)
+        out.append(jnp.concatenate(
+            [b[:, :, c, offs[c] : offs[c] + length]
+             for c in range(n_chunks)], axis=-1,
+        ))
+    return tuple(out), final[:, :, -1, :]
+
+
 def viterbi_bits(
-    levels: jnp.ndarray, metrics: jnp.ndarray
+    levels: jnp.ndarray, metrics: jnp.ndarray, n_chunks: int = 1,
+    warmup: int = 128,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """MLSE over one field of soft levels.
 
@@ -103,18 +149,36 @@ def viterbi_bits(
     included); metrics: (B, 12, 4) carried path metrics.
     Returns (x1 (B, 12, 21528) int32, z2 (B, 12, 21528) int32,
     new metrics (B, 12, 4)).
+
+    n_chunks > 1 trades exact MLSE for ~n_chunks-times less sequential
+    scan depth (the TPU bottleneck — the per-step work is tiny): chunks
+    decode independently, vectorized over a chunk axis, each warmed up
+    on `warmup` symbols of left context (~4x the survivor-merge depth)
+    before its kept region. Chunk 0 keeps the carried metrics, so the
+    field head and the cross-field state stay exact; interior chunk
+    seams converge to the MLSE path within the warmup whp, and RS
+    absorbs the rare disagreement.
     """
-    obs_t = jnp.moveaxis(levels, -1, 0)              # (T, B, 12)
-    new_metrics, decs = jax.lax.scan(_acs_step, metrics, obs_t)
-    start = jnp.argmin(new_metrics, axis=-1).astype(jnp.int32)
-    _, (x1_t, z2_t) = jax.lax.scan(
-        _traceback_step, start, decs, reverse=True
+    if n_chunks <= 1:
+        obs_t = jnp.moveaxis(levels, -1, 0)          # (T, B, 12)
+        new_metrics, decs = jax.lax.scan(_acs_step, metrics, obs_t)
+        start = jnp.argmin(new_metrics, axis=-1).astype(jnp.int32)
+        _, (x1_t, z2_t) = jax.lax.scan(
+            _traceback_step, start, decs, reverse=True
+        )
+        return (
+            jnp.moveaxis(x1_t, 0, -1),
+            jnp.moveaxis(z2_t, 0, -1),
+            new_metrics,
+        )
+    b = levels.shape[0]
+    m0 = jnp.zeros((b, P.TRELLIS_ENCODERS, n_chunks, 4), jnp.float32)
+    m0 = m0.at[:, :, 0, :].set(metrics)              # flat init elsewhere
+    (x1, z2), new_metrics = _chunked_mlse(
+        lambda m, xs: _acs_step(m, xs[0]), _traceback_step,
+        (levels,), m0, 4, n_chunks, warmup, _NSYM,
     )
-    return (
-        jnp.moveaxis(x1_t, 0, -1),
-        jnp.moveaxis(z2_t, 0, -1),
-        new_metrics,
-    )
+    return x1, z2, new_metrics
 
 
 def pack_trellis_bytes(x2: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
@@ -129,16 +193,17 @@ def pack_trellis_bytes(x2: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
 
 
 def viterbi_decode_field(
-    levels: jnp.ndarray, z2_prev: jnp.ndarray, metrics: jnp.ndarray
+    levels: jnp.ndarray, z2_prev: jnp.ndarray, metrics: jnp.ndarray,
+    n_chunks: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Soft-decision twin of ops.decode.trellis_decode_field.
 
     levels: (B, 12, 21528) float32 soft levels; z2_prev: (B, 12) int32
     differential-precoder state; metrics: (B, 12, 4) carried path
     metrics. Returns (bytes (B, 12, 5382) uint8, new z2_prev, new
-    metrics).
+    metrics). n_chunks > 1: chunk-parallel near-MLSE (see viterbi_bits).
     """
-    x1, z2, new_metrics = viterbi_bits(levels, metrics)
+    x1, z2, new_metrics = viterbi_bits(levels, metrics, n_chunks)
     z2_shifted = jnp.concatenate([z2_prev[..., None], z2[..., :-1]], axis=-1)
     x2 = z2 ^ z2_shifted
     return pack_trellis_bytes(x2, x1), z2[..., -1], new_metrics

@@ -39,7 +39,7 @@ def load_state(path: str) -> tuple[EncoderState, int]:
 # -- receiver checkpoints -----------------------------------------------
 
 _RX_CONFIG = ("batch", "first_field", "backend", "trellis", "erasures",
-              "wire_format", "eq_profile", "ntsc")
+              "wire_format", "eq_profile", "ntsc", "viterbi_chunks")
 
 
 def save_receiver(path: str, rx) -> None:
@@ -92,13 +92,15 @@ def load_receiver(path: str):
         erasures=None if cfg["erasures"] == "None" else cfg["erasures"],
         wire_format=cfg["wire_format"], eq_profile=cfg["eq_profile"],
         ntsc=None if cfg.get("ntsc", "None") == "None" else cfg["ntsc"],
+        viterbi_chunks=int(cfg.get("viterbi_chunks", "1")),
     )
     if "ntsc_flags" in z:
         rx._ntsc_pending = bool(z["ntsc_flags"][0])
         was_active = bool(z["ntsc_flags"][1])
         if was_active and not rx.ntsc_active:  # auto-detected comb mode
             from atsc_tpu.models.decoder import NtscDecoder
-            rx._decoder = NtscDecoder(batch=rx.batch)
+            rx._decoder = NtscDecoder(batch=rx.batch,
+                                      viterbi_chunks=rx.viterbi_chunks)
         rx.ntsc_active = was_active
     rx._next_field = int(z["next_field"])
     rx._primed = bool(z["primed"])

@@ -88,3 +88,48 @@ def test_viterbi_coding_gain_over_hard_slicing():
         if k > 0:
             np.testing.assert_array_equal(out, ts[k - 1])
     assert soft.segments_corrected > 0  # RS really was needed
+
+
+def test_chunked_viterbi_matches_full():
+    """Chunk-parallel Viterbi (independent chunks + warmup halos) must
+    produce byte-identical decodes to the full-sequence MLSE on clean
+    symbols and at 14 dB SNR, for both the plain and the partial-response
+    (NTSC comb) trellises, including carried state across fields."""
+    import jax.numpy as jnp
+
+    from atsc_tpu.ops.decode import decommutate_field
+    from atsc_tpu.ops.ntsc import (
+        comb_field,
+        init_pr_metrics,
+        viterbi_pr_decode_field,
+    )
+    from atsc_tpu.ops.viterbi import init_metrics, viterbi_decode_field
+
+    rng = np.random.default_rng(101)
+    ts = _random_ts(rng, 2, 2)
+    fields = _encode_symbol_fields(ts)
+    b = fields.shape[1]
+
+    for snr_db in (None, 14.0):
+        zf = jnp.zeros((b, 12), jnp.int32)
+        zc = jnp.zeros((b, 12), jnp.int32)
+        zpf = jnp.zeros((b, 12), jnp.int32)
+        zpc = jnp.zeros((b, 12), jnp.int32)
+        mf, mc = init_metrics(b), init_metrics(b)
+        mpf, mpc = init_pr_metrics(b), init_pr_metrics(b)
+        for k in range(fields.shape[0]):
+            lev = fields[k].astype(np.float64) * 2 - 7 + P.PILOT_OFFSET
+            if snr_db is not None:
+                sig = np.mean((fields[k] * 2 - 7.0) ** 2)
+                lev = lev + rng.normal(
+                    0, np.sqrt(sig / 10 ** (snr_db / 10)), lev.shape
+                )
+            levj = jnp.asarray(lev.astype(np.float32))
+            soft = decommutate_field(levj)
+            bf, zf, mf = viterbi_decode_field(soft, zf, mf)
+            bc, zc, mc = viterbi_decode_field(soft, zc, mc, n_chunks=24)
+            np.testing.assert_array_equal(np.asarray(bf), np.asarray(bc))
+            y = decommutate_field(comb_field(levj))
+            bpf, zpf, mpf = viterbi_pr_decode_field(y, zpf, mpf)
+            bpc, zpc, mpc = viterbi_pr_decode_field(y, zpc, mpc, n_chunks=24)
+            np.testing.assert_array_equal(np.asarray(bpf), np.asarray(bpc))

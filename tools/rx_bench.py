@@ -47,6 +47,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--fields", type=int, default=3)
     ap.add_argument("--mode", default="hard", choices=("hard", "soft"))
+    ap.add_argument("--chunks", type=int, default=1,
+                    help="soft mode: chunk-parallel Viterbi (ops/viterbi.py)")
     ap.add_argument("--eq-profile", default="auto",
                     choices=("auto", "exact", "fast"),
                     help="ZF equalizer tier (models/receiver.py EQ_PROFILES)")
@@ -93,7 +95,8 @@ def main() -> None:
     # -- probe 2: decoder device core (decommutate+trellis+deinterleave
     #    +syndromes) ------------------------------------------------------
     from atsc_tpu.models.decoder import Decoder, SoftDecoder
-    dec = SoftDecoder(batch=b) if soft else Decoder(batch=b)
+    dec = (SoftDecoder(batch=b, viterbi_chunks=args.chunks) if soft
+           else Decoder(batch=b))
     field = np.asarray(step(winj, oscj))
     fj = jnp.asarray(field)
     st, cw, syn = dec._step(dec._state, fj)
@@ -102,8 +105,9 @@ def main() -> None:
     for _ in range(args.iters):
         st, cw, syn = dec._step(dec._state, fj)
     float(jnp.sum(syn.astype(jnp.float32)))
-    _report(f"decoder_step_{args.mode}", b, time.perf_counter() - t0,
-            args.iters)
+    suffix = f"_c{args.chunks}" if soft and args.chunks > 1 else ""
+    _report(f"decoder_step_{args.mode}{suffix}", b,
+            time.perf_counter() - t0, args.iters)
 
     # -- probe 3: composed IqReceiver.push (host buffer management, window
     #    assembly, H2D, device steps, RS host check, derandomize) --------
