@@ -124,3 +124,33 @@ def test_cli_decode_ntsc(tmp_path):
     assert got.shape[0] == 2
     for k in range(2):
         np.testing.assert_array_equal(got[k], ts[k, 0])
+
+
+def test_ntsc_with_adaptive_equalizer():
+    """The realistic co-channel scenario: CCI on top of an unknown
+    multipath/gain channel. The adaptive equalizer absorbs the channel
+    (and only partially nulls the tone); the comb finishes the job —
+    exact TS where either alone leaves uncorrectable segments."""
+    rng = np.random.default_rng(103)
+    ts = _random_ts(rng, 4, 1)
+    iq = _encode_iq(ts)
+    rms = np.sqrt(np.mean(np.abs(iq) ** 2))
+    h = np.zeros(7, np.complex128)
+    h[0] = 0.9 * np.exp(0.5j)
+    h[4] = 0.15 * np.exp(-0.9j)
+    chan = np.stack(
+        [np.convolve(iq[b], h)[: iq.shape[1]] for b in range(iq.shape[0])]
+    )
+    cap = chan + _cci(np.arange(iq.shape[1]), 0.5 * rms)
+
+    plain = IqReceiver(batch=1, backend="adaptive")
+    plain.push(cap)
+    plain.flush()
+    assert plain.decoder.segments_uncorrectable > 0
+
+    rx = IqReceiver(batch=1, backend="adaptive", ntsc="auto")
+    got = rx.push(cap) + rx.flush()
+    assert rx.ntsc_active
+    assert rx.decoder.segments_uncorrectable == 0
+    for k, (out, nerr) in enumerate(got):
+        np.testing.assert_array_equal(out, ts[k])
