@@ -446,6 +446,7 @@ def run_decode(args) -> dict:
             eq_profile=args.eq_profile,
             ntsc=None if args.ntsc == "off" else args.ntsc,
             viterbi_chunks=args.viterbi_chunks,
+            measure_mer=args.stats,
         )
     fields = 0
     last_ckpt = 0
@@ -511,6 +512,8 @@ def run_decode(args) -> dict:
         )
     if args.ntsc != "off":
         summary["ntsc_comb"] = rx.ntsc_active
+    if rx.mer is not None:
+        summary["mer_db"] = [round(float(v), 2) for v in rx.mer]
     if align:
         summary |= {"align_offset": offset, "align_parity": first_field}
     if cfo_hz != 0.0:

@@ -364,6 +364,19 @@ def equalize_field_device(
     return np.asarray(step(jnp.asarray(win_planar), jnp.asarray(osc_planar)))
 
 
+def mer_db(levels: np.ndarray) -> np.ndarray:
+    """(B, >=260416) soft levels -> (B,) modulation error ratio in dB
+    (signal power over residual-to-nearest-symbol power — the standard
+    broadcast monitoring metric; ~15.2 dB is the 8VSB white-noise
+    decode threshold)."""
+    lev = np.asarray(levels, np.float64)[..., :_N]
+    x = lev - P.PILOT_OFFSET
+    ideal = np.clip(np.rint((x + 7) / 2) * 2 - 7, -7, 7)
+    resid = np.mean((x - ideal) ** 2, axis=-1)
+    return 10 * np.log10(np.mean(ideal**2, axis=-1)
+                         / np.maximum(resid, 1e-30))
+
+
 def slice_levels(levels: np.ndarray) -> np.ndarray:
     """Hard-decision levels -> (B, >=260416) int8 3-bit symbol values."""
     sym = np.rint((levels - P.PILOT_OFFSET + 7.0) / 2.0)
@@ -598,7 +611,8 @@ class IqReceiver:
                  forgetting: float = 1.0, ridge: float = 1e-4,
                  trellis: str = "hard", erasures: str | None = None,
                  wire_format: str = "cf32", eq_profile: str = "auto",
-                 ntsc: str | None = None, viterbi_chunks: int = 1):
+                 ntsc: str | None = None, viterbi_chunks: int = 1,
+                 measure_mer: bool = False):
         if backend not in ("device", "numpy", "adaptive"):
             raise ValueError(f"unknown equalizer backend {backend!r}")
         if eq_profile != "auto" and eq_profile not in EQ_PROFILES:
@@ -651,6 +665,10 @@ class IqReceiver:
             )
         self.ntsc = ntsc
         self.viterbi_chunks = viterbi_chunks
+        self.measure_mer = measure_mer
+        self._mer_sig = np.zeros(batch)   # accumulated signal power
+        self._mer_err = np.zeros(batch)   # accumulated residual power
+        self._mer_fields = 0
         # "auto" decides from the first field's levels (detect_ntsc),
         # before any decoder state exists, then sticks
         self._ntsc_pending = ntsc == "auto"
@@ -673,6 +691,17 @@ class IqReceiver:
     def decoder(self) -> Decoder:
         return self._decoder
 
+    @property
+    def mer(self) -> np.ndarray | None:
+        """(B,) running modulation-error-ratio estimate in dB over every
+        equalized field so far; None until the first measured field
+        (enable with measure_mer=True)."""
+        if self._mer_fields == 0:
+            return None
+        return 10 * np.log10(
+            self._mer_sig / np.maximum(self._mer_err, 1e-30)
+        )
+
     def _decode_available(self, final: bool) -> list[tuple[np.ndarray, np.ndarray]]:
         out = []
         while True:
@@ -682,7 +711,8 @@ class IqReceiver:
                 break
             soft = self.trellis == "soft"
             want_levels = (soft or self.erasures is not None
-                           or self._ntsc_pending or self.ntsc_active)
+                           or self._ntsc_pending or self.ntsc_active
+                           or self.measure_mer)
             if self.backend == "numpy":
                 lo, hi = g0 - self.margin, g0 + _N + self.margin
                 w = self._stream.window(lo, hi)
@@ -711,6 +741,13 @@ class IqReceiver:
                     step = _device_eq_step(want_levels, self._dequant,
                                            self.eq_profile)
                     field = step(jnp.asarray(win), jnp.asarray(osc))
+            if self.measure_mer:
+                lev = np.asarray(field, np.float64)[..., :_N]
+                x = lev - P.PILOT_OFFSET
+                ideal = np.clip(np.rint((x + 7) / 2) * 2 - 7, -7, 7)
+                self._mer_sig += np.mean(ideal**2, axis=-1)
+                self._mer_err += np.mean((x - ideal) ** 2, axis=-1)
+                self._mer_fields += 1
             if self._ntsc_pending:
                 from atsc_tpu.ops.ntsc import detect_ntsc
                 self._ntsc_pending = False

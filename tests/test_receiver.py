@@ -285,3 +285,37 @@ def test_cli_decode_multichannel(tmp_path):
                  "-o", str(out)]) == 0
     got = np.fromfile(out, dtype=np.uint8).reshape(-1, 2, P.FIELD_TS_BYTES)
     np.testing.assert_array_equal(got, ts[:2])
+
+
+def test_mer_measurement(tmp_path):
+    """MER reporting: ~inf-ish on clean loopback, ~SNR under AWGN, and
+    surfaced through `decode --stats`."""
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+
+    rng = np.random.default_rng(53)
+    ts = _random_ts(rng, 3, 1)
+    iq = _encode_iq(ts)
+
+    rx = IqReceiver(batch=1, measure_mer=True)
+    rx.push(iq)
+    rx.flush()
+    assert rx.mer is not None and rx.mer[0] > 30  # clean: quirk-limited
+
+    # AWGN at ~20 dB SNR in the level domain should read as ~20 dB MER
+    sig = np.sqrt(np.mean(np.abs(iq) ** 2))
+    noisy = iq + (rng.normal(0, 1, iq.shape) + 1j * rng.normal(0, 1, iq.shape)
+                  ) * sig * 10 ** (-20 / 20) / np.sqrt(2)
+    rx2 = IqReceiver(batch=1, measure_mer=True)
+    rx2.push(noisy)
+    rx2.flush()
+    assert 17 < rx2.mer[0] < 23
+
+    cap = tmp_path / "cap.iq"
+    cap.write_bytes(
+        np.stack([iq[0].real, iq[0].imag], -1).astype(np.float32).tobytes()
+    )
+    args = build_decode_argparser().parse_args(
+        [str(cap), "-o", str(tmp_path / "o.ts"), "--stats"]
+    )
+    summary = run_decode(args)
+    assert summary["mer_db"][0] > 30
