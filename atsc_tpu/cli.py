@@ -288,7 +288,15 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                          "(golden regression), 'fast' = +-128 taps at bf16 "
                          "(~0.03-level worst-case error vs the 1.0 slicing "
                          "margin; the production default)")
-    ap.add_argument("--viterbi-chunks", type=int, default=1,
+    def _chunks(value: str) -> int:
+        n = int(value)
+        if n < 1 or 21528 % n:
+            raise argparse.ArgumentTypeError(
+                f"{n} must be a divisor of 21528 (e.g. 8, 12, 24, 46, 92)"
+            )
+        return n
+
+    ap.add_argument("--viterbi-chunks", type=_chunks, default=1,
                     metavar="N",
                     help="chunk-parallel Viterbi: decode each encoder "
                          "stream as N independent chunks with 128-symbol "
@@ -366,10 +374,11 @@ def run_decode(args) -> dict:
     from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
 
     fmt = args.in_format
-    resume = bool(getattr(args, "resume", False) and args.checkpoint)
+    resume = bool(getattr(args, "resume", False))
+    if resume and not args.checkpoint:
+        raise ValueError("--resume requires --checkpoint")
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
-    fout = (sys.stdout.buffer if args.output == "-"
-            else open(args.output, "ab" if resume else "wb"))
+    fout = None  # opened once the resume state (if any) is known
     align = args.align == "auto"
     cfo_auto = args.cfo == "auto"
     sro_rate = None
@@ -392,6 +401,10 @@ def run_decode(args) -> dict:
     block = P.SYMBOLS_PER_FIELD * BYTES_PER_SAMPLE[fmt] * args.channels
     if (align or cfo_auto) and args.channels != 1:
         raise ValueError("--align/--cfo auto are single-channel only")
+    if (args.viterbi_chunks > 1 and args.trellis != "viterbi"
+            and args.ntsc == "off"):
+        raise ValueError("--viterbi-chunks needs a soft trellis path: "
+                         "add --trellis viterbi or --ntsc comb/auto")
     first_field, offset, pending = args.first_field, 0, None
     equalizer = args.equalizer
     iq0 = None
@@ -417,17 +430,27 @@ def run_decode(args) -> dict:
         raise ValueError("--resume cannot re-run --align/--sro/--cfo auto "
                          "conditioning (pass the numeric values instead)")
     if resume:
+        import os
+
         from atsc_tpu.utils.checkpoint import load_receiver
 
         rx = load_receiver(args.checkpoint)
         if rx.batch != args.channels:
             raise ValueError(f"checkpoint batch {rx.batch} != --channels "
                              f"{args.channels}")
+        saved_fmt = rx.checkpoint_extra.get("in_format", fmt)
+        if saved_fmt != fmt:
+            raise ValueError(f"checkpoint input format {saved_fmt!r} != "
+                             f"--format {fmt!r}")
+        # restore conditioning: the saved numeric CFO applies unless the
+        # user explicitly overrides it
+        cfo_hz = (float(args.cfo) if args.cfo != "0"
+                  else float(rx.checkpoint_extra.get("cfo_hz", 0.0)))
+        correct = CfoCorrector(cfo_hz)
+        rx.measure_mer = args.stats
         # skip input already consumed by the checkpointed stream
         consumed = rx._stream.end
-        skip = consumed * BYTES_PER_SAMPLE[
-            rx.wire_format if rx.wire_format != "cf32" else fmt
-        ] * args.channels
+        skip = consumed * BYTES_PER_SAMPLE[fmt] * args.channels
         if fin.seekable():
             fin.seek(skip)
         else:
@@ -435,6 +458,25 @@ def run_decode(args) -> dict:
                 skip -= len(fin.read(min(skip, 1 << 20)))
         correct._n = consumed  # numeric-CFO phase continuity
         codes_path = rx.wire_format != "cf32"
+        # re-open the output exactly where the checkpointed state left
+        # it: fields flushed after the last checkpoint would otherwise
+        # be duplicated on resume
+        emitted = max(rx._next_field - 1, 0) if rx._primed else 0
+        expect = emitted * P.FIELD_TS_BYTES * args.channels
+        if args.output == "-":
+            fout = sys.stdout.buffer
+        elif os.path.exists(args.output):
+            size = os.path.getsize(args.output)
+            if size < expect:
+                print(f"warning: {args.output} is {expect - size} bytes "
+                      "short of the checkpointed decode position — those "
+                      "fields were lost before being written",
+                      file=sys.stderr)
+            fout = open(args.output, "r+b")
+            fout.truncate(min(size, expect))
+            fout.seek(0, 2)
+        else:
+            fout = open(args.output, "wb")
     else:
         rx = IqReceiver(
             batch=args.channels, first_field=first_field,
@@ -448,6 +490,8 @@ def run_decode(args) -> dict:
             viterbi_chunks=args.viterbi_chunks,
             measure_mer=args.stats,
         )
+        fout = (sys.stdout.buffer if args.output == "-"
+                else open(args.output, "wb"))
     fields = 0
     last_ckpt = 0
 
@@ -465,7 +509,8 @@ def run_decode(args) -> dict:
             from atsc_tpu.utils.checkpoint import save_receiver
 
             fout.flush()
-            save_receiver(args.checkpoint, rx)
+            save_receiver(args.checkpoint, rx,
+                          extra={"in_format": fmt, "cfo_hz": cfo_hz})
             last_ckpt = fields
 
     try:

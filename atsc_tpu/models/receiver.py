@@ -364,17 +364,22 @@ def equalize_field_device(
     return np.asarray(step(jnp.asarray(win_planar), jnp.asarray(osc_planar)))
 
 
+def _mer_components(levels: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(B,) signal power and (B,) residual-to-nearest-symbol power of a
+    soft level field — the two accumulands of a running MER estimate."""
+    lev = np.asarray(levels, np.float64)[..., :_N]
+    x = lev - P.PILOT_OFFSET
+    ideal = np.clip(np.rint((x + 7) / 2) * 2 - 7, -7, 7)
+    return np.mean(ideal**2, axis=-1), np.mean((x - ideal) ** 2, axis=-1)
+
+
 def mer_db(levels: np.ndarray) -> np.ndarray:
     """(B, >=260416) soft levels -> (B,) modulation error ratio in dB
     (signal power over residual-to-nearest-symbol power — the standard
     broadcast monitoring metric; ~15.2 dB is the 8VSB white-noise
     decode threshold)."""
-    lev = np.asarray(levels, np.float64)[..., :_N]
-    x = lev - P.PILOT_OFFSET
-    ideal = np.clip(np.rint((x + 7) / 2) * 2 - 7, -7, 7)
-    resid = np.mean((x - ideal) ** 2, axis=-1)
-    return 10 * np.log10(np.mean(ideal**2, axis=-1)
-                         / np.maximum(resid, 1e-30))
+    sig, err = _mer_components(levels)
+    return 10 * np.log10(sig / np.maximum(err, 1e-30))
 
 
 def slice_levels(levels: np.ndarray) -> np.ndarray:
@@ -666,6 +671,7 @@ class IqReceiver:
         self.ntsc = ntsc
         self.viterbi_chunks = viterbi_chunks
         self.measure_mer = measure_mer
+        self.ntsc_votes: np.ndarray | None = None
         self._mer_sig = np.zeros(batch)   # accumulated signal power
         self._mer_err = np.zeros(batch)   # accumulated residual power
         self._mer_fields = 0
@@ -742,16 +748,23 @@ class IqReceiver:
                                            self.eq_profile)
                     field = step(jnp.asarray(win), jnp.asarray(osc))
             if self.measure_mer:
-                lev = np.asarray(field, np.float64)[..., :_N]
-                x = lev - P.PILOT_OFFSET
-                ideal = np.clip(np.rint((x + 7) / 2) * 2 - 7, -7, 7)
-                self._mer_sig += np.mean(ideal**2, axis=-1)
-                self._mer_err += np.mean((x - ideal) ** 2, axis=-1)
+                sig, err = _mer_components(np.asarray(field))
+                self._mer_sig += sig
+                self._mer_err += err
                 self._mer_fields += 1
             if self._ntsc_pending:
                 from atsc_tpu.ops.ntsc import detect_ntsc
                 self._ntsc_pending = False
-                if detect_ntsc(np.asarray(field)):
+                votes = detect_ntsc(np.asarray(field), per_channel=True)
+                self.ntsc_votes = votes
+                if 0 < votes.sum() < votes.size:
+                    import sys
+                    print("warning: ntsc auto-detection disagrees across "
+                          f"channels ({int(votes.sum())}/{votes.size} want "
+                          "the comb); the decode mode is batch-global — "
+                          "majority wins (split the batch to mix modes)",
+                          file=sys.stderr)
+                if votes.mean() > 0.5:
                     from atsc_tpu.models.decoder import NtscDecoder
                     self._decoder = NtscDecoder(
                         batch=self.batch,

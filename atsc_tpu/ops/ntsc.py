@@ -201,7 +201,7 @@ def viterbi_pr_bits(
     (x1, z2), new_metrics = _chunked_mlse(
         step, _pr_traceback_step,
         (y, jnp.asarray(reset), jnp.asarray(const)),
-        m0, 16, n_chunks, warmup, _NSYM,
+        m0, n_chunks, warmup, _NSYM,
     )
     return x1, z2, new_metrics
 
@@ -221,7 +221,7 @@ def viterbi_pr_decode_field(
 
 # -- interference detection -------------------------------------------------
 
-def detect_ntsc(levels: np.ndarray) -> bool:
+def detect_ntsc(levels: np.ndarray, per_channel: bool = False):
     """Decide whether the comb path beats the plain path for this signal.
 
     Compares hard-slicer residual power on the plain 8-level field vs on
@@ -229,10 +229,18 @@ def detect_ntsc(levels: np.ndarray) -> bool:
     a clean/AWGN capture picks plain, while narrowband co-channel energy
     (which the comb nulls) inflates only the plain residual. levels:
     (B, >=260416) float32 soft levels of one field.
+
+    Returns one bool over the whole batch by default; per_channel=True
+    returns a (B,) bool array (the comb costs ~3 dB, so a mixed batch
+    should not let one impaired channel decide for the clean ones — the
+    receiver votes and warns on disagreement).
     """
-    lev = np.asarray(levels, np.float32)[..., :_N]
+    lev = np.atleast_2d(np.asarray(levels, np.float32))[..., :_N]
     r_plain = lev - P.PILOT_OFFSET
     r_plain = r_plain - np.clip(np.rint((r_plain + 7) / 2) * 2 - 7, -7, 7)
     y = lev[..., _COMB_DELAY:] - lev[..., : -_COMB_DELAY]
     r_comb = y - np.clip(np.rint(y / 2) * 2, -14, 14)
-    return float(np.mean(r_comb**2)) < float(np.mean(r_plain**2))
+    votes = np.mean(r_comb**2, axis=-1) < np.mean(r_plain**2, axis=-1)
+    return votes if per_channel else bool(
+        np.mean(r_comb**2) < np.mean(r_plain**2)
+    )

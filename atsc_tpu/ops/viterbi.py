@@ -99,16 +99,18 @@ def _chunk_plan(t: int, n_chunks: int, warmup: int):
     L + 2*warmup, clamped inside [0, t) (so the first window has no left
     warmup and the last has a doubled one), plus the per-chunk offset of
     the kept L-symbol region inside its window."""
-    assert t % n_chunks == 0, f"{n_chunks} chunks must divide {t}"
+    if t % n_chunks:
+        raise ValueError(f"{n_chunks} chunks must divide {t}")
     length = t // n_chunks
     w = length + 2 * warmup
-    assert w <= t, "warmup too large for this chunk count"
+    if w > t:
+        raise ValueError("warmup too large for this chunk count")
     starts = np.clip(np.arange(n_chunks) * length - warmup, 0, t - w)
     offs = np.arange(n_chunks) * length - starts
     return length, w, starts, offs
 
 
-def _chunked_mlse(step, traceback, obs_xs, metrics, flat_metric_shape,
+def _chunked_mlse(step, traceback, obs_xs, metrics,
                   n_chunks: int, warmup: int, t: int):
     """Shared chunked-MLSE driver: windows the per-step scan inputs,
     runs ACS + traceback vectorized over the chunk axis, and re-
@@ -176,7 +178,7 @@ def viterbi_bits(
     m0 = m0.at[:, :, 0, :].set(metrics)              # flat init elsewhere
     (x1, z2), new_metrics = _chunked_mlse(
         lambda m, xs: _acs_step(m, xs[0]), _traceback_step,
-        (levels,), m0, 4, n_chunks, warmup, _NSYM,
+        (levels,), m0, n_chunks, warmup, _NSYM,
     )
     return x1, z2, new_metrics
 

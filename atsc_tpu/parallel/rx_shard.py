@@ -91,6 +91,29 @@ def _local_step(state: DecoderState, fields: jnp.ndarray):
     return new_state, codewords, syn
 
 
+def _correct_and_derand(obj, derand, codewords, syn):
+    """Shared host-side fixup: RS-correct dirty segments (updating obj's
+    segments_corrected/segments_uncorrectable counters), de-randomize,
+    and reshape to TS fields. codewords (T, B, 312, 207); syn (T, B,
+    312, 20). Returns (ts (T, B, 58656) uint8, n_errors (T, B, 312))."""
+    t, b = codewords.shape[:2]
+    n_errors = np.zeros((t, b, P.DATA_SEGMENTS), dtype=np.int32)
+    dirty = np.asarray(jnp.any(syn != 0, axis=-1))
+    if dirty.any():
+        cw = np.array(codewords)
+        for k, ch, seg in zip(*np.nonzero(dirty)):
+            cw[k, ch, seg], nerr = correct_segment_np(cw[k, ch, seg])
+            n_errors[k, ch, seg] = nerr
+            if nerr > 0:
+                obj.segments_corrected += 1
+            elif nerr < 0:
+                obj.segments_uncorrectable += 1
+        codewords = jnp.asarray(cw)
+    flat = codewords.reshape(t * b, P.DATA_SEGMENTS, P.SEGMENT_FEC_BYTES)
+    ts = np.asarray(derand(flat)).reshape(t, b, P.FIELD_TS_BYTES)
+    return ts, n_errors
+
+
 class ShardedDecoder:
     """Multi-device symbol-field decoder over a ("time", "ch") mesh.
 
@@ -147,22 +170,7 @@ class ShardedDecoder:
         n_errors (T, B, 312) int32; -1 marks uncorrectable segments)."""
         fields = jax.device_put(jnp.asarray(fields), self.fields_sharding)
         self._state, codewords, syn = self._step(self._state, fields)
-        t, b = codewords.shape[:2]
-        n_errors = np.zeros((t, b, P.DATA_SEGMENTS), dtype=np.int32)
-        dirty = np.asarray(jnp.any(syn != 0, axis=-1))    # (T, B, 312) bool
-        if dirty.any():
-            cw = np.array(codewords)
-            for k, ch, seg in zip(*np.nonzero(dirty)):
-                cw[k, ch, seg], n = correct_segment_np(cw[k, ch, seg])
-                n_errors[k, ch, seg] = n
-                if n > 0:
-                    self.segments_corrected += 1
-                elif n < 0:
-                    self.segments_uncorrectable += 1
-            codewords = jnp.asarray(cw)
-        flat = codewords.reshape(t * b, P.DATA_SEGMENTS, P.SEGMENT_FEC_BYTES)
-        ts = np.asarray(self._derand(flat)).reshape(t, b, P.FIELD_TS_BYTES)
-        return ts, n_errors
+        return _correct_and_derand(self, self._derand, codewords, syn)
 
 
 class ShardedReceiver:
@@ -235,7 +243,7 @@ class ShardedReceiver:
         resulting handful of boundary symbol errors deinterleave across
         codewords and RS absorbs them). Returns (ts (T, B, 58656),
         n_errors (T, B, 312)) with the usual one-field output latency."""
-        from atsc_tpu.models.receiver import _osc_planar, field_window
+        from atsc_tpu.models.receiver import field_window
 
         iq = np.atleast_2d(iq)
         n = P.SYMBOLS_PER_FIELD
@@ -248,12 +256,10 @@ class ShardedReceiver:
                         np.float32)
         oscs = np.empty((self.t_total, 2, self.window), np.float32)
         for f in range(self.t_total):
-            g0 = f * n
-            wins[f], _ = field_window(iq, g0, stream_offset=off)
             # oscillator epoch: this step begins at absolute stream field
-            # _next_field, so field f's span is offset by that many fields
-            oscs[f] = _osc_planar(
-                g0 - self._margin, g0 + n + self._margin, self._next_field
+            # _next_field; field_window's g0 is step-relative
+            wins[f], oscs[f] = field_window(
+                iq, f * n, first_field=self._next_field, stream_offset=off
             )
         self._next_field += self.t_total
         wj = jax.device_put(jnp.asarray(wins), self._win_sharding)
@@ -262,22 +268,7 @@ class ShardedReceiver:
         return self._correct(codewords, syn)
 
     def _correct(self, codewords, syn) -> tuple[np.ndarray, np.ndarray]:
-        t, b = codewords.shape[:2]
-        n_errors = np.zeros((t, b, P.DATA_SEGMENTS), dtype=np.int32)
-        dirty = np.asarray(jnp.any(syn != 0, axis=-1))
-        if dirty.any():
-            cw = np.array(codewords)
-            for k, ch, seg in zip(*np.nonzero(dirty)):
-                cw[k, ch, seg], nerr = correct_segment_np(cw[k, ch, seg])
-                n_errors[k, ch, seg] = nerr
-                if nerr > 0:
-                    self.segments_corrected += 1
-                elif nerr < 0:
-                    self.segments_uncorrectable += 1
-            codewords = jnp.asarray(cw)
-        flat = codewords.reshape(t * b, P.DATA_SEGMENTS, P.SEGMENT_FEC_BYTES)
-        ts = np.asarray(self._derand(flat)).reshape(t, b, P.FIELD_TS_BYTES)
-        return ts, n_errors
+        return _correct_and_derand(self, self._derand, codewords, syn)
 
 
 def dryrun(n_devices: int) -> None:

@@ -42,10 +42,17 @@ _RX_CONFIG = ("batch", "first_field", "backend", "trellis", "erasures",
               "wire_format", "eq_profile", "ntsc", "viterbi_chunks")
 
 
-def save_receiver(path: str, rx) -> None:
-    """Persist an IqReceiver (models/receiver.py) mid-stream."""
+def save_receiver(path: str, rx, extra: dict | None = None) -> None:
+    """Persist an IqReceiver (models/receiver.py) mid-stream.
+
+    extra: optional JSON-serializable caller metadata (e.g. the CLI's
+    conditioning parameters), returned as `rx.checkpoint_extra` on load.
+    """
+    import json
+
     dec = rx.decoder
     arrays = {
+        "extra_json": np.asarray(json.dumps(extra or {})),
         "__kind__": np.asarray("iq_receiver"),
         "config": np.asarray(
             [str(getattr(rx, k)) for k in _RX_CONFIG], dtype=np.str_
@@ -83,9 +90,12 @@ def load_receiver(path: str):
 
     from atsc_tpu.models.receiver import IqReceiver
 
+    import json
+
     z = np.load(path)
     assert str(z["__kind__"]) == "iq_receiver", "not a receiver checkpoint"
     cfg = dict(zip(_RX_CONFIG, (str(s) for s in z["config"])))
+    extra = json.loads(str(z["extra_json"])) if "extra_json" in z else {}
     rx = IqReceiver(
         batch=int(cfg["batch"]), first_field=int(cfg["first_field"]),
         backend=cfg["backend"], trellis=cfg["trellis"],
@@ -131,4 +141,5 @@ def load_receiver(path: str):
         rx._adaptive._v = jnp.asarray(z["rls_v"])
         rx._adaptive._lam = jnp.asarray(z["rls_lam"])
         rx._adaptive._ridge = jnp.asarray(z["rls_ridge"])
+    rx.checkpoint_extra = extra
     return rx

@@ -52,14 +52,51 @@ def measure(batch: int, iters: int = 30, warmup: int = 3) -> float:
     return batch / dt
 
 
+def _tpu_alive(timeout_s: int = 240) -> bool:
+    """Probe backend registration in a subprocess: a wedged device tunnel
+    HANGS jax.devices() rather than failing (observed repeatedly), which
+    would otherwise hang the whole bench run."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return "ok" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _tpu_alive():
+        print(json.dumps({
+            "metric": "baseband IQ samples/s/chip",
+            "value": 0.0,
+            "unit": "samples/s",
+            "vs_baseline": 0.0,
+            "error": "TPU backend unreachable (device tunnel down); "
+                     "see PERF.md for the last measured numbers",
+        }))
+        return
+    import signal
+
     best = 0.0
     best_b = 0
     for batch in (256, 384, 512):
+        # convert a mid-run tunnel death (a hang) into an exception
+        signal.signal(
+            signal.SIGALRM,
+            lambda *_: (_ for _ in ()).throw(TimeoutError("tpu hang")),
+        )
+        signal.alarm(1200)
         try:
             fps = measure(batch)
         except Exception:
             break
+        finally:
+            signal.alarm(0)
         if fps > best:
             best, best_b = fps, batch
     samples_per_sec = best * P.SYMBOLS_PER_FIELD

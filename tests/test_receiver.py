@@ -319,3 +319,71 @@ def test_mer_measurement(tmp_path):
     )
     summary = run_decode(args)
     assert summary["mer_db"][0] > 30
+
+
+def test_cli_decode_resume_truncates_post_checkpoint_output(tmp_path):
+    """Fields flushed to the output after the last checkpoint must not be
+    duplicated on resume: the resume path truncates the file back to the
+    checkpointed decode position."""
+    import pytest
+
+    from atsc_tpu.cli import main
+
+    rng = np.random.default_rng(59)
+    ts = _random_ts(rng, 4, 1)
+    iq = _encode_iq(ts)[0]
+    cap = tmp_path / "cap.iq"
+    cap.write_bytes(
+        np.stack([iq.real, iq.imag], -1).astype(np.float32).tobytes()
+    )
+    out = tmp_path / "out.ts"
+    ck = tmp_path / "rx.npz"
+    main(["decode", str(cap), "-o", str(out), "--checkpoint", str(ck),
+          "--checkpoint-every", "1", "--max-fields", "1"])
+    # simulate a crash after further fields were flushed post-checkpoint
+    with open(out, "ab") as f:
+        f.write(bytes(P.FIELD_TS_BYTES))
+    main(["decode", str(cap), "-o", str(out), "--checkpoint", str(ck),
+          "--resume"])
+    got = np.fromfile(out, np.uint8).reshape(-1, P.FIELD_TS_BYTES)
+    assert got.shape[0] == 3
+    for k in range(3):
+        np.testing.assert_array_equal(got[k], ts[k, 0])
+
+    # --resume without --checkpoint must refuse, not truncate the output
+    with pytest.raises(ValueError, match="requires --checkpoint"):
+        main(["decode", str(cap), "-o", str(out), "--resume"])
+    assert out.stat().st_size == 3 * P.FIELD_TS_BYTES
+
+    # wrong --format on resume must refuse upfront
+    with pytest.raises(ValueError, match="input format"):
+        main(["decode", str(cap), "-o", str(out), "--checkpoint", str(ck),
+              "--resume", "--format", "cs16"])
+
+
+def test_cli_decode_resume_restores_numeric_cfo(tmp_path):
+    """A numeric --cfo used when the checkpoint was written is restored
+    on resume without re-passing the flag (and phase stays continuous)."""
+    from atsc_tpu.cli import main
+
+    rng = np.random.default_rng(61)
+    ts = _random_ts(rng, 4, 1)
+    iq = _encode_iq(ts)[0]
+    n = np.arange(iq.size)
+    cfo = 80.0
+    cap_iq = iq * np.exp(2j * np.pi * cfo * n / P.SAMPLE_RATE)
+    cap = tmp_path / "cap.iq"
+    cap.write_bytes(
+        np.stack([cap_iq.real, cap_iq.imag], -1).astype(np.float32).tobytes()
+    )
+    out = tmp_path / "out.ts"
+    ck = tmp_path / "rx.npz"
+    main(["decode", str(cap), "-o", str(out), "--cfo", str(cfo),
+          "--checkpoint", str(ck), "--checkpoint-every", "1",
+          "--max-fields", "1"])
+    main(["decode", str(cap), "-o", str(out), "--checkpoint", str(ck),
+          "--resume"])  # no --cfo: must come from the checkpoint
+    got = np.fromfile(out, np.uint8).reshape(-1, P.FIELD_TS_BYTES)
+    assert got.shape[0] == 3
+    for k in range(3):
+        np.testing.assert_array_equal(got[k], ts[k, 0])
