@@ -240,6 +240,15 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                     help="TS output path or '-' (stdout)")
     ap.add_argument("-c", "--channels", type=int, default=1,
                     help="channel count the capture was encoded with")
+    ap.add_argument("--mesh", default=None, metavar="TIMExCH",
+                    help="multi-device decode over a jax mesh (e.g. '4x2'): "
+                         "consecutive fields across time shards, channels "
+                         "across ch shards. Plain sample-synchronous ZF "
+                         "path only (not combinable with --align/--cfo/"
+                         "--sro/--equalizer adaptive/--trellis viterbi/"
+                         "--ntsc/--erasures/--checkpoint)")
+    ap.add_argument("--fields-per-step", type=int, default=4,
+                    help="(--mesh) fields decoded per device step")
     ap.add_argument("--format", dest="in_format", default="cf32",
                     choices=("cf32", "cs16", "cs8"),
                     help="IQ wire format of the capture")
@@ -360,8 +369,116 @@ def _iq_block_to_codes(buf: bytes, channels: int, fmt: str) -> np.ndarray:
     return codes.reshape(channels, P.SYMBOLS_PER_FIELD, 2)
 
 
+def run_decode_mesh(args) -> dict:
+    """Multi-device decode: the plain sample-synchronous receive chain
+    (parallel/rx_shard.ShardedReceiver) with a one-step lookahead so
+    every step boundary gets real +-384-sample equalizer context (clean
+    captures therefore decode with zero RS corrections, exactly like the
+    streaming path)."""
+    from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
+    from atsc_tpu.parallel.mesh import make_mesh
+    from atsc_tpu.parallel.rx_shard import ShardedReceiver
+
+    for flag, default in (("align", "none"), ("cfo", "0"), ("sro", "0"),
+                          ("equalizer", "zf"), ("trellis", "hard"),
+                          ("ntsc", "off"), ("erasures", "off"),
+                          ("checkpoint", None)):
+        if getattr(args, flag) != default:
+            raise ValueError(f"--mesh decode does not support --{flag}")
+    try:
+        n_time, n_ch = (int(v) for v in args.mesh.lower().split("x"))
+    except ValueError:
+        raise ValueError(f"--mesh wants TIMExCH (e.g. 4x2), got "
+                         f"{args.mesh!r}") from None
+    b = args.channels
+    n = P.SYMBOLS_PER_FIELD
+    margin = 384
+    rx = ShardedReceiver(
+        make_mesh(n_time, n_ch), batch=b,
+        fields_per_device=max(1, args.fields_per_step // n_time),
+        first_field=args.first_field, eq_profile=args.eq_profile,
+    )
+    t = rx.t_total
+    fmt = args.in_format
+    block = n * BYTES_PER_SAMPLE[fmt] * b
+    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    fout = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+
+    def read_step():
+        """-> ((B, T*N) complex64 zero-padded, real field count)."""
+        buf = fin.read(block * t)
+        whole = len(buf) // block
+        if len(buf) % block:
+            print(f"warning: dropping {len(buf) % block}-byte partial "
+                  "field block at EOF", file=sys.stderr)
+        if whole == 0:
+            return None, 0
+        flat = _wire_to_complex(buf[: whole * block], fmt)
+        step = np.zeros((b, t * n), np.complex64)
+        step[:, : whole * n] = (
+            flat.reshape(whole, b, n).transpose(1, 0, 2).reshape(b, -1)
+        )
+        return step, whole
+
+    fields = 0
+    total_real = 0
+    corrected = 0
+    uncorrectable = 0
+
+    def decode_step(left, cur, right, start_field, real):
+        nonlocal fields, corrected, uncorrectable
+        arr = np.concatenate([left, cur, right], axis=1)
+        ts, nerr = rx.decode_iq(arr, with_context=True)
+        for k in range(t):
+            # output k is TS field start_field + k - 1: skip the pre-start
+            # virtual field (k=0 of the very first step) and, on a padded
+            # EOF step, outputs past the last real field's TS (stats count
+            # emitted fields only — a pad field's garbage is dropped)
+            if start_field + k - 1 < 0 or k > real - 1:
+                continue
+            fout.write(ts[k].tobytes())
+            fields += 1
+            corrected += int((nerr[k] > 0).sum())
+            uncorrectable += int((nerr[k] < 0).sum())
+            if args.max_fields and fields >= args.max_fields:
+                return True
+        return False
+
+    try:
+        left = np.zeros((b, margin), np.complex64)
+        held, held_real = read_step()
+        start = 0
+        while held is not None:
+            nxt, nxt_real = read_step()
+            right = (nxt[:, :margin] if nxt is not None
+                     else np.zeros((b, margin), np.complex64))
+            total_real += held_real
+            if decode_step(left, held, right, start, held_real):
+                break
+            left = held[:, -margin:]
+            held, held_real = nxt, nxt_real
+            start += t
+    finally:
+        if fin is not sys.stdin.buffer:
+            fin.close()
+        if fout is not sys.stdout.buffer:
+            fout.close()
+    summary = {
+        "fields_decoded": fields,
+        "segments_corrected": corrected,
+        "segments_uncorrectable": uncorrectable,
+        "mesh": f"{n_time}x{n_ch}",
+    }
+    if args.stats:
+        print(json.dumps(summary), file=sys.stderr)
+    return summary
+
+
 def run_decode(args) -> dict:
     import io
+
+    if getattr(args, "mesh", None):
+        return run_decode_mesh(args)
 
     from atsc_tpu.models.receiver import (
         CfoCorrector,

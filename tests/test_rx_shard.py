@@ -133,3 +133,39 @@ def test_sharded_receiver_zero_context_still_decodes():
 
 def test_rx_dryrun():
     dryrun(8)
+
+
+def test_cli_decode_mesh(tmp_path):
+    """`decode --mesh TxC` routes the CLI through the multi-device
+    receive chain; output must equal the single-device decode, with zero
+    RS corrections on clean input (the one-step lookahead supplies real
+    context at every step boundary)."""
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+    from tests.test_receiver import _encode_iq
+
+    rng = np.random.default_rng(79)
+    ts = _random_ts(rng, 5, 2)
+    iq = _encode_iq(ts)                       # (2, 5*260416)
+    cap = tmp_path / "cap.iq"
+    flat = iq.reshape(2, 5, P.SYMBOLS_PER_FIELD).transpose(1, 0, 2).reshape(-1)
+    cap.write_bytes(
+        np.stack([flat.real, flat.imag], -1).astype(np.float32).tobytes()
+    )
+    out_mesh = tmp_path / "mesh.ts"
+    out_plain = tmp_path / "plain.ts"
+    summary = run_decode(build_decode_argparser().parse_args(
+        [str(cap), "-o", str(out_mesh), "-c", "2", "--mesh", "2x2",
+         "--fields-per-step", "2", "--stats"]
+    ))
+    assert summary["segments_corrected"] == 0
+    assert summary["segments_uncorrectable"] == 0
+    assert summary["fields_decoded"] == 4  # 5 received -> 4 TS fields out
+    run_decode(build_decode_argparser().parse_args(
+        [str(cap), "-o", str(out_plain), "-c", "2"]
+    ))
+    assert out_mesh.read_bytes() == out_plain.read_bytes()
+    got = np.frombuffer(out_mesh.read_bytes(), np.uint8).reshape(
+        4, 2, P.FIELD_TS_BYTES
+    )
+    for k in range(4):
+        np.testing.assert_array_equal(got[k], ts[k])
