@@ -56,6 +56,11 @@ def build_argparser() -> argparse.ArgumentParser:
                          "state exchange; channels must divide CH). "
                          "Default: single-device batch")
     ap.add_argument("--fields-per-step", type=int, default=8)
+    ap.add_argument("--mux", action="store_true",
+                    help="FDM-combine the channels into ONE wideband "
+                         "multiplex at channels*6 MHz (6-MHz slot raster "
+                         "centered on DC) — drive a whole band from one "
+                         "wideband SDR. cf32 output only")
     ap.add_argument("--realtime", action="store_true",
                     help="pace output to the 10.762238 MHz sample clock")
     ap.add_argument("--format", dest="out_format", default="cf32",
@@ -83,6 +88,17 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-f", "--frequency", type=float, default=473e6)
     ap.add_argument("-g", "--gain", type=float, default=54.0)
     return ap
+
+
+def _write_mux(sink, chunk: np.ndarray) -> None:
+    """Write a (2, m) planar multiplex chunk as one wideband stream."""
+    if chunk.shape[-1] == 0:
+        return
+    arr = chunk[None]  # (1, 2, m): one channel at channels*6 MHz
+    if isinstance(sink, IqSink):
+        sink.write_planar(arr, chunk.shape[-1])
+    else:
+        sink.write(iq_interleave(arr))
 
 
 def _read_step(readers, step_bytes: int, field_bytes: int):
@@ -120,8 +136,15 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
         raise ValueError(
             f"{len(input_paths)} inputs for {cfg.channels} channels"
         )
+    if cfg.mux and cfg.out_format != "cf32":
+        raise ValueError("--mux emits cf32 only")
+    if cfg.mux and checkpoint:
+        raise ValueError("--mux does not support checkpointing yet "
+                         "(the multiplexer carries resampler state)")
     sample_bytes = BYTES_PER_SAMPLE[cfg.out_format]
-    pace = P.SAMPLE_RATE * sample_bytes * cfg.channels if cfg.realtime else 0.0
+    stream_rate = (cfg.channels * 6e6 if cfg.mux
+                   else P.SAMPLE_RATE * cfg.channels)
+    pace = stream_rate * sample_bytes if cfg.realtime else 0.0
     readers = [TsReader(p) for p in input_paths]
     if cfg.sink == "soapy" or cfg.sink.startswith("soapy:"):
         driver = cfg.sink.split(":", 1)[1] if ":" in cfg.sink else cfg.driver
@@ -148,6 +171,10 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
     else:
         enc = Encoder(batch=cfg.channels, out_format=cfg.out_format)
         t_total = cfg.fields_per_step
+    muxer = None
+    if cfg.mux:
+        from atsc_tpu.ops.mux import FdmMuxer
+        muxer = FdmMuxer(cfg.channels)
     meter = ThroughputMeter(channels=cfg.channels)
 
     field_bytes = P.FIELD_TS_BYTES
@@ -193,7 +220,11 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
                     state, iq = enc.step(state, ts)
                     iq_np = np.asarray(iq)     # (T, B, 2, PADDED_OUT)
                     for f in range(whole):
-                        if isinstance(sink, IqSink):
+                        if muxer is not None:
+                            _write_mux(sink, muxer.push(
+                                iq_np[f][:, :, : P.SYMBOLS_PER_FIELD]
+                            ))
+                        elif isinstance(sink, IqSink):
                             sink.write_planar(iq_np[f], P.SYMBOLS_PER_FIELD)
                         else:
                             sink.write(iq_interleave(iq_np[f]))
@@ -202,7 +233,11 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
                     # extra device copy of the stacked IQ — see PERF.md)
                     for f in range(whole):
                         out = np.asarray(enc.encode(ts[f]))
-                        if isinstance(sink, IqSink):
+                        if muxer is not None:
+                            _write_mux(sink, muxer.push(
+                                out[:, :, : P.SYMBOLS_PER_FIELD]
+                            ))
+                        elif isinstance(sink, IqSink):
                             # planar handoff: native sink interleaves off-GIL
                             sink.write_planar(out, P.SYMBOLS_PER_FIELD)
                         else:
@@ -216,6 +251,8 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
                     last_saved = fields_done
                 if max_fields and meter.fields >= max_fields * cfg.channels:
                     break
+        if muxer is not None:
+            _write_mux(sink, muxer.flush())
     finally:
         for r in readers:
             r.close()
@@ -715,6 +752,7 @@ def main(argv=None) -> int:
         fields_per_step=args.fields_per_step,
         n_time=n_time,
         n_ch=n_ch,
+        mux=args.mux,
         sink=args.output,
         realtime=args.realtime,
         out_format=args.out_format,

@@ -20,6 +20,8 @@ class EncoderConfig:
     n_time: int = 1                # field time-block shards (SP analog)
     n_ch: int = 1                  # channel shards (DP analog)
     # IO
+    mux: bool = False              # FDM-combine all channels into one
+    #                                wideband multiplex at channels*6 MHz
     sink: str = "null"             # "null" | "-" | file path
     realtime: bool = False         # pace the sink to the 8VSB sample clock
     out_format: str = "cf32"       # "cf32" | "cs16" | "cs8" wire format

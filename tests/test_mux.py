@@ -1,0 +1,113 @@
+"""FDM multiplexer (ops/mux.py): exact 6-MHz slot raster, streaming
+continuity, CLI integration, and the demux round trip back to exact TS
+bytes through the adaptive receiver."""
+
+import numpy as np
+
+from atsc_tpu import params as P
+from atsc_tpu.models.encoder import Encoder
+from atsc_tpu.models.receiver import IqReceiver
+from atsc_tpu.ops.mux import SLOT_HZ, FdmMuxer, demux_slot
+from tests.test_decoder import _random_ts
+
+N = P.SYMBOLS_PER_FIELD
+
+
+def _mux_fields(ts: np.ndarray) -> np.ndarray:
+    """(T, B, 58656) -> (2, M) planar multiplex at B*6 MHz."""
+    t, b = ts.shape[:2]
+    enc = Encoder(batch=b, donate=False)
+    mux = FdmMuxer(b)
+    chunks = [
+        mux.push(np.asarray(enc.encode(ts[k]))[:, :, :N]) for k in range(t)
+    ]
+    chunks.append(mux.flush())
+    return np.concatenate(chunks, axis=-1)
+
+
+def test_mux_rate_and_pilots():
+    """Output sample count matches the exact 286*B/513 ratio and every
+    slot's pilot tone lands at slot_center + the pilot offset."""
+    rng = np.random.default_rng(107)
+    b, t = 3, 2
+    ts = _random_ts(rng, t, b)
+    m = _mux_fields(ts)
+    n_in = t * N
+    expect = int(np.ceil(n_in / 513)) * 286 * b
+    assert m.shape == (2, expect)
+
+    x = m[0] + 1j * m[1]
+    n = min(x.size, 1 << 20)
+    spec = np.abs(np.fft.fft(x[:n] * np.hanning(n)))
+    freqs = np.fft.fftfreq(n, 1.0 / (b * SLOT_HZ))
+    half = b * SLOT_HZ / 2
+    for k in range(b):
+        f_exp = (k - (b - 1) / 2) * SLOT_HZ + P.OSC_FREQUENCY
+        f_exp = (f_exp + half) % (2 * half) - half     # wrap into Nyquist
+        band = np.nonzero(np.abs(freqs - f_exp) <= 50e3)[0]
+        pk = band[np.argmax(spec[band])]
+        assert abs(freqs[pk] - f_exp) < 200.0, (k, freqs[pk], f_exp)
+        assert spec[pk] > 0.5 * spec.max()             # a real pilot peak
+
+
+def test_mux_demux_roundtrip_exact_ts():
+    """Every slot of a 3-channel multiplex decodes back to its exact
+    transport stream (demux -> adaptive equalizer), with zero RS
+    corrections — the mux+demux chain is transparent."""
+    rng = np.random.default_rng(109)
+    b, t = 3, 3
+    ts = _random_ts(rng, t, b)
+    m = _mux_fields(ts)
+    for slot in range(b):
+        bb = demux_slot(m, slot, b)
+        rx = IqReceiver(batch=1, backend="adaptive")
+        got = rx.push(bb[None]) + rx.flush()
+        assert rx.decoder.segments_uncorrectable == 0
+        assert len(got) >= t - 1
+        for k in range(t - 1):
+            np.testing.assert_array_equal(got[k][0][0], ts[k, slot])
+
+
+def test_mux_streaming_continuity():
+    """Pushing in odd-sized chunks equals one-shot multiplexing (the
+    513-block remainder and resampler halo carry across pushes)."""
+    rng = np.random.default_rng(113)
+    b = 2
+    ts = _random_ts(rng, 2, b)
+    enc = Encoder(batch=b, donate=False)
+    iq = np.concatenate(
+        [np.asarray(enc.encode(ts[k]))[:, :, :N] for k in range(2)], axis=-1
+    )
+    one = FdmMuxer(b)
+    whole = np.concatenate([one.push(iq), one.flush()], axis=-1)
+    chunked = FdmMuxer(b)
+    parts = []
+    for pos in range(0, iq.shape[-1], 77_777):
+        parts.append(chunked.push(iq[:, :, pos : pos + 77_777]))
+    parts.append(chunked.flush())
+    np.testing.assert_allclose(
+        np.concatenate(parts, axis=-1), whole, atol=1e-6
+    )
+
+
+def test_cli_encode_mux(tmp_path):
+    """`encode --mux` emits one wideband stream; demuxing a slot decodes
+    to the input TS."""
+    from atsc_tpu.cli import main
+
+    rng = np.random.default_rng(127)
+    ts = _random_ts(rng, 3, 2)
+    a, c = tmp_path / "a.ts", tmp_path / "b.ts"
+    a.write_bytes(ts[:, 0].tobytes())
+    c.write_bytes(ts[:, 1].tobytes())
+    out = tmp_path / "wide.iq"
+    assert main([str(a), str(c), "-o", str(out), "--mux"]) == 0
+    raw = np.fromfile(out, np.float32).reshape(-1, 2)
+    m = np.stack([raw[:, 0], raw[:, 1]])
+    assert m.shape[1] == int(np.ceil(3 * N / 513)) * 286 * 2
+    bb = demux_slot(m, 1, 2)
+    rx = IqReceiver(batch=1, backend="adaptive")
+    got = rx.push(bb[None]) + rx.flush()
+    assert rx.decoder.segments_uncorrectable == 0
+    for k in range(2):
+        np.testing.assert_array_equal(got[k][0][0], ts[k, 1])
