@@ -286,6 +286,11 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                          "--ntsc/--erasures/--checkpoint)")
     ap.add_argument("--fields-per-step", type=int, default=4,
                     help="(--mesh) fields decoded per device step")
+    ap.add_argument("--demux", type=int, default=0, metavar="B",
+                    help="the capture is a B-slot FDM multiplex at B*6 MHz "
+                         "(encode --mux layout): demultiplex on-device and "
+                         "decode all B channels (adaptive equalizer; output "
+                         "is channel-interleaved per field like -c B)")
     ap.add_argument("--format", dest="in_format", default="cf32",
                     choices=("cf32", "cs16", "cs8"),
                     help="IQ wire format of the capture")
@@ -511,9 +516,77 @@ def run_decode_mesh(args) -> dict:
     return summary
 
 
+def run_decode_demux(args) -> dict:
+    """Wideband headend receive: on-device FDM demultiplex (ops/mux.py)
+    feeding one batched adaptive receiver — B transport streams out of
+    one B*6 MHz capture."""
+    from atsc_tpu.models.receiver import IqReceiver
+    from atsc_tpu.ops.mux import FdmDemuxer
+
+    for flag, default in (("align", "none"), ("cfo", "0"), ("sro", "0"),
+                          ("mesh", None), ("checkpoint", None)):
+        if getattr(args, flag) != default:
+            raise ValueError(f"--demux does not support --{flag}")
+    if args.channels != 1:
+        raise ValueError("--demux sets the channel count itself")
+    b = args.demux
+    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    fout = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    dmx = FdmDemuxer(b)
+    rx = IqReceiver(
+        batch=b, backend="adaptive", forgetting=args.forgetting,
+        trellis="soft" if args.trellis == "viterbi" else "hard",
+        erasures=None if args.erasures == "off" else args.erasures,
+        ntsc=None if args.ntsc == "off" else args.ntsc,
+        viterbi_chunks=args.viterbi_chunks, eq_profile=args.eq_profile,
+        measure_mer=args.stats,
+    )
+    fields = 0
+
+    def emit(decoded) -> None:
+        nonlocal fields
+        for ts, _ in decoded:
+            fout.write(ts.tobytes())
+            fields += 1
+
+    try:
+        while True:
+            buf = fin.read(1 << 22)
+            if not buf:
+                break
+            bb = dmx.push(_wire_to_complex(buf, args.in_format))
+            if bb.shape[-1]:
+                emit(rx.push(bb))
+            if args.max_fields and fields >= args.max_fields:
+                break
+        if not args.max_fields or fields < args.max_fields:
+            bb = dmx.flush()
+            if bb.shape[-1]:
+                emit(rx.push(bb))
+            emit(rx.flush())
+    finally:
+        if fin is not sys.stdin.buffer:
+            fin.close()
+        if fout is not sys.stdout.buffer:
+            fout.close()
+    summary = {
+        "fields_decoded": fields,
+        "segments_corrected": rx.decoder.segments_corrected,
+        "segments_uncorrectable": rx.decoder.segments_uncorrectable,
+        "demux_slots": b,
+    }
+    if rx.mer is not None:
+        summary["mer_db"] = [round(float(v), 2) for v in rx.mer]
+    if args.stats:
+        print(json.dumps(summary), file=sys.stderr)
+    return summary
+
+
 def run_decode(args) -> dict:
     import io
 
+    if getattr(args, "demux", 0):
+        return run_decode_demux(args)
     if getattr(args, "mesh", None):
         return run_decode_mesh(args)
 

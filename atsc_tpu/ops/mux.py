@@ -173,6 +173,126 @@ class FdmMuxer:
         return out
 
 
+# -- device-side demultiplexer ------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _demux_matrix(n_slots: int) -> np.ndarray:
+    """(286*B + 2*H2, 513) float32 banded filter-and-resample matrix for
+    the multiplex -> per-slot baseband direction: anti-alias low-pass
+    (Kaiser(10) sinc, 3.1 MHz cutoff — kills the 6-MHz neighbors) and
+    R -> fs interpolation in one matmul per 286*B-sample input block."""
+    p_in = RESAMPLE_UP * n_slots       # input samples per block (at R)
+    q_out = RESAMPLE_DOWN              # output samples per block (at fs)
+    rate = n_slots * SLOT_HZ
+    halo = _demux_halo(n_slots)
+    m = np.arange(q_out, dtype=np.float64)
+    pos = m * p_in / q_out + halo      # input position of output m
+    i = np.arange(p_in + 2 * halo, dtype=np.float64)[:, None]
+    t = pos[None, :] - i
+    c = 2 * 3.1e6 / rate               # normalized low-pass cutoff
+    x = np.clip(t / (halo + 1), -1.0, 1.0)
+    w = c * np.sinc(c * t) * np.i0(10.0 * np.sqrt(1.0 - x * x)) / np.i0(10.0)
+    w[np.abs(t) > halo + 1] = 0.0
+    w /= w.sum(axis=0, keepdims=True)  # unity DC gain per phase
+    return w.astype(np.float32)
+
+
+def _demux_halo(n_slots: int) -> int:
+    """One-sided demux filter support in multiplex samples: the 3.1-MHz
+    low-pass needs length scaling with the rate for a fixed transition."""
+    return 12 * n_slots + 4
+
+
+def demux_blocks(mux_planar: jnp.ndarray, n_slots: int) -> jnp.ndarray:
+    """(2, n_in + 2*halo) planar multiplex (n_in a multiple of 286*B,
+    with halo context on each side) -> (B, 2, n_in*513/(286*B)) planar
+    per-slot baseband at fs.
+
+    Same alignment contract as mux_blocks: input sample `halo` is
+    multiplex stream sample blocks_consumed*286*B, so the period-2B
+    mixdown table stays phase-aligned with no carried state.
+    """
+    b = n_slots
+    p_in = RESAMPLE_UP * b
+    halo = _demux_halo(b)
+    n_in = mux_planar.shape[-1] - 2 * halo
+    n_blk = n_in // p_in
+    # mix every slot down to DC: conj of the mux mixer, tiled to cover
+    # the window (the halo shifts the table start by -halo mod 2B)
+    cos_t, sin_t = _mixer_tables(b)                       # (B, 2B)
+    n_win = mux_planar.shape[-1]
+    reps = -(-(n_win + 2 * b) // (2 * b))
+    shift = (-halo) % (2 * b)
+    cos = jnp.tile(jnp.asarray(cos_t), (1, reps + 1))[
+        :, shift : shift + n_win]                         # (B, n_win)
+    sin = jnp.tile(jnp.asarray(sin_t), (1, reps + 1))[:, shift : shift + n_win]
+    xr, xi = mux_planar[0], mux_planar[1]
+    dr = xr[None] * cos + xi[None] * sin                  # x * conj(mix)
+    di = xi[None] * cos - xr[None] * sin                  # (B, n_win)
+    w = jnp.asarray(_demux_matrix(b))
+    idx = (np.arange(n_blk)[:, None] * p_in
+           + np.arange(p_in + 2 * halo)[None, :]).astype(np.int32)
+    wr = jnp.take(dr, jnp.asarray(idx), axis=-1)          # (B, n_blk, p+2H)
+    wi = jnp.take(di, jnp.asarray(idx), axis=-1)
+    out_r = jnp.einsum("bnk,km->bnm", wr, w)              # (B, n_blk, 513)
+    out_i = jnp.einsum("bnk,km->bnm", wi, w)
+    out = jnp.stack([out_r, out_i], axis=1)               # (B, 2, n_blk, 513)
+    return out.reshape(b, 2, n_blk * RESAMPLE_DOWN)
+
+
+class FdmDemuxer:
+    """Streaming inverse of FdmMuxer: push wideband multiplex samples at
+    B*6 MHz, collect per-slot complex basebands at the symbol rate —
+    ready for IqReceiver(batch=B, backend="adaptive") (the demux filter
+    is a linear channel the training absorbs).
+    """
+
+    def __init__(self, n_slots: int):
+        self.n_slots = n_slots
+        halo = _demux_halo(n_slots)
+        self._carry = np.zeros((2, halo), np.float32)
+        self._step = jax.jit(
+            functools.partial(demux_blocks, n_slots=n_slots)
+        )
+
+    def push(self, mux_planar: np.ndarray) -> np.ndarray:
+        """mux_planar: (2, n) planar float32 (or (n,) complex) multiplex
+        samples. Returns (B, m) complex64 baseband (possibly m = 0)."""
+        mux_planar = np.asarray(mux_planar)
+        if mux_planar.ndim == 1:
+            mux_planar = np.stack(
+                [mux_planar.real.astype(np.float32),
+                 mux_planar.imag.astype(np.float32)]
+            )
+        buf = np.concatenate([self._carry, mux_planar.astype(np.float32)],
+                             axis=-1)
+        p_in = RESAMPLE_UP * self.n_slots
+        halo = _demux_halo(self.n_slots)
+        n_blk = (buf.shape[-1] - 2 * halo) // p_in
+        if n_blk <= 0:
+            self._carry = buf
+            return np.zeros((self.n_slots, 0), np.complex64)
+        used = n_blk * p_in
+        out = np.asarray(self._step(
+            np.ascontiguousarray(buf[..., : used + 2 * halo])
+        ))
+        self._carry = buf[..., used:]
+        return (out[:, 0] + 1j * out[:, 1]).astype(np.complex64)
+
+    def flush(self) -> np.ndarray:
+        """End of stream: zero-fill the trailing partial block + halo."""
+        p_in = RESAMPLE_UP * self.n_slots
+        halo = _demux_halo(self.n_slots)
+        s = self._carry.shape[-1] - halo
+        if s <= 0:
+            self._carry = np.zeros((2, halo), np.float32)
+            return np.zeros((self.n_slots, 0), np.complex64)
+        pad = (-s) % p_in + halo
+        out = self.push(np.zeros((2, pad), np.float32))
+        self._carry = np.zeros((2, halo), np.float32)
+        return out
+
+
 def demux_slot(mux: np.ndarray, slot: int, n_slots: int) -> np.ndarray:
     """Extract one channel from a multiplex back to complex baseband at
     the symbol rate (host-side NumPy; the verification/monitoring
