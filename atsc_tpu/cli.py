@@ -98,7 +98,9 @@ def _write_mux(sink, chunk: np.ndarray) -> None:
     if isinstance(sink, IqSink):
         sink.write_planar(arr, chunk.shape[-1])
     else:
-        sink.write(iq_interleave(arr))
+        # NOT iq_interleave: that truncates to SYMBOLS_PER_FIELD, but a
+        # multiplex chunk's full (resampled) length is valid payload
+        sink.write(np.ascontiguousarray(np.moveaxis(arr, -2, -1)))
 
 
 def _read_step(readers, step_bytes: int, field_bytes: int):
@@ -148,8 +150,14 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
     readers = [TsReader(p) for p in input_paths]
     if cfg.sink == "soapy" or cfg.sink.startswith("soapy:"):
         driver = cfg.sink.split(":", 1)[1] if ":" in cfg.sink else cfg.driver
+        # --mux emits ONE wideband stream at channels*6 MHz: the SDR must
+        # run at the multiplex rate with a matching analog bandwidth, not
+        # the per-channel symbol rate / 6 MHz defaults
         sink = SoapySdrSink(driver=driver, frequency_hz=cfg.frequency_hz,
-                            gain_db=cfg.gain_db, stream_format=cfg.out_format)
+                            gain_db=cfg.gain_db, stream_format=cfg.out_format,
+                            sample_rate=stream_rate if cfg.mux else None,
+                            bandwidth_hz=(cfg.channels * 6e6 if cfg.mux
+                                          else 6_000_000.0))
     else:
         sink = IqSink(cfg.sink, pace_bytes_per_sec=pace)
     meshed = cfg.n_time * cfg.n_ch > 1
@@ -432,9 +440,15 @@ def run_decode_mesh(args) -> dict:
     except ValueError:
         raise ValueError(f"--mesh wants TIMExCH (e.g. 4x2), got "
                          f"{args.mesh!r}") from None
+    if args.viterbi_chunks > 1:
+        raise ValueError("--mesh decode does not support --viterbi-chunks")
+    if getattr(args, "resume", False):
+        raise ValueError("--mesh decode does not support --resume")
+    from atsc_tpu.models.receiver import _DEV_MARGIN
+
     b = args.channels
     n = P.SYMBOLS_PER_FIELD
-    margin = 384
+    margin = _DEV_MARGIN  # decode_iq asserts width == t*N + 2*_DEV_MARGIN
     rx = ShardedReceiver(
         make_mesh(n_time, n_ch), batch=b,
         fields_per_device=max(1, args.fields_per_step // n_time),
@@ -527,20 +541,31 @@ def run_decode_demux(args) -> dict:
                           ("mesh", None), ("checkpoint", None)):
         if getattr(args, flag) != default:
             raise ValueError(f"--demux does not support --{flag}")
+    if getattr(args, "resume", False):
+        raise ValueError("--demux does not support --resume")
     if args.channels != 1:
         raise ValueError("--demux sets the channel count itself")
+    if (args.viterbi_chunks > 1 and args.trellis != "viterbi"
+            and args.ntsc == "off"):
+        raise ValueError("--viterbi-chunks needs a soft trellis path: "
+                         "add --trellis viterbi or --ntsc comb/auto")
     b = args.demux
-    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
-    fout = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    if b < 1:
+        raise ValueError(f"--demux wants a slot count >= 1, got {b}")
     dmx = FdmDemuxer(b)
+    # construct (and therefore flag-validate) the receiver BEFORE opening
+    # the output: a usage error must not truncate an existing output file
     rx = IqReceiver(
         batch=b, backend="adaptive", forgetting=args.forgetting,
+        first_field=args.first_field,
         trellis="soft" if args.trellis == "viterbi" else "hard",
         erasures=None if args.erasures == "off" else args.erasures,
         ntsc=None if args.ntsc == "off" else args.ntsc,
         viterbi_chunks=args.viterbi_chunks, eq_profile=args.eq_profile,
         measure_mer=args.stats,
     )
+    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    fout = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     fields = 0
 
     def emit(decoded) -> None:

@@ -128,7 +128,8 @@ class SoapySdrSink:
 
     def __init__(self, driver: str = "hackrf", frequency_hz: float = 473e6,
                  gain_db: float = 54.0, sample_rate: float | None = None,
-                 stream_format: str = "cf32"):
+                 stream_format: str = "cf32",
+                 bandwidth_hz: float = 6_000_000.0):
         try:
             import SoapySDR  # type: ignore
             from SoapySDR import SOAPY_SDR_TX  # type: ignore
@@ -145,7 +146,7 @@ class SoapySdrSink:
         }[stream_format]
         rate = sample_rate or P.SAMPLE_RATE
         self._sdr = SoapySDR.Device({"driver": driver})
-        self._sdr.setBandwidth(SOAPY_SDR_TX, 0, 6_000_000.0)
+        self._sdr.setBandwidth(SOAPY_SDR_TX, 0, bandwidth_hz)
         self._sdr.setSampleRate(SOAPY_SDR_TX, 0, rate)
         self._sdr.setFrequency(SOAPY_SDR_TX, 0, frequency_hz)
         self._sdr.setGain(SOAPY_SDR_TX, 0, gain_db)

@@ -161,3 +161,85 @@ def test_cli_decode_demux(tmp_path):
     assert got.shape[0] == 2
     for k in range(2):
         np.testing.assert_array_equal(got[k], ts[k])
+
+
+def test_cli_decode_demux_first_field(tmp_path):
+    """`decode --demux --first-field 1` decodes a multiplex capture whose
+    stream starts at an odd field (regression: the flag used to be
+    silently dropped by the demux path, leaving parity/oscillator epoch
+    at 0)."""
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+
+    rng = np.random.default_rng(139)
+    b, t = 2, 3
+    ts = _random_ts(rng, t, b)
+    enc = Encoder(batch=b, donate=False)
+    iq = np.concatenate(
+        [np.asarray(enc.encode(ts[k]))[:, :, :N] for k in range(t)], axis=-1
+    )
+    # drop field 0: the capture now begins at field 1 (odd parity,
+    # oscillator epoch at global sample N)
+    mux = FdmMuxer(b)
+    m = np.concatenate([mux.push(iq[:, :, N:]), mux.flush()], axis=-1)
+    wide = tmp_path / "odd.iq"
+    np.stack([m[0], m[1]], axis=-1).astype(np.float32).tofile(wide)
+    out = tmp_path / "out.ts"
+    summary = run_decode(build_decode_argparser().parse_args(
+        [str(wide), "-o", str(out), "--demux", str(b), "--first-field", "1"]
+    ))
+    assert summary["segments_uncorrectable"] == 0
+    got = np.fromfile(out, np.uint8).reshape(-1, b, P.FIELD_TS_BYTES)
+    assert got.shape[0] >= t - 2
+    for k in range(t - 2):
+        np.testing.assert_array_equal(got[k], ts[k + 1])
+
+
+def test_cli_decode_demux_flag_validation(tmp_path):
+    """Usage errors on the demux path fail fast and do NOT clobber an
+    existing output file (regression: fout used to be opened/truncated
+    before the receiver validated its flag combination)."""
+    import pytest
+
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+
+    cap = tmp_path / "cap.iq"
+    cap.write_bytes(b"\0" * 64)
+    out = tmp_path / "out.ts"
+    payload = b"precious bytes"
+    out.write_bytes(payload)
+
+    def parse(*extra):
+        return build_decode_argparser().parse_args(
+            [str(cap), "-o", str(out), *extra]
+        )
+
+    with pytest.raises(ValueError, match="slot count"):
+        run_decode(parse("--demux", "-2"))
+    with pytest.raises(ValueError, match="resume"):
+        run_decode(parse("--demux", "2", "--resume"))
+    with pytest.raises(ValueError, match="soft trellis"):
+        run_decode(parse("--demux", "2", "--viterbi-chunks", "24"))
+    with pytest.raises(ValueError):
+        run_decode(parse("--demux", "2", "--ntsc", "comb",
+                         "--erasures", "burst"))
+    assert out.read_bytes() == payload  # no truncation on any usage error
+
+
+def test_write_mux_preserves_full_chunk_length():
+    """_write_mux must not truncate a multiplex chunk to one field's
+    sample count on the raw-sink branch (regression: iq_interleave
+    slices to SYMBOLS_PER_FIELD, dropping the resampled surplus)."""
+    from atsc_tpu.cli import _write_mux
+
+    class StubSink:
+        def __init__(self):
+            self.samples = 0
+
+        def write(self, arr):
+            assert arr.shape[-1] == 2  # interleaved (I, Q) wire layout
+            self.samples += arr.shape[-2]
+
+    m = N + 29_588  # a realistic B=2 per-field multiplex chunk length
+    sink = StubSink()
+    _write_mux(sink, np.zeros((2, m), np.float32))
+    assert sink.samples == m

@@ -28,6 +28,7 @@ from atsc_tpu.ops.mux import (  # noqa: E402
     RESAMPLE_DOWN,
     RESAMPLE_UP,
     SLOT_HZ,
+    _HALO,
     _demux_halo,
     demux_blocks,
     mux_blocks,
@@ -44,7 +45,7 @@ def main() -> None:
     b, k = args.slots, args.blocks
 
     rng = np.random.default_rng(0)
-    halo = 16
+    halo = _HALO
     n_in = k * RESAMPLE_DOWN
     iq = jnp.asarray(rng.normal(
         0, 1, (b, 2, n_in + 2 * halo)).astype(np.float32))
