@@ -280,7 +280,9 @@ def build_decode_argparser() -> argparse.ArgumentParser:
         description="TPU-native 8VSB receiver: baseband IQ -> MPEG-TS",
     )
     ap.add_argument("input", help="IQ capture ('-' = stdin) produced by the "
-                                  "encoder, starting at the stream epoch")
+                                  "encoder, starting at the stream epoch; or "
+                                  "'soapy[:driver]' to capture live from a "
+                                  "SoapySDR receiver (see -d/-f/-g)")
     ap.add_argument("-o", "--output", default="-",
                     help="TS output path or '-' (stdout)")
     ap.add_argument("-c", "--channels", type=int, default=1,
@@ -389,7 +391,35 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                          "combinable with --align/--sro auto-conditioning)")
     ap.add_argument("--stats", action="store_true",
                     help="print a JSON decode summary to stderr")
+    # SDR flags for the live 'soapy' input (mirror of the encode side)
+    ap.add_argument("-d", "--driver", default="hackrf",
+                    help="SoapySDR driver for the 'soapy' input")
+    ap.add_argument("-f", "--frequency", type=float, default=473e6)
+    ap.add_argument("-g", "--gain", type=float, default=30.0,
+                    help="receive gain in dB")
     return ap
+
+
+def _is_live(path: str) -> bool:
+    return path == "soapy" or path.startswith("soapy:")
+
+
+def _open_capture(args, sample_rate: float, bandwidth_hz: float):
+    """Decode input source: '-' = stdin, 'soapy[:driver]' = live SoapySDR
+    receive stream (in --format wire samples), else a capture file."""
+    if args.input == "-":
+        return sys.stdin.buffer
+    if _is_live(args.input):
+        from atsc_tpu.runtime.io import SoapySdrSource
+
+        driver = (args.input.split(":", 1)[1] if ":" in args.input
+                  else args.driver)
+        return SoapySdrSource(
+            driver=driver, frequency_hz=args.frequency, gain_db=args.gain,
+            sample_rate=sample_rate, stream_format=args.in_format,
+            bandwidth_hz=bandwidth_hz,
+        )
+    return open(args.input, "rb")
 
 
 def _wire_to_complex(buf: bytes, fmt: str) -> np.ndarray:
@@ -457,7 +487,10 @@ def run_decode_mesh(args) -> dict:
     t = rx.t_total
     fmt = args.in_format
     block = n * BYTES_PER_SAMPLE[fmt] * b
-    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    if _is_live(args.input) and b != 1:
+        raise ValueError("a live SDR capture is single-channel; use "
+                         "--demux for a wideband multi-channel band")
+    fin = _open_capture(args, P.SAMPLE_RATE, 6e6)
     fout = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
 
     def read_step():
@@ -564,7 +597,8 @@ def run_decode_demux(args) -> dict:
         viterbi_chunks=args.viterbi_chunks, eq_profile=args.eq_profile,
         measure_mer=args.stats,
     )
-    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    # live wideband headend receive: the SDR runs at the multiplex rate
+    fin = _open_capture(args, dmx.rate_hz, dmx.rate_hz)
     fout = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     fields = 0
 
@@ -629,7 +663,18 @@ def run_decode(args) -> dict:
     resume = bool(getattr(args, "resume", False))
     if resume and not args.checkpoint:
         raise ValueError("--resume requires --checkpoint")
-    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    if _is_live(args.input):
+        if args.channels != 1:
+            raise ValueError("a live SDR capture is single-channel; use "
+                             "--demux for a wideband multi-channel band")
+        if args.sro != "0":
+            raise ValueError("--sro reads the whole capture up front and "
+                             "cannot run on a live stream (capture to a "
+                             "file first, or correct the tuner clock)")
+        if resume:
+            raise ValueError("--resume needs a repositionable capture, "
+                             "not a live stream")
+    fin = _open_capture(args, P.SAMPLE_RATE, 6e6)
     fout = None  # opened once the resume state (if any) is known
     align = args.align == "auto"
     cfo_auto = args.cfo == "auto"

@@ -249,6 +249,7 @@ class FdmDemuxer:
 
     def __init__(self, n_slots: int):
         self.n_slots = n_slots
+        self.rate_hz = n_slots * SLOT_HZ  # the multiplex sample rate
         halo = _demux_halo(n_slots)
         self._carry = np.zeros((2, halo), np.float32)
         self._step = jax.jit(

@@ -179,6 +179,102 @@ class SoapySdrSink:
             self._stream = None
 
 
+class SoapySdrSource:
+    """SDR receive source via SoapySDR — the capture side of the headend
+    (the TX mirror is SoapySdrSink; the reference has no receive path at
+    all). File-like for the decode CLI: `read(n)` blocks on the RX stream
+    and returns exactly n wire bytes of interleaved (I, Q) samples in the
+    requested format (CF32/CS16/CS8); `seekable()` is False (a live
+    stream has no positions). Timeouts are retried; overflows (dropped
+    samples between reads — the device outruns the consumer) are counted
+    in `.overflows` and otherwise skipped, exactly what a live decoder
+    wants: the field tracker re-syncs via the following sync correlation.
+
+    Gated on the optional `SoapySDR` python module like the sink.
+    """
+
+    def __init__(self, driver: str = "hackrf", frequency_hz: float = 473e6,
+                 gain_db: float = 30.0, sample_rate: float | None = None,
+                 stream_format: str = "cf32",
+                 bandwidth_hz: float = 6_000_000.0):
+        try:
+            import SoapySDR  # type: ignore
+            from SoapySDR import SOAPY_SDR_RX  # type: ignore
+        except ImportError as e:  # pragma: no cover - hardware-only path
+            raise RuntimeError(
+                "SoapySDR python bindings not available on this host; "
+                "decode from a capture file instead"
+            ) from e
+        from atsc_tpu import params as P
+
+        self._timeout_code = getattr(SoapySDR, "SOAPY_SDR_TIMEOUT", -1)
+        self._overflow_code = getattr(SoapySDR, "SOAPY_SDR_OVERFLOW", -2)
+        soapy_fmt = {"cf32": "CF32", "cs16": "CS16", "cs8": "CS8"}[stream_format]
+        self._np_dtype = {
+            "cf32": np.float32, "cs16": np.int16, "cs8": np.int8
+        }[stream_format]
+        self._sample_bytes = 2 * np.dtype(self._np_dtype).itemsize
+        rate = sample_rate or P.SAMPLE_RATE
+        self._sdr = SoapySDR.Device({"driver": driver})
+        self._sdr.setBandwidth(SOAPY_SDR_RX, 0, bandwidth_hz)
+        self._sdr.setSampleRate(SOAPY_SDR_RX, 0, rate)
+        self._sdr.setFrequency(SOAPY_SDR_RX, 0, frequency_hz)
+        self._sdr.setGain(SOAPY_SDR_RX, 0, gain_db)
+        self._stream = self._sdr.setupStream(SOAPY_SDR_RX, soapy_fmt)
+        self._sdr.activateStream(self._stream)
+        self._mtu = int(self._sdr.getStreamMTU(self._stream))
+        self._pending = b""
+        self._bytes = 0
+        self.overflows = 0
+
+    def read(self, n: int = -1) -> bytes:
+        """Blocking read of exactly n bytes (whole samples are buffered
+        internally, so any n works). A live stream has no EOF: read() with
+        no size is refused rather than looping forever."""
+        if n < 0:
+            raise ValueError(
+                "read() without a size on a live SDR stream would never "
+                "return; pass a byte count (or use --max-fields)"
+            )
+        if self._stream is None:
+            return b""  # closed: behave like EOF
+        out = bytearray(self._pending)
+        buf = np.empty((self._mtu, 2), self._np_dtype)
+        while len(out) < n:
+            want = min(
+                self._mtu,
+                -(-(n - len(out)) // self._sample_bytes),
+            )
+            res = self._sdr.readStream(self._stream, [buf], want)
+            got = getattr(res, "ret", res)
+            if got == self._timeout_code:
+                continue
+            if got == self._overflow_code:
+                self.overflows += 1
+                continue
+            if got < 0:
+                raise IOError(f"SoapySDR readStream returned {got}")
+            out += buf[:got].tobytes()
+        self._bytes += n
+        self._pending = bytes(out[n:])
+        return bytes(out[:n])
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return False
+
+    def bytes_read(self) -> int:
+        return self._bytes
+
+    def close(self) -> None:
+        if getattr(self, "_stream", None) is not None:
+            self._sdr.deactivateStream(self._stream)
+            self._sdr.closeStream(self._stream)
+            self._stream = None
+
+
 class IqSink:
     """IQ byte sink: 'null', '-' (stdout) or a file path; optional pacing
     in bytes/s (e.g. SAMPLE_RATE * 8 for real-time CF32)."""
