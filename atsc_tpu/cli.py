@@ -327,6 +327,16 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                          "boundary. Single-channel only; implies "
                          "--equalizer adaptive (the epoch phase offset is "
                          "absorbed by training)")
+    ap.add_argument("--resync", default="off", choices=("off", "auto"),
+                    help="'auto': detect sync loss (a run of fields whose "
+                         "RS segments are mostly uncorrectable — e.g. an "
+                         "SDR overflow dropped an unknown number of "
+                         "samples) and re-acquire the field boundary by "
+                         "PN511 correlation in the buffered stream, "
+                         "resetting decoder/equalizer state there. Implies "
+                         "--equalizer adaptive (the re-acquired epoch "
+                         "carries an unknown phase offset). Recommended "
+                         "for live 'soapy' input")
     ap.add_argument("--equalizer", default="zf", choices=("zf", "adaptive"),
                     help="'zf': fixed zero-forcing inverse of the known TX "
                          "chain (ideal channel); 'adaptive': widely-linear "
@@ -462,7 +472,7 @@ def run_decode_mesh(args) -> dict:
     for flag, default in (("align", "none"), ("cfo", "0"), ("sro", "0"),
                           ("equalizer", "zf"), ("trellis", "hard"),
                           ("ntsc", "off"), ("erasures", "off"),
-                          ("checkpoint", None)):
+                          ("resync", "off"), ("checkpoint", None)):
         if getattr(args, flag) != default:
             raise ValueError(f"--mesh decode does not support --{flag}")
     try:
@@ -596,6 +606,7 @@ def run_decode_demux(args) -> dict:
         ntsc=None if args.ntsc == "off" else args.ntsc,
         viterbi_chunks=args.viterbi_chunks, eq_profile=args.eq_profile,
         measure_mer=args.stats,
+        resync=None if args.resync == "off" else args.resync,
     )
     # live wideband headend receive: the SDR runs at the multiplex rate
     fin = _open_capture(args, dmx.rate_hz, dmx.rate_hz)
@@ -634,6 +645,12 @@ def run_decode_demux(args) -> dict:
         "segments_uncorrectable": rx.decoder.segments_uncorrectable,
         "demux_slots": b,
     }
+    if args.resync != "off":
+        summary["resyncs"] = rx.resyncs
+    if _is_live(args.input):
+        summary |= {"overflows": fin.overflows,
+                    "gaps_filled": fin.gaps_filled,
+                    "gap_samples": fin.gap_samples}
     if rx.mer is not None:
         summary["mer_db"] = [round(float(v), 2) for v in rx.mer]
     if args.stats:
@@ -704,6 +721,8 @@ def run_decode(args) -> dict:
                          "add --trellis viterbi or --ntsc comb/auto")
     first_field, offset, pending = args.first_field, 0, None
     equalizer = args.equalizer
+    if args.resync == "auto":
+        equalizer = "adaptive"  # a re-acquired epoch needs training
     iq0 = None
     if align or cfo_auto:
         iq0 = _wire_to_complex(fin.read(2 * block), fmt)
@@ -758,7 +777,7 @@ def run_decode(args) -> dict:
         # re-open the output exactly where the checkpointed state left
         # it: fields flushed after the last checkpoint would otherwise
         # be duplicated on resume
-        emitted = max(rx._next_field - 1, 0) if rx._primed else 0
+        emitted = rx.fields_emitted
         expect = emitted * P.FIELD_TS_BYTES * args.channels
         if args.output == "-":
             fout = sys.stdout.buffer
@@ -786,6 +805,7 @@ def run_decode(args) -> dict:
             ntsc=None if args.ntsc == "off" else args.ntsc,
             viterbi_chunks=args.viterbi_chunks,
             measure_mer=args.stats,
+            resync=None if args.resync == "off" else args.resync,
         )
         fout = (sys.stdout.buffer if args.output == "-"
                 else open(args.output, "wb"))
@@ -854,6 +874,12 @@ def run_decode(args) -> dict:
         )
     if args.ntsc != "off":
         summary["ntsc_comb"] = rx.ntsc_active
+    if args.resync != "off" or rx.resync is not None:
+        summary["resyncs"] = rx.resyncs
+    if _is_live(args.input):
+        summary |= {"overflows": fin.overflows,
+                    "gaps_filled": fin.gaps_filled,
+                    "gap_samples": fin.gap_samples}
     if rx.mer is not None:
         summary["mer_db"] = [round(float(v), 2) for v in rx.mer]
     if align:

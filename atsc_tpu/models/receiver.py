@@ -328,6 +328,15 @@ class _PlanarStream:
         self._starts.append(self.end)
         self.end += codes.shape[1]
 
+    def append_zeros(self, n: int) -> None:
+        """Insert n zero samples (a known-length gap in a live stream:
+        keeps field tracking aligned; the span decodes as noise)."""
+        if n <= 0:
+            return
+        self._chunks.append(np.zeros((self.batch, 2, n), self.dtype))
+        self._starts.append(self.end)
+        self.end += n
+
     def window(self, lo: int, hi: int) -> np.ndarray:
         """(B, 2, hi-lo) `dtype` covering stream span [lo, hi); samples
         outside the buffered range are zero."""
@@ -609,6 +618,24 @@ class IqReceiver:
     n_errors (B, 312) int32) per decoded field, with the decoder's
     one-field interleaver latency; the first (pre-start) output field is
     dropped internally.
+
+    Fields are tracked by counting samples from the stream epoch, so a
+    live source that silently drops samples (an SDR overflow of unknown
+    length) desynchronizes the decode. Two recovery paths:
+
+    - `notify_gap(n)` when the drop length IS known (e.g. from hardware
+      timestamps): inserts n zero samples so tracking stays aligned; the
+      gap decodes as noise and RS absorbs what it can.
+    - `resync="auto"` (adaptive backend only): per emitted field, if the
+      uncorrectable-segment fraction reaches `resync_threshold` for
+      `resync_after` consecutive fields, the receiver declares sync lost,
+      stops decoding, re-locates the next field boundary in the buffered
+      stream by PN511 correlation (find_field_sync_iq — phase/gain
+      robust, which is why the known-epoch zf backends can't do this),
+      re-bases its epoch/parity there, and resets the decoder + RLS
+      state. Fields emitted between the actual slip and its detection
+      are garbage (already emitted — a live pipeline cannot retract);
+      `resyncs` counts events, `resync_log` records where they landed.
     """
 
     def __init__(self, batch: int = 1, first_field: int = 0,
@@ -617,7 +644,8 @@ class IqReceiver:
                  trellis: str = "hard", erasures: str | None = None,
                  wire_format: str = "cf32", eq_profile: str = "auto",
                  ntsc: str | None = None, viterbi_chunks: int = 1,
-                 measure_mer: bool = False):
+                 measure_mer: bool = False, resync: str | None = None,
+                 resync_after: int = 2, resync_threshold: float = 0.5):
         if backend not in ("device", "numpy", "adaptive"):
             raise ValueError(f"unknown equalizer backend {backend!r}")
         if eq_profile != "auto" and eq_profile not in EQ_PROFILES:
@@ -637,6 +665,12 @@ class IqReceiver:
         if wire_format != "cf32" and backend != "device":
             raise ValueError("quantized wire input needs backend='device' "
                              "(dequantize on the host for other backends)")
+        if resync not in (None, "auto"):
+            raise ValueError(f"unknown resync mode {resync!r}")
+        if resync is not None and backend != "adaptive":
+            raise ValueError("resync='auto' needs backend='adaptive': a "
+                             "re-acquired epoch carries an unknown phase "
+                             "offset only a trained equalizer absorbs")
         self.batch = batch
         self.first_field = first_field
         self.backend = backend
@@ -679,19 +713,31 @@ class IqReceiver:
         # before any decoder state exists, then sticks
         self._ntsc_pending = ntsc == "auto"
         self.ntsc_active = ntsc == "comb"
+        self._decoder = self._make_decoder()
+        self._stream = _PlanarStream(batch, dtype=stream_dtype)
+        self._next_field = 0  # next un-equalized field (epoch-relative)
+        self._epoch = 0       # stream sample index of field 0 of this lock
+        self._primed = False
+        self.resync = resync
+        self.resync_after = resync_after
+        self.resync_threshold = resync_threshold
+        self._bad_streak = 0
+        self._acquiring = False
+        self._acquire_from = 0
+        self.resyncs = 0
+        self.resync_log: list[dict] = []
+        self.fields_emitted = 0  # total fields ever returned (all locks)
+
+    def _make_decoder(self) -> Decoder:
         if self.ntsc_active:
             from atsc_tpu.models.decoder import NtscDecoder
-            self._decoder = NtscDecoder(batch=batch,
-                                        viterbi_chunks=viterbi_chunks)
-        elif trellis == "soft":
+            return NtscDecoder(batch=self.batch,
+                               viterbi_chunks=self.viterbi_chunks)
+        if self.trellis == "soft":
             from atsc_tpu.models.decoder import SoftDecoder
-            self._decoder = SoftDecoder(batch=batch,
-                                        viterbi_chunks=viterbi_chunks)
-        else:
-            self._decoder = Decoder(batch=batch)
-        self._stream = _PlanarStream(batch, dtype=stream_dtype)
-        self._next_field = 0  # next un-equalized field (stream-relative)
-        self._primed = False
+            return SoftDecoder(batch=self.batch,
+                               viterbi_chunks=self.viterbi_chunks)
+        return Decoder(batch=self.batch)
 
     @property
     def decoder(self) -> Decoder:
@@ -708,10 +754,48 @@ class IqReceiver:
             self._mer_sig / np.maximum(self._mer_err, 1e-30)
         )
 
+    def _try_reacquire(self, final: bool) -> bool:
+        """Search the buffered stream for the next field boundary; on
+        success re-base the epoch/parity there and reset decode state."""
+        s0 = self._acquire_from
+        need = _N + 704 + 3      # minimum span find_field_sync_iq wants
+        want = need + 4096       # slack so the peak is never edge-clipped
+        avail = self._stream.end - s0
+        if avail < (need if final else want):
+            return False
+        w = self._stream.window(s0, min(self._stream.end, s0 + want))
+        cplx = w[0, 0].astype(np.float64) + 1j * w[0, 1].astype(np.float64)
+        offset, parity = find_field_sync_iq(cplx)
+        self._epoch = s0 + offset
+        self.first_field = int(parity)
+        self._next_field = 0
+        self._primed = False
+        self._bad_streak = 0
+        self._acquiring = False
+        old = self._decoder
+        self._decoder = self._make_decoder()  # carried state is garbage
+        self._decoder.segments_corrected = old.segments_corrected
+        self._decoder.segments_uncorrectable = old.segments_uncorrectable
+        self._decoder.segments_erasure_assisted = (
+            old.segments_erasure_assisted
+        )
+        if self._adaptive is not None:
+            self._adaptive.reset()  # new epoch = new derotation phase
+        self.resyncs += 1
+        self.resync_log.append(
+            {"stream_sample": int(self._epoch), "parity": int(parity)}
+        )
+        return True
+
     def _decode_available(self, final: bool) -> list[tuple[np.ndarray, np.ndarray]]:
         out = []
         while True:
-            g0 = self._next_field * _N
+            if self._acquiring:
+                if not self._try_reacquire(final):
+                    break
+                continue
+            rel0 = self._next_field * _N
+            g0 = self._epoch + rel0
             need = g0 + _N if final else g0 + _N + self.margin
             if self._stream.end < need:
                 break
@@ -724,9 +808,12 @@ class IqReceiver:
                 w = self._stream.window(lo, hi)
                 cplx = w[:, 0].astype(np.complex128)
                 cplx += 1j * w[:, 1]
+                # oscillator coordinates are epoch-relative (rel0), the
+                # buffered stream's are absolute (g0) — they differ only
+                # after a resync has re-based the epoch
                 lev = equalize_span(
-                    cplx, g0, first_field=self.first_field,
-                    margin=self.margin, stream_offset=lo,
+                    cplx, rel0, first_field=self.first_field,
+                    margin=self.margin, stream_offset=rel0 - self.margin,
                 )
                 field = lev.astype(np.float32) if want_levels else (
                     slice_levels(lev)
@@ -734,7 +821,7 @@ class IqReceiver:
             else:
                 win = self._stream.window(g0 - _DEV_MARGIN,
                                           g0 + _N + _DEV_MARGIN)
-                osc = _osc_planar(g0 - _DEV_MARGIN, g0 + _N + _DEV_MARGIN,
+                osc = _osc_planar(rel0 - _DEV_MARGIN, rel0 + _N + _DEV_MARGIN,
                                   self.first_field)
                 if self.backend == "adaptive":
                     parity = (self.first_field + self._next_field) % 2
@@ -765,12 +852,8 @@ class IqReceiver:
                           "majority wins (split the batch to mix modes)",
                           file=sys.stderr)
                 if votes.mean() > 0.5:
-                    from atsc_tpu.models.decoder import NtscDecoder
-                    self._decoder = NtscDecoder(
-                        batch=self.batch,
-                        viterbi_chunks=self.viterbi_chunks,
-                    )
                     self.ntsc_active = True
+                    self._decoder = self._make_decoder()
             flags = None
             if self.erasures is not None:
                 from atsc_tpu.ops.erasures import burst_erasure_flags
@@ -788,6 +871,17 @@ class IqReceiver:
             ts, nerr = self._decoder.decode(field, erasure_flags=flags)
             if self._primed:
                 out.append((ts, nerr))
+                self.fields_emitted += 1
+                if self.resync is not None:
+                    bad = float((nerr < 0).mean()) >= self.resync_threshold
+                    self._bad_streak = self._bad_streak + 1 if bad else 0
+                    if self._bad_streak >= self.resync_after:
+                        # sync lost: stop decoding and re-acquire from the
+                        # oldest still-buffered sample (no trim — the
+                        # search needs those samples)
+                        self._acquiring = True
+                        self._acquire_from = self._stream.base
+                        continue
             else:
                 # the pre-start virtual field is discarded — roll its RS
                 # stats back so summaries reflect *emitted* fields only
@@ -798,7 +892,9 @@ class IqReceiver:
             self._primed = True
             self._next_field += 1
             # drop samples no window will touch again
-            self._stream.trim(max(self._next_field * _N - self.margin, 0))
+            self._stream.trim(
+                max(self._epoch + self._next_field * _N - self.margin, 0)
+            )
         return out
 
     def push(self, iq: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
@@ -815,6 +911,19 @@ class IqReceiver:
         if self.wire_format == "cf32":
             raise ValueError("push_codes needs wire_format='cs16'/'cs8'")
         self._stream.append_codes(codes)
+        return self._decode_available(final=False)
+
+    def notify_gap(self, n_samples: int) -> list[tuple[np.ndarray, np.ndarray]]:
+        """The source dropped exactly n_samples (e.g. an SDR overflow
+        whose length is known from hardware timestamps): insert that many
+        zero samples so field tracking stays aligned. The gap decodes as
+        noise — the interleaver spreads it across RS codewords, so drops
+        up to ~2,000 symbols recover exactly (more with erasure flags);
+        longer ones cost uncorrectable segments but never the stream
+        lock. Returns newly decoded fields."""
+        if n_samples < 0:
+            raise ValueError(f"negative gap {n_samples}")
+        self._stream.append_zeros(n_samples)
         return self._decode_available(final=False)
 
     def flush(self) -> list[tuple[np.ndarray, np.ndarray]]:

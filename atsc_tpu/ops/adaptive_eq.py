@@ -195,6 +195,15 @@ class AdaptiveEqualizer:
         self._v = jnp.zeros((batch, EQ_DIM), jnp.float32)
         self.taps: np.ndarray | None = None   # last solved (B, D)
 
+    def reset(self) -> None:
+        """Forget all accumulated training — e.g. after a stream resync:
+        the new epoch re-bases the derotation phase, so the learned tap
+        basis no longer applies (one field's 2,068 sync symbols retrain
+        it from scratch)."""
+        self._r = jnp.zeros_like(self._r)
+        self._v = jnp.zeros_like(self._v)
+        self.taps = None
+
     def process_field(
         self, win_planar: np.ndarray, osc_planar: np.ndarray, parity: int,
         soft: bool = False,

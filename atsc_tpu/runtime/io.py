@@ -187,8 +187,17 @@ class SoapySdrSource:
     requested format (CF32/CS16/CS8); `seekable()` is False (a live
     stream has no positions). Timeouts are retried; overflows (dropped
     samples between reads — the device outruns the consumer) are counted
-    in `.overflows` and otherwise skipped, exactly what a live decoder
-    wants: the field tracker re-syncs via the following sync correlation.
+    in `.overflows`.
+
+    **Timestamped gap filling**: when the driver stamps its buffers
+    (`timeNs`), a discontinuity — samples dropped inside the device by
+    an overflow — is measured exactly and replaced with that many zero
+    samples (up to `max_fill_samples`), so the decoder's sample-counting
+    field tracker never loses the stream position; the zeroed span
+    decodes as noise and RS absorbs what it can (`IqReceiver.notify_gap`
+    semantics, applied at the source). `.gaps_filled`/`.gap_samples`
+    count the events; oversized or unmeasurable gaps (no timestamps) are
+    left to the receiver's `resync="auto"` re-acquisition.
 
     Gated on the optional `SoapySDR` python module like the sink.
     """
@@ -196,7 +205,8 @@ class SoapySdrSource:
     def __init__(self, driver: str = "hackrf", frequency_hz: float = 473e6,
                  gain_db: float = 30.0, sample_rate: float | None = None,
                  stream_format: str = "cf32",
-                 bandwidth_hz: float = 6_000_000.0):
+                 bandwidth_hz: float = 6_000_000.0,
+                 max_fill_samples: int = 8 * 260_416):
         try:
             import SoapySDR  # type: ignore
             from SoapySDR import SOAPY_SDR_RX  # type: ignore
@@ -225,7 +235,30 @@ class SoapySdrSource:
         self._mtu = int(self._sdr.getStreamMTU(self._stream))
         self._pending = b""
         self._bytes = 0
+        self._rate = float(rate)
+        self._expect_ns: float | None = None  # next buffer's expected stamp
+        self.max_fill_samples = max_fill_samples
         self.overflows = 0
+        self.gaps_filled = 0
+        self.gap_samples = 0
+
+    def _gap_zeros(self, res, got: int) -> bytes:
+        """Zero-fill bytes for a timestamp discontinuity preceding this
+        buffer (b'' when stamps are absent or the gap is 0/oversized)."""
+        t_ns = float(getattr(res, "timeNs", 0) or 0)
+        if t_ns <= 0.0:       # driver doesn't stamp its buffers
+            self._expect_ns = None
+            return b""
+        fill = b""
+        if self._expect_ns is not None:
+            gap = int(round((t_ns - self._expect_ns) * self._rate * 1e-9))
+            # >=8 samples: below that is stamp jitter, not a real gap
+            if 8 <= gap <= self.max_fill_samples:
+                self.gaps_filled += 1
+                self.gap_samples += gap
+                fill = bytes(gap * self._sample_bytes)
+        self._expect_ns = t_ns + got / self._rate * 1e9
+        return fill
 
     def read(self, n: int = -1) -> bytes:
         """Blocking read of exactly n bytes (whole samples are buffered
@@ -254,6 +287,7 @@ class SoapySdrSource:
                 continue
             if got < 0:
                 raise IOError(f"SoapySDR readStream returned {got}")
+            out += self._gap_zeros(res, got)
             out += buf[:got].tobytes()
         self._bytes += n
         self._pending = bytes(out[n:])

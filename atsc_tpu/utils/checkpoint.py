@@ -39,7 +39,8 @@ def load_state(path: str) -> tuple[EncoderState, int]:
 # -- receiver checkpoints -----------------------------------------------
 
 _RX_CONFIG = ("batch", "first_field", "backend", "trellis", "erasures",
-              "wire_format", "eq_profile", "ntsc", "viterbi_chunks")
+              "wire_format", "eq_profile", "ntsc", "viterbi_chunks",
+              "resync", "resync_after", "resync_threshold")
 
 
 def save_receiver(path: str, rx, extra: dict | None = None) -> None:
@@ -59,6 +60,13 @@ def save_receiver(path: str, rx, extra: dict | None = None) -> None:
         ),
         "next_field": np.asarray(rx._next_field, dtype=np.int64),
         "primed": np.asarray(rx._primed),
+        "epoch": np.asarray(rx._epoch, dtype=np.int64),
+        "resync_state": np.asarray(
+            [rx._bad_streak, rx._acquiring, rx._acquire_from, rx.resyncs],
+            dtype=np.int64,
+        ),
+        "resync_log_json": np.asarray(json.dumps(rx.resync_log)),
+        "fields_emitted": np.asarray(rx.fields_emitted, dtype=np.int64),
         "stream_base": np.asarray(rx._stream.base, dtype=np.int64),
         "stream_window": rx._stream.window(rx._stream.base, rx._stream.end),
         "dec_prev_il": np.asarray(dec._state.prev_il),
@@ -103,7 +111,19 @@ def load_receiver(path: str):
         wire_format=cfg["wire_format"], eq_profile=cfg["eq_profile"],
         ntsc=None if cfg.get("ntsc", "None") == "None" else cfg["ntsc"],
         viterbi_chunks=int(cfg.get("viterbi_chunks", "1")),
+        resync=(None if cfg.get("resync", "None") == "None"
+                else cfg["resync"]),
+        resync_after=int(cfg.get("resync_after", "2")),
+        resync_threshold=float(cfg.get("resync_threshold", "0.5")),
     )
+    if "epoch" in z:
+        rx._epoch = int(z["epoch"])
+        st8 = z["resync_state"]
+        rx._bad_streak = int(st8[0])
+        rx._acquiring = bool(st8[1])
+        rx._acquire_from = int(st8[2])
+        rx.resyncs = int(st8[3])
+        rx.resync_log = json.loads(str(z["resync_log_json"]))
     if "ntsc_flags" in z:
         rx._ntsc_pending = bool(z["ntsc_flags"][0])
         was_active = bool(z["ntsc_flags"][1])
@@ -114,6 +134,10 @@ def load_receiver(path: str):
         rx.ntsc_active = was_active
     rx._next_field = int(z["next_field"])
     rx._primed = bool(z["primed"])
+    rx.fields_emitted = (
+        int(z["fields_emitted"]) if "fields_emitted" in z
+        else (max(rx._next_field - 1, 0) if rx._primed else 0)
+    )
     base = int(z["stream_base"])
     win = z["stream_window"]
     st = rx._stream

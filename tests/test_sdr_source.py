@@ -17,12 +17,19 @@ N = P.SYMBOLS_PER_FIELD
 
 
 def _install_fake_soapy(monkeypatch, samples: np.ndarray, mtu: int = 4096,
-                        hiccups: int = 0) -> dict:
+                        hiccups: int = 0, gap_at: int | None = None,
+                        gap_len: int = 0, stamp: bool = False) -> dict:
     """Install a fake `SoapySDR` module whose single RX device serves
     `samples` ((n, 2) component pairs) mtu-limited, preceded by `hiccups`
     alternating timeout/overflow results. Reading past the served capture
     raises (a hang becomes a test failure). Returns the dict of recorded
-    device settings."""
+    device settings.
+
+    gap_at/gap_len: after serving gap_at samples, report one overflow
+    and silently drop gap_len samples of stream time (the remaining
+    samples continue gap_len later). stamp: buffers carry timeNs
+    (computed from the virtual stream position at the configured rate),
+    letting the source measure such gaps exactly."""
     calls = {}
     mod = types.ModuleType("SoapySDR")
     mod.SOAPY_SDR_RX = "RX"
@@ -31,13 +38,16 @@ def _install_fake_soapy(monkeypatch, samples: np.ndarray, mtu: int = 4096,
     mod.SOAPY_SDR_OVERFLOW = -2
 
     class _Result:
-        def __init__(self, ret):
+        def __init__(self, ret, time_ns=0):
             self.ret = ret
+            self.timeNs = time_ns
 
     class Device:
         def __init__(self, dev_args):
             calls["driver"] = dev_args["driver"]
             self._pos = 0
+            self._vpos = 0       # virtual stream position (incl. gaps)
+            self._gapped = False
             self._hiccups = hiccups
 
         def setBandwidth(self, d, ch, v):
@@ -66,12 +76,21 @@ def _install_fake_soapy(monkeypatch, samples: np.ndarray, mtu: int = 4096,
             if self._hiccups > 0:
                 self._hiccups -= 1
                 return _Result(-1 if self._hiccups % 2 else -2)
+            if gap_at is not None and not self._gapped and self._pos >= gap_at:
+                self._gapped = True
+                self._vpos += gap_len  # the drop the overflow reports
+                return _Result(-2)
             if self._pos >= samples.shape[0]:
                 raise AssertionError("read past the served capture")
             got = min(num, mtu, samples.shape[0] - self._pos)
+            if gap_at is not None and not self._gapped:
+                got = min(got, gap_at - self._pos)
+            t = (int(1e15 + self._vpos / calls["rate"] * 1e9)
+                 if stamp else 0)
             bufs[0][:got] = samples[self._pos:self._pos + got]
             self._pos += got
-            return _Result(got)
+            self._vpos += got
+            return _Result(got, t)
 
         def deactivateStream(self, s):
             calls["deactivated"] = True
@@ -107,6 +126,43 @@ def test_sdr_source_reads_exact_bytes(monkeypatch):
     assert src.read(16) == b""  # closed: EOF semantics
 
 
+def test_sdr_source_fills_timestamped_gaps(monkeypatch):
+    """A timestamp discontinuity (overflow-dropped samples) is replaced
+    with exactly that many zero samples, keeping the byte stream
+    position-true."""
+    from atsc_tpu.runtime.io import SoapySdrSource
+
+    rng = np.random.default_rng(5)
+    samples = rng.normal(size=(20_000, 2)).astype(np.float32)
+    gap_at, gap_len = 7_000, 1_234
+    _install_fake_soapy(monkeypatch, samples, mtu=999, gap_at=gap_at,
+                        gap_len=gap_len, stamp=True)
+    src = SoapySdrSource(driver="fake", sample_rate=2e6, bandwidth_hz=1e6)
+    total = samples.shape[0] + gap_len
+    got = np.frombuffer(src.read(total * 8), np.float32).reshape(-1, 2)
+    np.testing.assert_array_equal(got[:gap_at], samples[:gap_at])
+    assert not got[gap_at : gap_at + gap_len].any()  # the zero fill
+    np.testing.assert_array_equal(got[gap_at + gap_len :], samples[gap_at:])
+    assert src.gaps_filled == 1 and src.gap_samples == gap_len
+    assert src.overflows == 1
+
+
+def test_sdr_source_no_fill_without_stamps(monkeypatch):
+    """Without buffer timestamps a gap is unmeasurable: no zeros are
+    invented (the receiver's resync='auto' is the recovery path)."""
+    from atsc_tpu.runtime.io import SoapySdrSource
+
+    rng = np.random.default_rng(7)
+    samples = rng.normal(size=(4_000, 2)).astype(np.float32)
+    _install_fake_soapy(monkeypatch, samples, mtu=777, gap_at=1_500,
+                        gap_len=999, stamp=False)
+    src = SoapySdrSource(driver="fake", sample_rate=2e6, bandwidth_hz=1e6)
+    got = np.frombuffer(src.read(samples.shape[0] * 8), np.float32)
+    np.testing.assert_array_equal(got.reshape(-1, 2), samples)
+    assert src.gaps_filled == 0 and src.gap_samples == 0
+    assert src.overflows == 1
+
+
 def test_cli_decode_live(monkeypatch, tmp_path):
     """`decode soapy:<driver>` captures live at the symbol rate / 6 MHz
     bandwidth and decodes to exact TS bytes."""
@@ -135,6 +191,43 @@ def test_cli_decode_live(monkeypatch, tmp_path):
     assert calls["driver"] == "fake" and calls["deactivated"]
     got = np.fromfile(out, np.uint8).reshape(-1, ts.shape[-1])
     np.testing.assert_array_equal(got, ts[:2, 0])
+
+
+def test_cli_decode_live_overflow_gap_filled(monkeypatch, tmp_path):
+    """A live decode rides straight through a timestamped overflow gap:
+    the source zero-fills the measured drop, the field tracker keeps its
+    position, and RS corrects the zeroed span — exact TS, no resync."""
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+    from atsc_tpu.models.encoder import Encoder, iq_to_complex
+
+    rng = np.random.default_rng(157)
+    t = 4
+    ts = _random_ts(rng, t, 1)
+    enc = Encoder(batch=1, donate=False)
+    iq = np.concatenate(
+        [iq_to_complex(np.asarray(enc.encode(ts[k])))[0] for k in range(t)]
+    )
+    samples = np.stack([iq.real, iq.imag], -1).astype(np.float32)
+    pad = np.zeros((N, 2), np.float32)
+    gap_at, gap_len = int(1.5 * N), 600
+    # the device drops gap_len samples at gap_at: serve the stream with
+    # that span excised, timestamped so the source can measure it
+    served = np.concatenate(
+        [samples[:gap_at], samples[gap_at + gap_len :], pad]
+    )
+    calls = _install_fake_soapy(monkeypatch, served, mtu=65_536,
+                                gap_at=gap_at, gap_len=gap_len, stamp=True)
+    out = tmp_path / "live.ts"
+    s = run_decode(build_decode_argparser().parse_args(
+        ["soapy:fake", "-o", str(out), "--max-fields", "3", "--stats"]
+    ))
+    assert s["gaps_filled"] == 1 and s["gap_samples"] == gap_len
+    assert s["overflows"] == 1
+    assert s["segments_uncorrectable"] == 0
+    assert s["segments_corrected"] > 0  # the zeroed span really hit data
+    assert calls["rate"] == P.SAMPLE_RATE
+    got = np.fromfile(out, np.uint8).reshape(-1, ts.shape[-1])
+    np.testing.assert_array_equal(got, ts[:3, 0])
 
 
 def test_cli_decode_demux_live(monkeypatch, tmp_path):
