@@ -188,6 +188,8 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
     field_bytes = P.FIELD_TS_BYTES
     step_bytes = field_bytes * t_total
     fields_done = 0
+    sync_checked = 0  # TS packet sync-byte health (the reference drops
+    sync_bad = 0      # byte 0 of each 188 positionally and never checks)
     if resume:
         if not checkpoint:
             raise ValueError("--resume requires --checkpoint")
@@ -218,6 +220,9 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
                     ts = np.broadcast_to(
                         ts, (whole, cfg.channels, field_bytes)
                     )
+                firsts = ts[:whole, :, ::P.MPEG2_BYTES]
+                sync_checked += firsts.size
+                sync_bad += int(np.count_nonzero(firsts != 0x47))
                 if meshed:
                     if whole < t_total:   # zero-pad the EOF tail step
                         ts = np.concatenate([
@@ -269,6 +274,15 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
         save_state(checkpoint, state if meshed else enc.state, fields_done)
 
     summary = meter.summary()
+    # input-health telemetry: fraction of 188-byte packets whose sync
+    # byte isn't 0x47 — a misaligned or non-TS input encodes to a
+    # perfectly valid 8VSB signal no demod downstream can make sense of
+    summary["ts_sync_errors"] = sync_bad
+    summary["ts_packets"] = sync_checked
+    if sync_checked and sync_bad / sync_checked > 0.5 and stats:
+        print(f"warning: {sync_bad}/{sync_checked} TS packets lack the "
+              "0x47 sync byte — input is misaligned or not a transport "
+              "stream", file=sys.stderr)
     if stats:
         print(json.dumps(summary), file=sys.stderr)
     return summary

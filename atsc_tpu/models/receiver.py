@@ -397,6 +397,24 @@ def slice_levels(levels: np.ndarray) -> np.ndarray:
     return np.clip(sym, 0, 7).astype(np.int8)
 
 
+@jax.jit
+def _slice_levels_dev(levels: jnp.ndarray) -> jnp.ndarray:
+    """Device twin of slice_levels (keeps the field on the accelerator)."""
+    sym = jnp.round((levels - P.PILOT_OFFSET + 7.0) * 0.5)
+    return jnp.clip(sym, 0, 7).astype(jnp.int8)
+
+
+@jax.jit
+def _mer_components_dev(levels: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Device twin of _mer_components: (B,) signal and residual powers
+    reduced on the accelerator — only two scalars per channel come back
+    to the host (the host path pulls the whole (B, 260416) level field)."""
+    x = levels[..., :_N].astype(jnp.float32) - P.PILOT_OFFSET
+    ideal = jnp.clip(jnp.round((x + 7.0) * 0.5) * 2.0 - 7.0, -7.0, 7.0)
+    return (jnp.mean(ideal ** 2, axis=-1),
+            jnp.mean((x - ideal) ** 2, axis=-1))
+
+
 def find_field_sync(levels: np.ndarray) -> tuple[int, int]:
     """Locate a field boundary in an equalized level stream.
 
@@ -835,9 +853,9 @@ class IqReceiver:
                                            self.eq_profile)
                     field = step(jnp.asarray(win), jnp.asarray(osc))
             if self.measure_mer:
-                sig, err = _mer_components(np.asarray(field))
-                self._mer_sig += sig
-                self._mer_err += err
+                sig, err = _mer_components_dev(jnp.asarray(field))
+                self._mer_sig += np.asarray(sig, np.float64)
+                self._mer_err += np.asarray(err, np.float64)
                 self._mer_fields += 1
             if self._ntsc_pending:
                 from atsc_tpu.ops.ntsc import detect_ntsc
@@ -856,15 +874,15 @@ class IqReceiver:
                     self._decoder = self._make_decoder()
             flags = None
             if self.erasures is not None:
-                from atsc_tpu.ops.erasures import burst_erasure_flags
-                levels = np.asarray(field)
-                flags = burst_erasure_flags(levels)
+                from atsc_tpu.ops.erasures import burst_erasure_flags_dev
+                levels = jnp.asarray(field)  # stays on device end-to-end
+                flags = burst_erasure_flags_dev(levels)
                 if not soft:  # detector consumed the levels; decoder
-                    field = slice_levels(levels)  # still wants hard symbols
+                    field = _slice_levels_dev(levels)  # wants hard symbols
             elif not soft and want_levels and not self.ntsc_active:
                 # ntsc auto-detection rejected the comb: the hard-path
                 # decoder still wants sliced symbols
-                field = slice_levels(np.asarray(field))
+                field = _slice_levels_dev(jnp.asarray(field))
             corrected = self._decoder.segments_corrected
             uncorrectable = self._decoder.segments_uncorrectable
             assisted = self._decoder.segments_erasure_assisted

@@ -19,6 +19,10 @@ code — src/atsc/reed_solomon.h:41-190).
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from atsc_tpu import params as P
@@ -69,3 +73,45 @@ def burst_erasure_flags(
             hi = min(e - 1 + 2 * window, n)  # window span + dilation
             flags[bi, lo:hi] = 1
     return flags
+
+
+@functools.partial(jax.jit, static_argnames=("window", "factor", "floor"))
+def burst_erasure_flags_dev(
+    levels: jnp.ndarray,
+    window: int = 64,
+    factor: float = 2.5,
+    floor: float = 0.45,
+) -> jnp.ndarray:
+    """Device twin of burst_erasure_flags: the same detector, jitted, so
+    per-field flags never leave the accelerator (the host path pulls the
+    (B, n) levels to float64 and re-scans them — ~130 MB of D2H plus
+    host math per field at B=64). Two re-formulations, both immaterial
+    to detection quality:
+
+    - the clean-air baseline is the median of a `window`-strided
+      subsample of the windowed means (~4k values) — a full-length
+      device sort buys nothing over the subsample for a median whose
+      only job is to sit below factor^-1 of burst level;
+    - run dilation is a single windowed maximum (`lax.reduce_window`)
+      instead of per-run index arithmetic — the flag set is *identical*:
+      symbol i is flagged iff some hot window j lies in (i-2w, i+w],
+      exactly the host path's [j-w, j+2w) span per hot j.
+
+    levels: (B, n) float soft levels (pilot offset included).
+    Returns (B, n) uint8 device flags.
+    """
+    lev = levels.astype(jnp.float32)
+    sym = jnp.clip(jnp.round((lev - P.PILOT_OFFSET + 7.0) * 0.5), 0, 7)
+    r = jnp.abs(lev - (sym * 2.0 - 7.0 + P.PILOT_OFFSET))
+    n = r.shape[-1]
+    c = jnp.pad(jnp.cumsum(r, axis=-1), ((0, 0), (1, 0)))
+    w = (c[:, window:] - c[:, :-window]) / window   # (B, n - window + 1)
+    base = jnp.median(w[:, ::window], axis=-1, keepdims=True)
+    hot = (w > jnp.maximum(factor * base, floor)).astype(jnp.float32)
+    hot = jnp.pad(hot, ((0, 0), (0, window - 1)))   # back to length n
+    flags = jax.lax.reduce_window(
+        hot, 0.0, jax.lax.max,
+        window_dimensions=(1, 3 * window), window_strides=(1, 1),
+        padding=((0, 0), (2 * window - 1, window)),
+    )
+    return flags[:, :n].astype(jnp.uint8)

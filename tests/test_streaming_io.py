@@ -195,6 +195,40 @@ def test_cli_multi_input_channels(golden, tmp_path):
     assert np.abs(got[:, 1] - want).max() < 5e-6
 
 
+def test_cli_ts_sync_health_counter(golden, tmp_path):
+    """The encode summary counts 188-byte packets whose sync byte isn't
+    0x47 — zero on a real transport stream, all of them on the golden
+    random-byte fixture (the reference never checks; a misaligned TS
+    encodes to a perfectly valid but undecodable-content signal)."""
+    from atsc_tpu.cli import run
+    from atsc_tpu.utils.config import EncoderConfig
+
+    raw = golden["input"][:2].reshape(-1, P.MPEG2_BYTES).copy()
+    good = tmp_path / "good.ts"
+    good.write_bytes(raw.tobytes())  # golden input carries real 0x47s
+    s = run(EncoderConfig(channels=1, sink="null"), [str(good)])
+    assert s["ts_packets"] == 2 * P.DATA_SEGMENTS
+    assert s["ts_sync_errors"] == 0
+
+    # non-TS bytes (no 0x47 grid anywhere): the reader passes them
+    # through raw and the counter flags essentially every packet
+    garbage = raw.copy()
+    garbage[garbage == 0x47] = 0x48
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(garbage.tobytes())
+    s = run(EncoderConfig(channels=1, sink="null"), [str(bad)])
+    assert s["ts_sync_errors"] > 0.9 * s["ts_packets"]
+
+    if native_available():
+        # a 1-byte mux misalignment, by contrast, is *repaired* upstream:
+        # the native TsReader re-aligns to the 0x47 grid, so the counter
+        # sees (almost) clean packets — at most the zero-padded tail
+        shifted = tmp_path / "shifted.ts"
+        shifted.write_bytes(raw.tobytes()[1:])
+        s = run(EncoderConfig(channels=1, sink="null"), [str(shifted)])
+        assert s["ts_sync_errors"] <= P.DATA_SEGMENTS // 2
+
+
 def test_cli_checkpoint_resume(golden, tmp_path):
     """Interrupt after 2 fields, resume from the .npz checkpoint: the
     concatenated output equals the uninterrupted 4-field run."""
