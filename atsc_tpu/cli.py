@@ -327,13 +327,21 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                          "polyphase-resampled to the nominal symbol rate; "
                          "reads the whole input up front and implies "
                          "--align auto")
-    ap.add_argument("--cfo", default="0", metavar="HZ|auto",
+    ap.add_argument("--cfo", default="0", metavar="HZ|auto|track",
                     help="carrier frequency offset of the capture: a fixed "
                          "Hz value, or 'auto' to estimate it from the pilot "
                          "tone (windowed-FFT peak + quadratic interpolation "
-                         "— sub-Hz from ~2 fields). Non-zero CFO implies "
-                         "--equalizer adaptive (residual rotation is "
-                         "absorbed by per-field training)")
+                         "— sub-Hz from ~2 fields). 'track' re-estimates "
+                         "the residual every 8 fields from the pilot in "
+                         "the last two field blocks and retunes the "
+                         "corrector phase-continuously — for long live "
+                         "captures whose tuner drifts or steps "
+                         "(temperature, PLL re-lock); pair with "
+                         "--forgetting < 1 so the equalizer re-trains "
+                         "quickly after a step. "
+                         "Non-zero CFO implies --equalizer adaptive "
+                         "(residual rotation is absorbed by per-field "
+                         "training)")
     ap.add_argument("--align", default="none", choices=("none", "auto"),
                     help="'auto': locate the first field boundary by PN511 "
                          "correlation (phase/gain-robust) and decode from "
@@ -351,12 +359,18 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                          "--equalizer adaptive (the re-acquired epoch "
                          "carries an unknown phase offset). Recommended "
                          "for live 'soapy' input")
-    ap.add_argument("--equalizer", default="zf", choices=("zf", "adaptive"),
+    ap.add_argument("--equalizer", default="zf",
+                    choices=("zf", "adaptive", "adaptive-dd"),
                     help="'zf': fixed zero-forcing inverse of the known TX "
                          "chain (ideal channel); 'adaptive': widely-linear "
                          "RLS trained on each field's sync symbols — use "
                          "for captures that passed through an unknown "
-                         "linear channel (multipath, gain/phase, ripple)")
+                         "linear channel (multipath, gain/phase, ripple); "
+                         "'adaptive-dd': + a decision-directed second pass "
+                         "per field (every 8th decided symbol becomes a "
+                         "reliability-weighted training row — ~1 dB more "
+                         "sensitivity near threshold for one extra "
+                         "solve+apply)")
     ap.add_argument("--forgetting", type=float, default=1.0,
                     help="adaptive equalizer memory: 1.0 = average all "
                          "fields (static channel), 0.0 = retrain per field")
@@ -613,7 +627,10 @@ def run_decode_demux(args) -> dict:
     # construct (and therefore flag-validate) the receiver BEFORE opening
     # the output: a usage error must not truncate an existing output file
     rx = IqReceiver(
-        batch=b, backend="adaptive", forgetting=args.forgetting,
+        batch=b,
+        backend=("adaptive-dd" if args.equalizer == "adaptive-dd"
+                 else "adaptive"),
+        forgetting=args.forgetting,
         first_field=args.first_field,
         trellis="soft" if args.trellis == "viterbi" else "hard",
         erasures=None if args.erasures == "off" else args.erasures,
@@ -708,7 +725,8 @@ def run_decode(args) -> dict:
     fin = _open_capture(args, P.SAMPLE_RATE, 6e6)
     fout = None  # opened once the resume state (if any) is known
     align = args.align == "auto"
-    cfo_auto = args.cfo == "auto"
+    cfo_auto = args.cfo in ("auto", "track")
+    cfo_track = args.cfo == "track"
     sro_rate = None
     if args.sro != "0":
         # whole-capture conditioning: resample to the nominal symbol rate,
@@ -735,17 +753,18 @@ def run_decode(args) -> dict:
                          "add --trellis viterbi or --ntsc comb/auto")
     first_field, offset, pending = args.first_field, 0, None
     equalizer = args.equalizer
-    if args.resync == "auto":
+    if args.resync == "auto" and equalizer == "zf":
         equalizer = "adaptive"  # a re-acquired epoch needs training
     iq0 = None
     if align or cfo_auto:
         iq0 = _wire_to_complex(fin.read(2 * block), fmt)
     cfo_hz = estimate_cfo(iq0) if cfo_auto else float(args.cfo)
-    if cfo_hz != 0.0:
+    if (cfo_hz != 0.0 or cfo_track) and equalizer == "zf":
         equalizer = "adaptive"  # residual rotation needs training
     correct = CfoCorrector(cfo_hz)
     if align:
-        equalizer = "adaptive"  # the epoch phase offset needs training
+        if equalizer == "zf":
+            equalizer = "adaptive"  # the epoch phase offset needs training
         iq0c = correct(iq0)
         offset, first_field = find_field_sync_iq(iq0c)
         pending = iq0c[:, offset:]
@@ -754,7 +773,7 @@ def run_decode(args) -> dict:
     # quantized fast path: with no host-side conditioning pending, cs16/
     # cs8 codes are buffered and uploaded verbatim (2-4x less H2D) and
     # dequantized inside the jitted equalizer step
-    codes_path = (fmt in ("cs16", "cs8") and equalizer != "adaptive"
+    codes_path = (fmt in ("cs16", "cs8") and equalizer == "zf"
                   and not align and cfo_hz == 0.0 and pending is None)
     if resume and (align or sro_rate is not None or cfo_auto):
         raise ValueError("--resume cannot re-run --align/--sro/--cfo auto "
@@ -786,7 +805,7 @@ def run_decode(args) -> dict:
         else:
             while skip > 0:
                 skip -= len(fin.read(min(skip, 1 << 20)))
-        correct._n = consumed  # numeric-CFO phase continuity
+        correct.skip(consumed)  # numeric-CFO phase continuity
         codes_path = rx.wire_format != "cf32"
         # re-open the output exactly where the checkpointed state left
         # it: fields flushed after the last checkpoint would otherwise
@@ -810,7 +829,7 @@ def run_decode(args) -> dict:
     else:
         rx = IqReceiver(
             batch=args.channels, first_field=first_field,
-            backend="adaptive" if equalizer == "adaptive" else "device",
+            backend=equalizer if equalizer != "zf" else "device",
             forgetting=args.forgetting,
             trellis="soft" if args.trellis == "viterbi" else "hard",
             erasures=None if args.erasures == "off" else args.erasures,
@@ -825,6 +844,9 @@ def run_decode(args) -> dict:
                 else open(args.output, "wb"))
     fields = 0
     last_ckpt = 0
+    track_tail: list[np.ndarray] = []  # last 2 corrected field blocks
+    cfo_retunes = 0
+    last_track = 0
 
     def emit(decoded) -> None:
         nonlocal fields
@@ -861,10 +883,22 @@ def run_decode(args) -> dict:
                     _iq_block_to_codes(buf, args.channels, fmt)
                 )
             else:
-                decoded = rx.push(correct(
-                    _iq_block_to_complex(buf, args.channels, fmt)
-                ))
+                blk = correct(_iq_block_to_complex(buf, args.channels, fmt))
+                decoded = rx.push(blk)
+                if cfo_track:
+                    track_tail.append(blk)
+                    del track_tail[:-2]
             emit(decoded)
+            if (cfo_track and len(track_tail) == 2
+                    and fields - last_track >= 8):
+                # tracking update: the pilot's offset in the *corrected*
+                # stream is the residual CFO; fold it in phase-continuously
+                last_track = fields
+                resid = estimate_cfo(np.concatenate(track_tail, axis=-1))
+                if 0.05 <= abs(resid) <= 1500.0:
+                    cfo_hz = correct.cfo_hz + resid
+                    correct.retune(cfo_hz)
+                    cfo_retunes += 1
             maybe_checkpoint()
             if args.max_fields and fields >= args.max_fields:
                 break
@@ -900,6 +934,8 @@ def run_decode(args) -> dict:
         summary |= {"align_offset": offset, "align_parity": first_field}
     if cfo_hz != 0.0:
         summary["cfo_hz"] = round(cfo_hz, 3)
+    if cfo_track:
+        summary["cfo_retunes"] = cfo_retunes
     if sro_rate is not None:
         summary["sro_ppm"] = round((sro_rate - 1.0) * 1e6, 3)
     if args.stats:

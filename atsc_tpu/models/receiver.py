@@ -608,27 +608,51 @@ def estimate_cfo(iq: np.ndarray, search_hz: float = 3000.0) -> float:
 
 
 class CfoCorrector:
-    """Streaming e^{-j*2*pi*cfo*n/fs} derotation with a running sample
-    index (host-side conditioning before the receiver)."""
+    """Streaming e^{-j*2*pi*cfo*n/fs} derotation with an accumulated
+    phase (host-side conditioning before the receiver). The phase is
+    carried explicitly so the frequency can be *retuned* mid-stream
+    phase-continuously — the CFO-tracking loop's update step."""
 
     def __init__(self, cfo_hz: float):
         self.cfo_hz = float(cfo_hz)
-        self._n = 0
+        self._n = 0        # samples consumed
+        self._phi = 0.0    # accumulated phase at sample _n (radians)
+
+    def _w(self) -> float:
+        return -2.0 * np.pi * self.cfo_hz / P.SAMPLE_RATE
 
     def __call__(self, iq: np.ndarray) -> np.ndarray:
         iq = np.atleast_2d(iq)
         n = iq.shape[-1]
-        if self.cfo_hz == 0.0:
+        if self.cfo_hz == 0.0 and self._phi == 0.0:
             self._n += n
             return iq
-        w = -2.0j * np.pi * self.cfo_hz / P.SAMPLE_RATE
-        rot = np.exp(w * (self._n + np.arange(n)))
+        w = self._w()
+        rot = np.exp(1j * (self._phi + w * np.arange(n)))
+        self._phi = (self._phi + w * n) % (2.0 * np.pi)
         self._n += n
         return iq * rot
+
+    def skip(self, n: int) -> None:
+        """Advance past n already-consumed samples (checkpoint resume)."""
+        self._phi = (self._phi + self._w() * n) % (2.0 * np.pi)
+        self._n += n
+
+    def retune(self, cfo_hz: float) -> None:
+        """Change the frequency phase-continuously at the current sample:
+        downstream sees a frequency step but no phase jump (the adaptive
+        equalizer re-trains through the step within one field)."""
+        self.cfo_hz = float(cfo_hz)
 
 
 class IqReceiver:
     """Streaming IQ -> TS: push complex baseband, collect decoded fields.
+
+    backend: "device" (jitted ZF inverse of the known TX chain — ideal
+    channel), "numpy" (float64 host reference of the same), "adaptive"
+    (per-field sync-trained WL-RLS — unknown linear channels), or
+    "adaptive-dd" (adaptive + a decision-directed second pass per field,
+    ~1 dB more sensitivity near threshold).
 
     Assumes the stream begins at a field boundary with the oscillator
     epoch of `first_field` (use find_field_sync + equalize_span to locate
@@ -664,7 +688,7 @@ class IqReceiver:
                  ntsc: str | None = None, viterbi_chunks: int = 1,
                  measure_mer: bool = False, resync: str | None = None,
                  resync_after: int = 2, resync_threshold: float = 0.5):
-        if backend not in ("device", "numpy", "adaptive"):
+        if backend not in ("device", "numpy", "adaptive", "adaptive-dd"):
             raise ValueError(f"unknown equalizer backend {backend!r}")
         if eq_profile != "auto" and eq_profile not in EQ_PROFILES:
             raise ValueError(f"unknown eq profile {eq_profile!r}")
@@ -685,8 +709,8 @@ class IqReceiver:
                              "(dequantize on the host for other backends)")
         if resync not in (None, "auto"):
             raise ValueError(f"unknown resync mode {resync!r}")
-        if resync is not None and backend != "adaptive":
-            raise ValueError("resync='auto' needs backend='adaptive': a "
+        if resync is not None and not backend.startswith("adaptive"):
+            raise ValueError("resync='auto' needs an adaptive backend: a "
                              "re-acquired epoch carries an unknown phase "
                              "offset only a trained equalizer absorbs")
         self.batch = batch
@@ -712,13 +736,14 @@ class IqReceiver:
             raise ValueError("device/adaptive backends use a fixed window; "
                              "leave margin unset or use backend='numpy'")
         self._adaptive = None
-        if backend == "adaptive":
+        if backend.startswith("adaptive"):
             from atsc_tpu.ops.adaptive_eq import AdaptiveEqualizer
             resolved = (DEFAULT_EQ_PROFILE if eq_profile == "auto"
                         else eq_profile)
             self._adaptive = AdaptiveEqualizer(
                 batch=batch, forgetting=forgetting, ridge=ridge,
                 apply_precision=EQ_PROFILES[resolved][1],
+                decision_directed=backend == "adaptive-dd",
             )
         self.ntsc = ntsc
         self.viterbi_chunks = viterbi_chunks
@@ -841,7 +866,7 @@ class IqReceiver:
                                           g0 + _N + _DEV_MARGIN)
                 osc = _osc_planar(rel0 - _DEV_MARGIN, rel0 + _N + _DEV_MARGIN,
                                   self.first_field)
-                if self.backend == "adaptive":
+                if self._adaptive is not None:
                     parity = (self.first_field + self._next_field) % 2
                     field = self._adaptive.process_field(
                         win, osc, parity, soft=want_levels

@@ -167,6 +167,51 @@ def solve_and_equalize(
     return jnp.clip(sym, 0, 7).astype(jnp.int8), w
 
 
+@functools.partial(jax.jit, static_argnames=("margin", "stride", "soft",
+                                              "apply_precision"))
+def dd_refine_and_equalize(
+    r_mat: jnp.ndarray, v: jnp.ndarray, lev: jnp.ndarray, win: jnp.ndarray,
+    osc: jnp.ndarray, ridge: jnp.ndarray, *, margin: int = WINDOW_MARGIN,
+    stride: int = 8, soft: bool = False, apply_precision: str = "highest",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Decision-directed second pass: re-solve the equalizer with the
+    first pass's own decisions as training targets, then re-equalize.
+
+    The sync-only solve fits D = 515 unknowns to 2,068 rows — its
+    estimation noise (~(1 + D/rows) excess error) is what limits
+    sensitivity near threshold. Here every `stride`-th symbol of the
+    whole field becomes a training row (~32k rows at stride 8, 16x
+    more), with the first pass's sliced level as target, weighted by
+    decision reliability w = max(0, 1 - |residual|) so wrong decisions
+    near the cell boundary contribute ~nothing. The refined normal
+    equations ADD to the sync ones (the known symbols stay exact
+    anchors); the result is used for this field only — the carried
+    state stays sync-trained, so decision errors never feed back across
+    fields.
+
+    lev: (B, 260416) float32 first-pass soft levels. Other args/returns
+    exactly as solve_and_equalize.
+    """
+    pilot = jnp.float32(P.PILOT_OFFSET)
+    pos = jnp.arange(EQ_HALF, _N - EQ_HALF, stride)
+    x0 = jnp.take(lev, pos, axis=-1) - pilot
+    ideal = jnp.clip(jnp.round((x0 + 7.0) * 0.5) * 2.0 - 7.0, -7.0, 7.0)
+    w = jnp.maximum(1.0 - jnp.abs(x0 - ideal), 0.0)      # (B, n) reliability
+    targets = ideal + pilot                               # (B, n)
+    ur, ui = _derotate(win, osc)
+    idx = pos[:, None] + (margin - EQ_HALF) + jnp.arange(EQ_TAPS)
+    xr = jnp.take(ur, idx, axis=-1)                       # (B, n, T)
+    xi = jnp.take(ui, idx, axis=-1)
+    ones = jnp.ones((xr.shape[0], xr.shape[1], 1), xr.dtype)
+    x = jnp.concatenate([xr, xi, ones], axis=-1)          # (B, n, D)
+    xw = x * w[..., None]
+    hi = jax.lax.Precision.HIGHEST
+    r2 = r_mat + jnp.einsum("bnd,bne->bde", xw, x, precision=hi)
+    v2 = v + jnp.einsum("bnd,bn->bd", xw, targets, precision=hi)
+    return solve_and_equalize(r2, v2, win, osc, ridge, margin=margin,
+                              soft=soft, apply_precision=apply_precision)
+
+
 class AdaptiveEqualizer:
     """Per-stream RLS equalizer state: feed one field window at a time.
 
@@ -183,14 +228,23 @@ class AdaptiveEqualizer:
     level of arithmetic noise, negligible next to the channel estimation
     error on any capture that needs this equalizer). Training/solve
     always run at full precision (normal-equation conditioning).
+    decision_directed: after the sync-trained solve, re-solve with every
+    dd_stride-th decided symbol as a reliability-weighted training row
+    (dd_refine_and_equalize) — ~16x more rows cuts the estimation noise
+    that dominates near the decode threshold, at the cost of one extra
+    gram + apply pass per field. Per-field only: the carried RLS state
+    stays sync-trained, so decision errors never feed back.
     """
 
     def __init__(self, batch: int = 1, forgetting: float = 1.0,
-                 ridge: float = 1e-4, apply_precision: str = "highest"):
+                 ridge: float = 1e-4, apply_precision: str = "highest",
+                 decision_directed: bool = False, dd_stride: int = 8):
         self.batch = batch
         self._lam = jnp.float32(forgetting)
         self._ridge = jnp.float32(ridge)
         self._apply_precision = apply_precision
+        self.decision_directed = decision_directed
+        self.dd_stride = dd_stride
         self._r = jnp.zeros((batch, EQ_DIM, EQ_DIM), jnp.float32)
         self._v = jnp.zeros((batch, EQ_DIM), jnp.float32)
         self.taps: np.ndarray | None = None   # last solved (B, D)
@@ -216,13 +270,27 @@ class AdaptiveEqualizer:
         soft levels when soft=True.
         """
         _, targets = _training_set()
+        win = jnp.asarray(win_planar)
+        osc = jnp.asarray(osc_planar)
         self._r, self._v = rls_update(
-            self._r, self._v, jnp.asarray(win_planar), jnp.asarray(osc_planar),
-            jnp.asarray(targets[parity]), self._lam,
+            self._r, self._v, win, osc, jnp.asarray(targets[parity]),
+            self._lam,
         )
-        sym, w = solve_and_equalize(
-            self._r, self._v, jnp.asarray(win_planar), jnp.asarray(osc_planar),
-            self._ridge, soft=soft, apply_precision=self._apply_precision,
-        )
+        if self.decision_directed:
+            # first pass only feeds decisions: 1-pass bf16 apply suffices
+            lev, _ = solve_and_equalize(
+                self._r, self._v, win, osc, self._ridge, soft=True,
+                apply_precision="default",
+            )
+            sym, w = dd_refine_and_equalize(
+                self._r, self._v, lev, win, osc, self._ridge,
+                stride=self.dd_stride, soft=soft,
+                apply_precision=self._apply_precision,
+            )
+        else:
+            sym, w = solve_and_equalize(
+                self._r, self._v, win, osc, self._ridge, soft=soft,
+                apply_precision=self._apply_precision,
+            )
         self.taps = np.asarray(w)
         return np.asarray(sym)

@@ -254,3 +254,31 @@ def test_adaptive_batch_lanes_train_independently():
         np.testing.assert_array_equal(out, ts[k])
     w = rx._adaptive.taps
     assert np.abs(w[0] - w[1]).max() > 0.1
+
+
+def test_decision_directed_extends_sensitivity():
+    """adaptive-dd near threshold: at 20 dB AWGN over a multipath
+    channel the sync-only solve's estimation noise still costs
+    uncorrectable segments; the decision-directed second pass (~32k
+    reliability-weighted training rows) removes them — exact TS.
+    (Measured sweep: plain/dd uncorrectables 932/920 @17 dB, 730/529
+    @18, 156/23 @19, 9/0 @20 — a consistent ~1 dB shift.)"""
+    rng = np.random.default_rng(61)
+    ts = _random_ts(rng, 4, 1)
+    iq = _encode_iq(ts)
+    y = np.convolve(
+        iq[0], [0.9 * np.exp(0.5j), 0, 0.2 * np.exp(-1.3j), 0, 0.08j]
+    )[: iq.shape[1]][None]
+    p = float(np.mean(np.abs(y) ** 2))
+    noise = rng.normal(size=y.shape) + 1j * rng.normal(size=y.shape)
+    cap = y + noise * np.sqrt(p / 10 ** (20.0 / 10.0) / 2.0)
+
+    plain = IqReceiver(batch=1, backend="adaptive")
+    got = plain.push(cap) + plain.flush()
+    assert plain.decoder.segments_uncorrectable > 0  # sync-only fails here
+
+    dd = IqReceiver(batch=1, backend="adaptive-dd")
+    got = dd.push(cap) + dd.flush()
+    assert dd.decoder.segments_uncorrectable == 0
+    for k, (out, nerr) in enumerate(got):
+        np.testing.assert_array_equal(out, ts[k])

@@ -83,6 +83,43 @@ def test_receiver_notify_gap_keeps_lock():
     assert rx.decoder.segments_corrected > 0  # the gap really hit data
 
 
+def test_cli_cfo_track_recovers_tuner_step(tmp_path):
+    """`--cfo track`: a mid-capture tuner frequency step (PLL re-lock /
+    temperature) kills an untracked decode from that point on; the
+    tracking loop re-estimates the pilot every 8 fields, retunes the
+    corrector phase-continuously, and the tail decodes exactly again."""
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+
+    rng = np.random.default_rng(47)
+    n_fields = 14
+    ts = _random_ts(rng, n_fields, 1)
+    iq = _encode_iq(ts)[0]
+
+    f0, step_hz, step_at = 180.0, 35.0, 6 * N
+    n = np.arange(iq.size)
+    freq = f0 + step_hz * (n >= step_at)
+    y = iq * np.exp(2j * np.pi * np.cumsum(freq) / P.SAMPLE_RATE)
+
+    cap = tmp_path / "cap.iq"
+    np.stack([y.real, y.imag], axis=-1).astype(np.float32).tofile(cap)
+    out = tmp_path / "out.ts"
+    s = run_decode(build_decode_argparser().parse_args(
+        [str(cap), "--cfo", "track", "--forgetting", "0.0",
+         "-o", str(out), "--stats"]
+    ))
+    assert s["cfo_retunes"] >= 1, s
+    assert abs(s["cfo_hz"] - (f0 + step_hz)) < 2.0, s
+    assert abs(s["fields_decoded"] - (n_fields - 1)) <= 1, s
+    # fields before the step and after the re-lock decode exactly; the
+    # handful in between (step -> next 8-field tracking update + one
+    # retrain field) are expendable
+    got = np.fromfile(out, np.uint8).reshape(-1, P.FIELD_TS_BYTES)
+    for k in range(4):
+        np.testing.assert_array_equal(got[k], ts[k, 0])
+    for k in range(11, got.shape[0]):
+        np.testing.assert_array_equal(got[k], ts[k, 0])
+
+
 def test_resync_state_checkpoint_roundtrip(tmp_path):
     from atsc_tpu.utils.checkpoint import load_receiver, save_receiver
 

@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--fields", type=int, default=4)
     ap.add_argument("--snrs", default="22,20,18,17,16,15,14")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--backend", default="device",
+                    choices=("device", "adaptive", "adaptive-dd"),
+                    help="equalizer under test: the known-chain ZF device "
+                         "path (default), sync-trained RLS, or RLS + "
+                         "decision-directed refinement")
     args = ap.parse_args()
     snrs = [float(s) for s in args.snrs.split(",")]
 
@@ -57,7 +62,7 @@ def main() -> None:
             sigma = np.sqrt(p_sig / 10 ** (snr / 10) / 2)
             noise = (rng.normal(size=iq.shape) +
                      1j * rng.normal(size=iq.shape)) * sigma
-            rx = IqReceiver(batch=1, trellis=mode)
+            rx = IqReceiver(batch=1, trellis=mode, backend=args.backend)
             got = rx.push(iq + noise) + rx.flush()
             byte_errs = sum(
                 int(np.sum(out != ts[k])) for k, (out, _) in enumerate(got)
