@@ -460,6 +460,48 @@ def _open_capture(args, sample_rate: float, bandwidth_hz: float):
     return open(args.input, "rb")
 
 
+class _TsOut:
+    """Decode TS output: one interleaved stream ('-' or a path, channels
+    interleaved per field — the default), or one file per channel when
+    the path contains '{ch}' (e.g. `-o 'slot{ch}.ts'` with --demux 8 —
+    the headend form; the reference is single-channel and has no
+    equivalent)."""
+
+    def __init__(self, path: str, channels: int):
+        self.per_channel = "{ch}" in path
+        if self.per_channel:
+            self._fps = [open(path.replace("{ch}", str(i)), "wb")
+                         for i in range(channels)]
+        else:
+            self._fps = [sys.stdout.buffer if path == "-"
+                         else open(path, "wb")]
+
+    @classmethod
+    def wrap(cls, fp) -> "_TsOut":
+        """Adopt an already-open single interleaved stream (resume path)."""
+        out = cls.__new__(cls)
+        out.per_channel = False
+        out._fps = [fp]
+        return out
+
+    def write_fields(self, ts: np.ndarray) -> None:
+        """ts: (B, FIELD_TS_BYTES) — one decoded field for B channels."""
+        if self.per_channel:
+            for fp, row in zip(self._fps, ts):
+                fp.write(row.tobytes())
+        else:
+            self._fps[0].write(ts.tobytes())
+
+    def flush(self) -> None:
+        for fp in self._fps:
+            fp.flush()
+
+    def close(self) -> None:
+        for fp in self._fps:
+            if fp is not sys.stdout.buffer:
+                fp.close()
+
+
 def _wire_to_complex(buf: bytes, fmt: str) -> np.ndarray:
     """Wire bytes -> flat complex64 samples (any whole-sample length)."""
     from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE, dequantize_iq
@@ -529,7 +571,7 @@ def run_decode_mesh(args) -> dict:
         raise ValueError("a live SDR capture is single-channel; use "
                          "--demux for a wideband multi-channel band")
     fin = _open_capture(args, P.SAMPLE_RATE, 6e6)
-    fout = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    fout = _TsOut(args.output, b)
 
     def read_step():
         """-> ((B, T*N) complex64 zero-padded, real field count)."""
@@ -563,7 +605,7 @@ def run_decode_mesh(args) -> dict:
             # emitted fields only — a pad field's garbage is dropped)
             if start_field + k - 1 < 0 or k > real - 1:
                 continue
-            fout.write(ts[k].tobytes())
+            fout.write_fields(ts[k])
             fields += 1
             corrected += int((nerr[k] > 0).sum())
             uncorrectable += int((nerr[k] < 0).sum())
@@ -588,8 +630,7 @@ def run_decode_mesh(args) -> dict:
     finally:
         if fin is not sys.stdin.buffer:
             fin.close()
-        if fout is not sys.stdout.buffer:
-            fout.close()
+        fout.close()
     summary = {
         "fields_decoded": fields,
         "segments_corrected": corrected,
@@ -641,13 +682,13 @@ def run_decode_demux(args) -> dict:
     )
     # live wideband headend receive: the SDR runs at the multiplex rate
     fin = _open_capture(args, dmx.rate_hz, dmx.rate_hz)
-    fout = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    fout = _TsOut(args.output, b)
     fields = 0
 
     def emit(decoded) -> None:
         nonlocal fields
         for ts, _ in decoded:
-            fout.write(ts.tobytes())
+            fout.write_fields(ts)
             fields += 1
 
     try:
@@ -668,8 +709,7 @@ def run_decode_demux(args) -> dict:
     finally:
         if fin is not sys.stdin.buffer:
             fin.close()
-        if fout is not sys.stdout.buffer:
-            fout.close()
+        fout.close()
     summary = {
         "fields_decoded": fields,
         "segments_corrected": rx.decoder.segments_corrected,
@@ -711,6 +751,9 @@ def run_decode(args) -> dict:
     resume = bool(getattr(args, "resume", False))
     if resume and not args.checkpoint:
         raise ValueError("--resume requires --checkpoint")
+    if "{ch}" in args.output and resume:
+        raise ValueError("per-channel output ('{ch}') is not resumable; "
+                         "resume into a single interleaved output")
     if _is_live(args.input):
         if args.channels != 1:
             raise ValueError("a live SDR capture is single-channel; use "
@@ -826,6 +869,7 @@ def run_decode(args) -> dict:
             fout.seek(0, 2)
         else:
             fout = open(args.output, "wb")
+        fout = _TsOut.wrap(fout)
     else:
         rx = IqReceiver(
             batch=args.channels, first_field=first_field,
@@ -840,8 +884,7 @@ def run_decode(args) -> dict:
             measure_mer=args.stats,
             resync=None if args.resync == "off" else args.resync,
         )
-        fout = (sys.stdout.buffer if args.output == "-"
-                else open(args.output, "wb"))
+        fout = _TsOut(args.output, args.channels)
     fields = 0
     last_ckpt = 0
     track_tail: list[np.ndarray] = []  # last 2 corrected field blocks
@@ -851,7 +894,7 @@ def run_decode(args) -> dict:
     def emit(decoded) -> None:
         nonlocal fields
         for ts, _ in decoded:
-            fout.write(ts.tobytes())
+            fout.write_fields(ts)
             fields += 1
 
     def maybe_checkpoint(force: bool = False) -> None:
@@ -908,7 +951,7 @@ def run_decode(args) -> dict:
     finally:
         if fin is not sys.stdin.buffer:
             fin.close()
-        if fout is not sys.stdout.buffer:
+        if fout is not None:
             fout.close()
 
     summary = {

@@ -169,3 +169,30 @@ def test_cli_decode_mesh(tmp_path):
     )
     for k in range(4):
         np.testing.assert_array_equal(got[k], ts[k])
+
+
+def test_cli_decode_per_channel_outputs(tmp_path):
+    """`-o 'slot{ch}.ts'` splits the decode into one TS file per
+    channel — byte-identical to de-interleaving the single-output form."""
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+    from tests.test_receiver import _encode_iq
+
+    rng = np.random.default_rng(83)
+    ts = _random_ts(rng, 4, 2)
+    iq = _encode_iq(ts)
+    cap = tmp_path / "cap.iq"
+    flat = iq.reshape(2, 4, P.SYMBOLS_PER_FIELD).transpose(1, 0, 2).reshape(-1)
+    cap.write_bytes(
+        np.stack([flat.real, flat.imag], -1).astype(np.float32).tobytes()
+    )
+    s = run_decode(build_decode_argparser().parse_args(
+        [str(cap), "-o", str(tmp_path / "slot{ch}.ts"), "-c", "2"]
+    ))
+    assert s["fields_decoded"] == 3
+    for i in range(2):
+        got = np.fromfile(tmp_path / f"slot{i}.ts", np.uint8).reshape(
+            -1, P.FIELD_TS_BYTES
+        )
+        assert got.shape[0] == 3
+        for k in range(3):
+            np.testing.assert_array_equal(got[k], ts[k, i])

@@ -67,3 +67,31 @@ def test_constant_modulus_of_oscillator_path(golden):
     )
     iq_jump = np.asarray(enc2.encode(golden["input"][2][None]))
     np.testing.assert_array_equal(iq_seq, iq_jump)
+
+
+def test_burst_flags_device_matches_host():
+    """ops/erasures.py: the jitted device burst detector and the host
+    reference produce the same flag runs (dilation is exactly identical;
+    only the baseline median is subsampled on device) on a field with
+    two injected bursts over realistic slicer noise."""
+    from atsc_tpu.ops.erasures import (
+        burst_erasure_flags,
+        burst_erasure_flags_dev,
+    )
+
+    rng = np.random.default_rng(71)
+    n = P.SYMBOLS_PER_FIELD
+    sym = rng.integers(0, 8, size=(2, n)).astype(np.float64)
+    lev = sym * 2.0 - 7.0 + P.PILOT_OFFSET + rng.normal(size=(2, n)) * 0.18
+    for b, (s, ln) in enumerate([(40_000, 2_500), (190_000, 900)]):
+        lev[b, s : s + ln] += rng.normal(size=ln) * 5.0
+
+    host = burst_erasure_flags(lev)
+    dev = np.asarray(burst_erasure_flags_dev(lev))
+    assert host.shape == dev.shape
+    # both must fully cover the injected bursts ...
+    assert host[0, 40_000 : 42_500].all() and dev[0, 40_000 : 42_500].all()
+    assert host[1, 190_000 : 190_900].all() and dev[1, 190_000 : 190_900].all()
+    # ... and agree essentially everywhere (baseline subsampling may move
+    # a run edge by a window or two on borderline hot windows)
+    assert np.mean(host != dev) < 1e-3

@@ -92,6 +92,19 @@ def main() -> None:
         print(json.dumps({"probe": "eq_fast_vs_exact_symbol_mismatches",
                           "batch": b, "count": mism}), flush=True)
 
+    # -- probe 1b: adaptive equalizer field step (RLS update + solve +
+    #    apply), plain and with the decision-directed second pass --------
+    from atsc_tpu.ops.adaptive_eq import AdaptiveEqualizer
+    for dd in (False, True):
+        eq = AdaptiveEqualizer(batch=b, decision_directed=dd)
+        out = eq.process_field(win, osc, 0, soft=soft)  # compile+warm
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = eq.process_field(win, osc, 0, soft=soft)
+        float(np.sum(out.astype(np.float32)))
+        _report(f"adaptive_eq_step{'_dd' if dd else ''}", b,
+                time.perf_counter() - t0, args.iters)
+
     # -- probe 2: decoder device core (decommutate+trellis+deinterleave
     #    +syndromes) ------------------------------------------------------
     from atsc_tpu.models.decoder import Decoder, SoftDecoder
