@@ -304,9 +304,10 @@ def build_decode_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--mesh", default=None, metavar="TIMExCH",
                     help="multi-device decode over a jax mesh (e.g. '4x2'): "
                          "consecutive fields across time shards, channels "
-                         "across ch shards. Plain sample-synchronous ZF "
-                         "path only (not combinable with --align/--cfo/"
-                         "--sro/--equalizer adaptive/--trellis viterbi/"
+                         "across ch shards. Sample-synchronous paths only: "
+                         "zf or adaptive/adaptive-dd with strictly "
+                         "per-field training (not combinable with --align/"
+                         "--cfo/--sro/--forgetting/--trellis viterbi/"
                          "--ntsc/--erasures/--checkpoint)")
     ap.add_argument("--fields-per-step", type=int, default=4,
                     help="(--mesh) fields decoded per device step")
@@ -540,11 +541,14 @@ def run_decode_mesh(args) -> dict:
     from atsc_tpu.parallel.rx_shard import ShardedReceiver
 
     for flag, default in (("align", "none"), ("cfo", "0"), ("sro", "0"),
-                          ("equalizer", "zf"), ("trellis", "hard"),
+                          ("trellis", "hard"), ("forgetting", 1.0),
                           ("ntsc", "off"), ("erasures", "off"),
                           ("resync", "off"), ("checkpoint", None)):
         if getattr(args, flag) != default:
-            raise ValueError(f"--mesh decode does not support --{flag}")
+            raise ValueError(f"--mesh decode does not support --{flag}"
+                             if flag != "forgetting" else
+                             "--mesh adaptive training is strictly "
+                             "per-field; --forgetting does not apply")
     try:
         n_time, n_ch = (int(v) for v in args.mesh.lower().split("x"))
     except ValueError:
@@ -563,6 +567,7 @@ def run_decode_mesh(args) -> dict:
         make_mesh(n_time, n_ch), batch=b,
         fields_per_device=max(1, args.fields_per_step // n_time),
         first_field=args.first_field, eq_profile=args.eq_profile,
+        equalizer=args.equalizer,
     )
     t = rx.t_total
     fmt = args.in_format

@@ -180,15 +180,29 @@ class ShardedReceiver:
     context is supplied host-side in the overlapping windows — the
     equalizer needs no collectives at all) and then runs the sharded
     decode body above; the only cross-device traffic remains the two O(1)
-    ring permutes. The hard-decision ZF path only (the high-throughput
-    sample-synchronous configuration); conditioned captures go through
-    IqReceiver's richer host loop.
+    ring permutes.
+
+    equalizer: "zf" (the sample-synchronous known-chain inverse — the
+    high-throughput configuration), or "adaptive"/"adaptive-dd" (the
+    per-field sync-trained WL-RLS of ops/adaptive_eq.py, + the
+    decision-directed pass for -dd). Adaptive training here is strictly
+    per-field (the sequential IqReceiver's forgetting=0.0 setting, which
+    is also its fastest-tracking one) — each field's 2,068 sync symbols
+    already overdetermine the solve, and field-local training is what
+    makes the equalizer shard with ZERO cross-device state: sharded
+    output equals the sequential forgetting=0 receiver exactly. Richer
+    host conditioning (CFO/SRO/align/resync) stays in IqReceiver.
     """
 
     def __init__(self, mesh: Mesh, batch: int, fields_per_device: int = 1,
-                 first_field: int = 0, eq_profile: str = "auto"):
-        from atsc_tpu.models.receiver import _DEV_MARGIN, _eq_step_fn
+                 first_field: int = 0, eq_profile: str = "auto",
+                 equalizer: str = "zf"):
+        from atsc_tpu.models.receiver import (
+            _DEV_MARGIN, _eq_step_fn, DEFAULT_EQ_PROFILE, EQ_PROFILES,
+        )
 
+        if equalizer not in ("zf", "adaptive", "adaptive-dd"):
+            raise ValueError(f"unknown equalizer {equalizer!r}")
         self.mesh = mesh
         self.batch = batch
         self.n_time = mesh.shape[TIME_AXIS]
@@ -201,11 +215,57 @@ class ShardedReceiver:
         self.segments_corrected = 0
         self.segments_uncorrectable = 0
 
-        eq = _eq_step_fn(False, 1.0, eq_profile)
+        if equalizer == "zf":
+            eq = _eq_step_fn(False, 1.0, eq_profile)
 
-        def body(state, wins, oscs):
+            def eq_fields(wins, oscs, start_parity):
+                return jax.vmap(eq)(wins, oscs)        # (F, b, N) int8
+        else:
+            from atsc_tpu.ops.adaptive_eq import (
+                EQ_DIM, _training_set, dd_refine_and_equalize, rls_update,
+                solve_and_equalize,
+            )
+
+            resolved = (DEFAULT_EQ_PROFILE if eq_profile == "auto"
+                        else eq_profile)
+            prec = EQ_PROFILES[resolved][1]
+            dd = equalizer == "adaptive-dd"
+            _, targets = _training_set()
+            tgt = jnp.asarray(targets)                  # (2, n) float32
+            lam = jnp.float32(0.0)                      # per-field training
+            ridge = jnp.float32(1e-4)
+            f_dev = fields_per_device
+
+            def eq_one(win, osc, parity):
+                # win (b, 2, W); osc (2, W); parity traced int32 scalar
+                b_loc = win.shape[0]
+                r0 = jnp.zeros((b_loc, EQ_DIM, EQ_DIM), jnp.float32)
+                v0 = jnp.zeros((b_loc, EQ_DIM), jnp.float32)
+                r, v = rls_update(r0, v0, win, osc, tgt[parity], lam)
+                if dd:
+                    lev, _ = solve_and_equalize(
+                        r, v, win, osc, ridge, soft=True,
+                        apply_precision="default",
+                    )
+                    sym, _ = dd_refine_and_equalize(
+                        r, v, lev, win, osc, ridge, apply_precision=prec,
+                    )
+                else:
+                    sym, _ = solve_and_equalize(
+                        r, v, win, osc, ridge, apply_precision=prec,
+                    )
+                return sym
+
+            def eq_fields(wins, oscs, start_parity):
+                # field f on time-shard t has global index t*F + f
+                t_idx = jax.lax.axis_index(TIME_AXIS)
+                pars = (start_parity + t_idx * f_dev
+                        + jnp.arange(f_dev)) % 2
+                return jax.vmap(eq_one)(wins, oscs, pars)
+
+        def body(state, wins, oscs, start_parity):
             # wins (F, b, 2, W) float32; oscs (F, 2, W) float32
-            fields = jax.vmap(eq)(wins, oscs)          # (F, b, N) int8
+            fields = eq_fields(wins, oscs, start_parity)
             return _local_step(state, fields)
 
         state_spec = DecoderState(
@@ -216,7 +276,7 @@ class ShardedReceiver:
         cw_spec = PSpec(TIME_AXIS, CH_AXIS, None, None)
         mapped = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(state_spec, win_spec, osc_spec),
+            in_specs=(state_spec, win_spec, osc_spec, PSpec()),
             out_specs=(state_spec, cw_spec, cw_spec),
             check_vma=False,
         )
@@ -261,10 +321,13 @@ class ShardedReceiver:
             wins[f], oscs[f] = field_window(
                 iq, f * n, first_field=self._next_field, stream_offset=off
             )
+        start_parity = jnp.int32(self._next_field % 2)
         self._next_field += self.t_total
         wj = jax.device_put(jnp.asarray(wins), self._win_sharding)
         oj = jax.device_put(jnp.asarray(oscs), self._osc_sharding)
-        self._state, codewords, syn = self._step(self._state, wj, oj)
+        self._state, codewords, syn = self._step(
+            self._state, wj, oj, start_parity
+        )
         return self._correct(codewords, syn)
 
     def _correct(self, codewords, syn) -> tuple[np.ndarray, np.ndarray]:
@@ -290,3 +353,7 @@ def dryrun(n_devices: int) -> None:
     iq = np.zeros((n_ch, rx.t_total * P.SYMBOLS_PER_FIELD), np.complex64)
     ts, nerr = rx.decode_iq(iq)
     assert ts.shape == (rx.t_total, n_ch, P.FIELD_TS_BYTES)
+    rxa = ShardedReceiver(mesh, batch=n_ch, fields_per_device=1,
+                          equalizer="adaptive")
+    ts, nerr = rxa.decode_iq(iq)
+    assert ts.shape == (rxa.t_total, n_ch, P.FIELD_TS_BYTES)

@@ -196,3 +196,74 @@ def test_cli_decode_per_channel_outputs(tmp_path):
         assert got.shape[0] == 3
         for k in range(3):
             np.testing.assert_array_equal(got[k], ts[k, i])
+
+
+def test_sharded_adaptive_receiver_matches_sequential():
+    """ShardedReceiver(equalizer='adaptive') through an unknown channel:
+    per-field RLS training is device-local, so the sharded decode equals
+    the sequential IqReceiver(backend='adaptive', forgetting=0.0)
+    byte-exactly — and both recover the exact TS."""
+    from atsc_tpu.models.receiver import IqReceiver
+    from atsc_tpu.parallel.rx_shard import ShardedReceiver
+    from tests.test_receiver import _encode_iq
+
+    rng = np.random.default_rng(89)
+    t, b = 4, 2
+    ts = _random_ts(rng, t, b)
+    iq = _encode_iq(ts)
+    # unknown linear channel: multipath + complex gain, same for all ch
+    iq = np.stack([
+        np.convolve(iq[c], [0.85 * np.exp(0.4j), 0, 0.15j])[: iq.shape[1]]
+        for c in range(b)
+    ])
+
+    rx = ShardedReceiver(make_mesh(2, 2), batch=b, fields_per_device=2,
+                         equalizer="adaptive")
+    got_ts, got_err = rx.decode_iq(iq.reshape(b, -1))
+    assert (got_err >= 0).all()
+    for k in range(1, t):  # output k is TS field k-1; output 0 = pre-start
+        np.testing.assert_array_equal(got_ts[k], ts[k - 1])
+
+    seq = IqReceiver(batch=b, backend="adaptive", forgetting=0.0)
+    got_seq = seq.push(iq) + seq.flush()
+    for k in range(1, t):
+        np.testing.assert_array_equal(got_ts[k], got_seq[k - 1][0])
+
+
+def test_cli_decode_mesh_adaptive(tmp_path):
+    """`decode --mesh TxC --equalizer adaptive`: multi-device receive
+    through an unknown channel, exact TS out."""
+    import pytest
+
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+    from tests.test_receiver import _encode_iq
+
+    rng = np.random.default_rng(97)
+    ts = _random_ts(rng, 4, 2)
+    iq = _encode_iq(ts)
+    iq = np.stack([
+        np.convolve(iq[c], [0.9 * np.exp(0.3j), 0, 0.12j])[: iq.shape[1]]
+        for c in range(2)
+    ])
+    cap = tmp_path / "cap.iq"
+    flat = iq.reshape(2, 4, P.SYMBOLS_PER_FIELD).transpose(1, 0, 2).reshape(-1)
+    cap.write_bytes(
+        np.stack([flat.real, flat.imag], -1).astype(np.float32).tobytes()
+    )
+    out = tmp_path / "out.ts"
+    s = run_decode(build_decode_argparser().parse_args(
+        [str(cap), "-o", str(out), "-c", "2", "--mesh", "2x2",
+         "--fields-per-step", "2", "--equalizer", "adaptive", "--stats"]
+    ))
+    assert s["segments_uncorrectable"] == 0
+    got = np.frombuffer(out.read_bytes(), np.uint8).reshape(
+        -1, 2, P.FIELD_TS_BYTES
+    )
+    for k in range(got.shape[0]):
+        np.testing.assert_array_equal(got[k], ts[k])
+
+    with pytest.raises(ValueError, match="per-field"):
+        run_decode(build_decode_argparser().parse_args(
+            [str(cap), "-o", str(out), "-c", "2", "--mesh", "2x2",
+             "--equalizer", "adaptive", "--forgetting", "0.5"]
+        ))
