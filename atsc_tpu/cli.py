@@ -105,11 +105,20 @@ def _write_mux(sink, chunk: np.ndarray) -> None:
 
 def _read_step(readers, step_bytes: int, field_bytes: int):
     """Read up to step_bytes from every reader; returns (whole_fields,
-    ts (whole, len(readers), field_bytes) uint8) or (0, None) when every
-    stream is exhausted. Shorter streams are zero-padded per field."""
+    ts (whole, len(readers), field_bytes) uint8, packets_read, sync_bad)
+    or (0, None, 0, 0) when every stream is exhausted. Shorter streams
+    are zero-padded per field; the sync-byte stats cover only the real
+    (unpadded) whole packets actually read."""
     datas = [r.read(step_bytes) for r in readers]
     if all(len(d) == 0 for d in datas):
-        return 0, None
+        return 0, None, 0, 0
+    checked = bad = 0
+    for d in datas:
+        firsts = np.frombuffer(d, np.uint8)[
+            : len(d) - len(d) % P.MPEG2_BYTES : P.MPEG2_BYTES
+        ]
+        checked += firsts.size
+        bad += int(np.count_nonzero(firsts != 0x47))
     whole = max(1, max(-(-len(d) // field_bytes) for d in datas))
     blk = whole * field_bytes
     cols = [
@@ -118,7 +127,7 @@ def _read_step(readers, step_bytes: int, field_bytes: int):
         )
         for d in datas
     ]
-    return whole, np.stack(cols, axis=1)
+    return whole, np.stack(cols, axis=1), checked, bad
 
 
 def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
@@ -213,16 +222,17 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
         with (profile(profile_dir) if profile_dir
               else contextlib.nullcontext()):
             while True:
-                whole, ts = _read_step(readers, step_bytes, field_bytes)
+                whole, ts, checked, bad = _read_step(
+                    readers, step_bytes, field_bytes
+                )
                 if whole == 0:
                     break
+                sync_checked += checked
+                sync_bad += bad
                 if ts.shape[1] == 1 and cfg.channels > 1:
                     ts = np.broadcast_to(
                         ts, (whole, cfg.channels, field_bytes)
                     )
-                firsts = ts[:whole, :, ::P.MPEG2_BYTES]
-                sync_checked += firsts.size
-                sync_bad += int(np.count_nonzero(firsts != 0x47))
                 if meshed:
                     if whole < t_total:   # zero-pad the EOF tail step
                         ts = np.concatenate([
@@ -853,7 +863,22 @@ def run_decode(args) -> dict:
         else:
             while skip > 0:
                 skip -= len(fin.read(min(skip, 1 << 20)))
-        correct.skip(consumed)  # numeric-CFO phase continuity
+        # phase continuity with the already-written output: restore the
+        # corrector's accumulated phase exactly (a --cfo track run retuned
+        # mid-stream, so "final rate x consumed samples" is NOT the phase
+        # at the checkpoint); legacy checkpoints fall back to that product
+        saved_phi = rx.checkpoint_extra.get("cfo_phi")
+        if saved_phi is not None:
+            correct._phi = float(saved_phi)
+            correct._n = consumed
+        else:
+            correct.skip(consumed)
+        if args.resync != "off" and rx.resync is None:
+            raise ValueError("checkpoint was saved without --resync; "
+                             "decode flags cannot change on --resume")
+        if args.equalizer != "zf" and rx.backend != args.equalizer:
+            raise ValueError(f"checkpoint equalizer backend {rx.backend!r} "
+                             f"!= --equalizer {args.equalizer!r}")
         codes_path = rx.wire_format != "cf32"
         # re-open the output exactly where the checkpointed state left
         # it: fields flushed after the last checkpoint would otherwise
@@ -911,7 +936,8 @@ def run_decode(args) -> dict:
 
             fout.flush()
             save_receiver(args.checkpoint, rx,
-                          extra={"in_format": fmt, "cfo_hz": cfo_hz})
+                          extra={"in_format": fmt, "cfo_hz": cfo_hz,
+                                 "cfo_phi": correct._phi})
             last_ckpt = fields
 
     try:

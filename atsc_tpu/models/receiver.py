@@ -226,8 +226,9 @@ def _eq_step_fn(soft: bool = False, dequant: float = 1.0,
                    + banded_fir_taps(ui, q_taps, _N, precision=precision))
         if soft:
             return lev.astype(jnp.float32)
-        sym = jnp.round((lev - P.PILOT_OFFSET + 7.0) * 0.5)
-        return jnp.clip(sym, 0, 7).astype(jnp.int8)
+        from atsc_tpu.ops.slicer import slice_symbols
+
+        return slice_symbols(lev)
 
     return step
 
@@ -400,8 +401,9 @@ def slice_levels(levels: np.ndarray) -> np.ndarray:
 @jax.jit
 def _slice_levels_dev(levels: jnp.ndarray) -> jnp.ndarray:
     """Device twin of slice_levels (keeps the field on the accelerator)."""
-    sym = jnp.round((levels - P.PILOT_OFFSET + 7.0) * 0.5)
-    return jnp.clip(sym, 0, 7).astype(jnp.int8)
+    from atsc_tpu.ops.slicer import slice_symbols
+
+    return slice_symbols(levels)
 
 
 @jax.jit
@@ -409,8 +411,11 @@ def _mer_components_dev(levels: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Device twin of _mer_components: (B,) signal and residual powers
     reduced on the accelerator — only two scalars per channel come back
     to the host (the host path pulls the whole (B, 260416) level field)."""
-    x = levels[..., :_N].astype(jnp.float32) - P.PILOT_OFFSET
-    ideal = jnp.clip(jnp.round((x + 7.0) * 0.5) * 2.0 - 7.0, -7.0, 7.0)
+    from atsc_tpu.ops.slicer import ideal_levels
+
+    lev = levels[..., :_N].astype(jnp.float32)
+    x = lev - P.PILOT_OFFSET
+    ideal = ideal_levels(lev)
     return (jnp.mean(ideal ** 2, axis=-1),
             jnp.mean((x - ideal) ** 2, axis=-1))
 

@@ -163,8 +163,9 @@ def solve_and_equalize(
            + _banded_fir_batched(ui, q, _N, precision=prec) + bias)
     if soft:
         return lev.astype(jnp.float32), w
-    sym = jnp.round((lev - P.PILOT_OFFSET + 7.0) * 0.5)
-    return jnp.clip(sym, 0, 7).astype(jnp.int8), w
+    from atsc_tpu.ops.slicer import slice_symbols
+
+    return slice_symbols(lev), w
 
 
 @functools.partial(jax.jit, static_argnames=("margin", "stride", "soft",
@@ -192,11 +193,13 @@ def dd_refine_and_equalize(
     lev: (B, 260416) float32 first-pass soft levels. Other args/returns
     exactly as solve_and_equalize.
     """
+    from atsc_tpu.ops.slicer import ideal_levels
+
     pilot = jnp.float32(P.PILOT_OFFSET)
     pos = jnp.arange(EQ_HALF, _N - EQ_HALF, stride)
-    x0 = jnp.take(lev, pos, axis=-1) - pilot
-    ideal = jnp.clip(jnp.round((x0 + 7.0) * 0.5) * 2.0 - 7.0, -7.0, 7.0)
-    w = jnp.maximum(1.0 - jnp.abs(x0 - ideal), 0.0)      # (B, n) reliability
+    lev_s = jnp.take(lev, pos, axis=-1)
+    ideal = ideal_levels(lev_s)
+    w = jnp.maximum(1.0 - jnp.abs(lev_s - pilot - ideal), 0.0)  # reliability
     targets = ideal + pilot                               # (B, n)
     ur, ui = _derotate(win, osc)
     idx = pos[:, None] + (margin - EQ_HALF) + jnp.arange(EQ_TAPS)

@@ -100,9 +100,10 @@ def burst_erasure_flags_dev(
     levels: (B, n) float soft levels (pilot offset included).
     Returns (B, n) uint8 device flags.
     """
+    from atsc_tpu.ops.slicer import ideal_levels
+
     lev = levels.astype(jnp.float32)
-    sym = jnp.clip(jnp.round((lev - P.PILOT_OFFSET + 7.0) * 0.5), 0, 7)
-    r = jnp.abs(lev - (sym * 2.0 - 7.0 + P.PILOT_OFFSET))
+    r = jnp.abs(lev - P.PILOT_OFFSET - ideal_levels(lev))
     n = r.shape[-1]
     c = jnp.pad(jnp.cumsum(r, axis=-1), ((0, 0), (1, 0)))
     w = (c[:, window:] - c[:, :-window]) / window   # (B, n - window + 1)

@@ -219,6 +219,7 @@ class SoapySdrSource:
 
         self._timeout_code = getattr(SoapySDR, "SOAPY_SDR_TIMEOUT", -1)
         self._overflow_code = getattr(SoapySDR, "SOAPY_SDR_OVERFLOW", -2)
+        self._has_time_flag = getattr(SoapySDR, "SOAPY_SDR_HAS_TIME", 1 << 2)
         soapy_fmt = {"cf32": "CF32", "cs16": "CS16", "cs8": "CS8"}[stream_format]
         self._np_dtype = {
             "cf32": np.float32, "cs16": np.int16, "cs8": np.int8
@@ -245,8 +246,11 @@ class SoapySdrSource:
     def _gap_zeros(self, res, got: int) -> bytes:
         """Zero-fill bytes for a timestamp discontinuity preceding this
         buffer (b'' when stamps are absent or the gap is 0/oversized)."""
+        # timeNs is only defined when the driver sets HAS_TIME — a stale
+        # nonzero stamp without the flag must not invent gaps
+        flags = int(getattr(res, "flags", 0) or 0)
         t_ns = float(getattr(res, "timeNs", 0) or 0)
-        if t_ns <= 0.0:       # driver doesn't stamp its buffers
+        if not (flags & self._has_time_flag) or t_ns <= 0.0:
             self._expect_ns = None
             return b""
         fill = b""

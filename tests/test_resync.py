@@ -145,3 +145,49 @@ def test_resync_state_checkpoint_roundtrip(tmp_path):
     assert back.fields_emitted == 7
     assert back._bad_streak == 1
     assert not back._acquiring
+
+
+def test_cli_cfo_track_checkpoint_resume_phase(tmp_path):
+    """Resuming a checkpoint written by a `--cfo track` run restores the
+    corrector's accumulated phase exactly (not final-rate x consumed,
+    which is wrong once a retune happened): the resumed tail decodes the
+    same exact TS as the uninterrupted tracked run."""
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+
+    rng = np.random.default_rng(53)
+    n_fields = 14
+    ts = _random_ts(rng, n_fields, 1)
+    iq = _encode_iq(ts)[0]
+    f0, step_hz, step_at = 150.0, 30.0, 5 * N
+    n = np.arange(iq.size)
+    freq = f0 + step_hz * (n >= step_at)
+    y = iq * np.exp(2j * np.pi * np.cumsum(freq) / P.SAMPLE_RATE)
+    cap = tmp_path / "cap.iq"
+    np.stack([y.real, y.imag], axis=-1).astype(np.float32).tofile(cap)
+
+    full = tmp_path / "full.ts"
+    s = run_decode(build_decode_argparser().parse_args(
+        [str(cap), "--cfo", "track", "--forgetting", "0.0",
+         "-o", str(full), "--stats"]
+    ))
+    assert s["cfo_retunes"] >= 1
+
+    part = tmp_path / "part.ts"
+    ckpt = str(tmp_path / "c.npz")
+    run_decode(build_decode_argparser().parse_args(
+        [str(cap), "--cfo", "track", "--forgetting", "0.0",
+         "-o", str(part), "--checkpoint", ckpt, "--checkpoint-every", "4",
+         "--max-fields", "10"]
+    ))
+    s2 = run_decode(build_decode_argparser().parse_args(
+        [str(cap), "--forgetting", "0.0", "-o", str(part),
+         "--checkpoint", ckpt, "--resume"]
+    ))
+    want = np.fromfile(full, np.uint8).reshape(-1, P.FIELD_TS_BYTES)
+    got = np.fromfile(part, np.uint8).reshape(-1, P.FIELD_TS_BYTES)
+    assert got.shape[0] == want.shape[0]
+    # the re-locked tail (post step + retune) must decode identically --
+    # and exactly (the resumed run carries the tracked rate and phase)
+    for k in range(11, want.shape[0]):
+        np.testing.assert_array_equal(want[k], ts[k, 0])
+        np.testing.assert_array_equal(got[k], ts[k, 0])

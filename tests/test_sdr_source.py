@@ -36,11 +36,13 @@ def _install_fake_soapy(monkeypatch, samples: np.ndarray, mtu: int = 4096,
     mod.SOAPY_SDR_TX = "TX"
     mod.SOAPY_SDR_TIMEOUT = -1
     mod.SOAPY_SDR_OVERFLOW = -2
+    mod.SOAPY_SDR_HAS_TIME = 1 << 2
 
     class _Result:
         def __init__(self, ret, time_ns=0):
             self.ret = ret
             self.timeNs = time_ns
+            self.flags = mod.SOAPY_SDR_HAS_TIME if time_ns else 0
 
     class Device:
         def __init__(self, dev_args):
@@ -161,6 +163,33 @@ def test_sdr_source_no_fill_without_stamps(monkeypatch):
     np.testing.assert_array_equal(got.reshape(-1, 2), samples)
     assert src.gaps_filled == 0 and src.gap_samples == 0
     assert src.overflows == 1
+
+
+def test_sdr_source_ignores_unflagged_stamps(monkeypatch):
+    """timeNs without SOAPY_SDR_HAS_TIME in the result flags is undefined
+    (a stale driver value): it must not trigger zero-fill."""
+    from atsc_tpu.runtime.io import SoapySdrSource
+
+    rng = np.random.default_rng(9)
+    samples = rng.normal(size=(5_000, 2)).astype(np.float32)
+    _install_fake_soapy(monkeypatch, samples, mtu=777, gap_at=2_000,
+                        gap_len=777, stamp=True)
+    import sys as _sys
+    fake = _sys.modules["SoapySDR"]
+    # stamps present but never flagged valid
+    dev_cls = fake.Device
+    orig_read = dev_cls.readStream
+
+    def read_noflag(self, s, bufs, num):
+        res = orig_read(self, s, bufs, num)
+        res.flags = 0
+        return res
+
+    dev_cls.readStream = read_noflag
+    src = SoapySdrSource(driver="fake", sample_rate=2e6, bandwidth_hz=1e6)
+    got = np.frombuffer(src.read(samples.shape[0] * 8), np.float32)
+    np.testing.assert_array_equal(got.reshape(-1, 2), samples)
+    assert src.gaps_filled == 0 and src.gap_samples == 0
 
 
 def test_cli_decode_live(monkeypatch, tmp_path):
