@@ -149,9 +149,6 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
         )
     if cfg.mux and cfg.out_format != "cf32":
         raise ValueError("--mux emits cf32 only")
-    if cfg.mux and checkpoint:
-        raise ValueError("--mux does not support checkpointing yet "
-                         "(the multiplexer carries resampler state)")
     sample_bytes = BYTES_PER_SAMPLE[cfg.out_format]
     stream_rate = (cfg.channels * 6e6 if cfg.mux
                    else P.SAMPLE_RATE * cfg.channels)
@@ -207,6 +204,16 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
             state = jax.device_put(loaded, enc.state_sharding)
         else:
             enc.state = loaded
+        from atsc_tpu.utils.checkpoint import load_mux_carry
+
+        carry = load_mux_carry(checkpoint)
+        if (carry is not None) != (muxer is not None):
+            raise ValueError(
+                "checkpoint and --mux disagree: resume a --mux run with "
+                "--mux and a plain run without it"
+            )
+        if muxer is not None:
+            muxer.set_state(carry)
         # file inputs: skip the already-encoded prefix of each stream
         skip = fields_done * field_bytes
         for r in readers:
@@ -218,6 +225,7 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
                 left -= len(got)
     last_saved = fields_done
     state_clean = True   # meshed: state has not advanced past pad fields
+    eof = False          # loop ended by input exhaustion (vs max_fields)
     try:
         with (profile(profile_dir) if profile_dir
               else contextlib.nullcontext()):
@@ -226,6 +234,7 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
                     readers, step_bytes, field_bytes
                 )
                 if whole == 0:
+                    eof = True
                     break
                 sync_checked += checked
                 sync_bad += bad
@@ -270,18 +279,25 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
                 if (checkpoint and state_clean
                         and fields_done - last_saved >= checkpoint_every):
                     save_state(checkpoint,
-                               state if meshed else enc.state, fields_done)
+                               state if meshed else enc.state, fields_done,
+                               mux_carry=(None if muxer is None
+                                          else muxer.get_state()))
                     last_saved = fields_done
                 if max_fields and meter.fields >= max_fields * cfg.channels:
                     break
-        if muxer is not None:
+        # a checkpointed mid-stream stop (max_fields) must NOT flush: the
+        # flush zero-pads the carried remainder, which the resumed run
+        # renders from real data instead. At EOF, or without a
+        # checkpoint, emit everything still buffered.
+        if muxer is not None and (eof or not checkpoint):
             _write_mux(sink, muxer.flush())
     finally:
         for r in readers:
             r.close()
         sink.close()
     if checkpoint and fields_done != last_saved and state_clean:
-        save_state(checkpoint, state if meshed else enc.state, fields_done)
+        save_state(checkpoint, state if meshed else enc.state, fields_done,
+                   mux_carry=None if muxer is None else muxer.get_state())
 
     summary = meter.summary()
     # input-health telemetry: fraction of 188-byte packets whose sync

@@ -155,6 +155,19 @@ class FdmMuxer:
             )
         return self._run(np.concatenate([self._carry, iq_planar], axis=-1))
 
+    def get_state(self) -> np.ndarray:
+        """The complete resumable state: the carried halo + remainder
+        samples (the mixer/resampler are block-aligned and stateless)."""
+        return self._carry.copy()
+
+    def set_state(self, carry: np.ndarray) -> None:
+        carry = np.asarray(carry, np.float32)
+        if carry.ndim != 3 or carry.shape[:2] != (self.n_slots, 2):
+            raise ValueError(
+                f"want ({self.n_slots}, 2, n) carry, got {carry.shape}"
+            )
+        self._carry = carry
+
     def flush(self) -> np.ndarray:
         """End of stream: zero-fill the trailing partial block (plus the
         final halo) and emit everything still buffered."""

@@ -24,9 +24,12 @@ from atsc_tpu.models.encoder import EncoderState
 _FIELDS = EncoderState._fields
 
 
-def save_state(path: str, state: EncoderState, fields_encoded: int = 0) -> None:
+def save_state(path: str, state: EncoderState, fields_encoded: int = 0,
+               mux_carry: np.ndarray | None = None) -> None:
     arrays = {name: np.asarray(getattr(state, name)) for name in _FIELDS}
     arrays["__fields_encoded__"] = np.asarray(fields_encoded, dtype=np.int64)
+    if mux_carry is not None:  # FdmMuxer.get_state() of an encode --mux run
+        arrays["__mux_carry__"] = np.asarray(mux_carry)
     np.savez_compressed(path, **arrays)
 
 
@@ -34,6 +37,13 @@ def load_state(path: str) -> tuple[EncoderState, int]:
     z = np.load(path)
     state = EncoderState(**{name: jax.numpy.asarray(z[name]) for name in _FIELDS})
     return state, int(z["__fields_encoded__"])
+
+
+def load_mux_carry(path: str) -> np.ndarray | None:
+    """The FdmMuxer carry of an encode --mux checkpoint (None when the
+    checkpoint was written by a plain single-stream run)."""
+    z = np.load(path)
+    return z["__mux_carry__"] if "__mux_carry__" in z else None
 
 
 # -- receiver checkpoints -----------------------------------------------

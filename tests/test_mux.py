@@ -113,6 +113,41 @@ def test_cli_encode_mux(tmp_path):
         np.testing.assert_array_equal(got[k][0][0], ts[k, 1])
 
 
+def test_cli_mux_checkpoint_resume(tmp_path):
+    """`encode --mux --checkpoint` + `--resume`: the muxer's carry
+    (resampler halo + block remainder) rides the checkpoint, so the
+    concatenated interrupted+resumed multiplex equals the uninterrupted
+    run byte-for-byte. A mid-stream checkpointed stop must NOT flush the
+    carry (the resumed run renders it from real data)."""
+    from atsc_tpu.cli import main
+
+    rng = np.random.default_rng(137)
+    ts = _random_ts(rng, 4, 2)
+    a, c = tmp_path / "a.ts", tmp_path / "b.ts"
+    a.write_bytes(ts[:, 0].tobytes())
+    c.write_bytes(ts[:, 1].tobytes())
+    full, p1, p2 = (tmp_path / n for n in ("full.iq", "p1.iq", "p2.iq"))
+    ck = str(tmp_path / "state.npz")
+    assert main([str(a), str(c), "-o", str(full), "--mux"]) == 0
+    # --fields-per-step 1 makes --max-fields a true mid-stream interrupt
+    # (with the default 8-field step the whole input encodes in one step)
+    assert main([str(a), str(c), "-o", str(p1), "--mux",
+                 "--fields-per-step", "1",
+                 "--max-fields", "2", "--checkpoint", ck]) == 0
+    assert main([str(a), str(c), "-o", str(p2), "--mux",
+                 "--resume", "--checkpoint", ck]) == 0
+    assert p1.stat().st_size and p2.stat().st_size  # a genuine split
+    got = p1.read_bytes() + p2.read_bytes()
+    assert got == full.read_bytes()
+
+    # mismatched resume modes are refused
+    import pytest
+
+    with pytest.raises(ValueError, match="disagree"):
+        main([str(a), str(c), "-o", str(p2), "--resume",
+              "--checkpoint", ck])
+
+
 def test_fdm_demuxer_device_roundtrip():
     """The device-side demuxer (banded-matmul filter/resample + period-2B
     mixdown) recovers every slot exactly through one batched adaptive

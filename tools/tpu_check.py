@@ -82,6 +82,25 @@ def main() -> int:
         np.testing.assert_array_equal(ts[0], g["input"][k])
     print(f"cs8 code-path loopback: 3 fields TS-exact "
           f"(corrected={rx8.decoder.segments_corrected})")
+
+    # adaptive-dd equalizer (RLS + decision-directed second pass) through
+    # an unknown complex gain, and the device burst detector feeding
+    # errors-and-erasures RS through an impulse hit — the 2026-08-18
+    # device paths, exercised on real hardware
+    chan = cap * (0.9 * np.exp(0.5j))
+    rng = np.random.default_rng(5)
+    s0 = P.SYMBOLS_PER_FIELD + 40_000
+    chan[:, s0 : s0 + 2500] += (
+        rng.normal(size=2500) + 1j * rng.normal(size=2500)
+    ) * 5.0
+    rxd = IqReceiver(batch=1, backend="adaptive-dd", erasures="burst")
+    gotd = rxd.push(chan) + rxd.flush()
+    assert len(gotd) == 3, len(gotd)
+    for k, (ts, nerr) in enumerate(gotd):
+        assert (nerr >= 0).all(), f"dd: uncorrectable segments, field {k}"
+        np.testing.assert_array_equal(ts[0], g["input"][k])
+    print(f"adaptive-dd + burst-erasure loopback: 3 fields TS-exact "
+          f"(erasure-assisted={rxd.decoder.segments_erasure_assisted})")
     print("PASS")
     return 0
 
