@@ -456,6 +456,8 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                          "combinable with --align/--sro auto-conditioning)")
     ap.add_argument("--stats", action="store_true",
                     help="print a JSON decode summary to stderr")
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="capture a JAX/XLA device trace of the decode")
     # SDR flags for the live 'soapy' input (mirror of the encode side)
     ap.add_argument("-d", "--driver", default="hackrf",
                     help="SoapySDR driver for the 'soapy' input")
@@ -644,6 +646,13 @@ def run_decode_mesh(args) -> dict:
                 return True
         return False
 
+    import contextlib
+
+    stack = contextlib.ExitStack()
+    if getattr(args, "profile", None):
+        from atsc_tpu.utils.profiling import profile
+
+        stack.enter_context(profile(args.profile))
     try:
         left = np.zeros((b, margin), np.complex64)
         held, held_real = read_step()
@@ -659,6 +668,7 @@ def run_decode_mesh(args) -> dict:
             held, held_real = nxt, nxt_real
             start += t
     finally:
+        stack.close()
         if fin is not sys.stdin.buffer:
             fin.close()
         fout.close()
@@ -722,6 +732,13 @@ def run_decode_demux(args) -> dict:
             fout.write_fields(ts)
             fields += 1
 
+    import contextlib
+
+    stack = contextlib.ExitStack()
+    if getattr(args, "profile", None):
+        from atsc_tpu.utils.profiling import profile
+
+        stack.enter_context(profile(args.profile))
     try:
         while True:
             buf = fin.read(1 << 22)
@@ -738,6 +755,7 @@ def run_decode_demux(args) -> dict:
                 emit(rx.push(bb))
             emit(rx.flush())
     finally:
+        stack.close()
         if fin is not sys.stdin.buffer:
             fin.close()
         fout.close()
@@ -956,6 +974,13 @@ def run_decode(args) -> dict:
                                  "cfo_phi": correct._phi})
             last_ckpt = fields
 
+    import contextlib
+
+    stack = contextlib.ExitStack()
+    if getattr(args, "profile", None):
+        from atsc_tpu.utils.profiling import profile
+
+        stack.enter_context(profile(args.profile))
     try:
         if pending is not None:
             emit(rx.push(pending))
@@ -996,6 +1021,7 @@ def run_decode(args) -> dict:
             emit(rx.flush())
         maybe_checkpoint(force=True)
     finally:
+        stack.close()
         if fin is not sys.stdin.buffer:
             fin.close()
         if fout is not None:
