@@ -691,11 +691,18 @@ def run_decode_demux(args) -> dict:
     from atsc_tpu.ops.mux import FdmDemuxer
 
     for flag, default in (("align", "none"), ("cfo", "0"), ("sro", "0"),
-                          ("mesh", None), ("checkpoint", None)):
+                          ("mesh", None)):
         if getattr(args, flag) != default:
             raise ValueError(f"--demux does not support --{flag}")
-    if getattr(args, "resume", False):
-        raise ValueError("--demux does not support --resume")
+    resume = bool(getattr(args, "resume", False))
+    if resume and not args.checkpoint:
+        raise ValueError("--resume requires --checkpoint")
+    if resume and _is_live(args.input):
+        raise ValueError("--resume needs a repositionable capture, "
+                         "not a live stream")
+    if resume and "{ch}" in args.output:
+        raise ValueError("per-channel output ('{ch}') is not resumable; "
+                         "resume into a single interleaved output")
     if args.channels != 1:
         raise ValueError("--demux sets the channel count itself")
     if (args.viterbi_chunks > 1 and args.trellis != "viterbi"
@@ -705,32 +712,96 @@ def run_decode_demux(args) -> dict:
     b = args.demux
     if b < 1:
         raise ValueError(f"--demux wants a slot count >= 1, got {b}")
+    from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
+
+    sample_bytes = BYTES_PER_SAMPLE[args.in_format]
     dmx = FdmDemuxer(b)
-    # construct (and therefore flag-validate) the receiver BEFORE opening
-    # the output: a usage error must not truncate an existing output file
-    rx = IqReceiver(
-        batch=b,
-        backend=("adaptive-dd" if args.equalizer == "adaptive-dd"
-                 else "adaptive"),
-        forgetting=args.forgetting,
-        first_field=args.first_field,
-        trellis="soft" if args.trellis == "viterbi" else "hard",
-        erasures=None if args.erasures == "off" else args.erasures,
-        ntsc=None if args.ntsc == "off" else args.ntsc,
-        viterbi_chunks=args.viterbi_chunks, eq_profile=args.eq_profile,
-        measure_mer=args.stats,
-        resync=None if args.resync == "off" else args.resync,
-    )
+    wb_read = 0  # wideband multiplex samples consumed (resume cursor)
+    fout = None
+    if resume:
+        import os
+
+        from atsc_tpu.utils.checkpoint import load_receiver
+
+        rx = load_receiver(args.checkpoint)
+        if rx.batch != b:
+            raise ValueError(f"checkpoint slots {rx.batch} != --demux {b}")
+        carry = rx.checkpoint_arrays.get("demux_carry")
+        if carry is None:
+            raise ValueError("checkpoint is not a --demux decode "
+                             "checkpoint")
+        want_be = ("adaptive-dd" if args.equalizer == "adaptive-dd"
+                   else "adaptive")
+        if args.equalizer != "zf" and rx.backend != want_be:
+            raise ValueError(f"checkpoint equalizer backend {rx.backend!r} "
+                             f"!= --equalizer {args.equalizer!r}")
+        dmx.set_state(carry)
+        wb_read = int(rx.checkpoint_extra.get("wideband_read", 0))
+        rx.measure_mer = args.stats
+    else:
+        # construct (and therefore flag-validate) the receiver BEFORE
+        # opening the output: a usage error must not truncate a file
+        rx = IqReceiver(
+            batch=b,
+            backend=("adaptive-dd" if args.equalizer == "adaptive-dd"
+                     else "adaptive"),
+            forgetting=args.forgetting,
+            first_field=args.first_field,
+            trellis="soft" if args.trellis == "viterbi" else "hard",
+            erasures=None if args.erasures == "off" else args.erasures,
+            ntsc=None if args.ntsc == "off" else args.ntsc,
+            viterbi_chunks=args.viterbi_chunks, eq_profile=args.eq_profile,
+            measure_mer=args.stats,
+            resync=None if args.resync == "off" else args.resync,
+        )
     # live wideband headend receive: the SDR runs at the multiplex rate
     fin = _open_capture(args, dmx.rate_hz, dmx.rate_hz)
-    fout = _TsOut(args.output, b)
+    if resume:
+        import os
+
+        skip = wb_read * sample_bytes
+        if fin.seekable():
+            fin.seek(skip)
+        else:
+            while skip > 0:
+                got = fin.read(min(skip, 1 << 20))
+                if not got:
+                    break
+                skip -= len(got)
+        # re-open the output where the checkpointed state left it
+        expect = rx.fields_emitted * P.FIELD_TS_BYTES * b
+        if args.output == "-":
+            fout = _TsOut.wrap(sys.stdout.buffer)
+        elif os.path.exists(args.output):
+            fp = open(args.output, "r+b")
+            fp.truncate(min(os.path.getsize(args.output), expect))
+            fp.seek(0, 2)
+            fout = _TsOut.wrap(fp)
+    if fout is None:
+        fout = _TsOut(args.output, b)
     fields = 0
+    last_ckpt = 0
 
     def emit(decoded) -> None:
         nonlocal fields
         for ts, _ in decoded:
             fout.write_fields(ts)
             fields += 1
+
+    def maybe_checkpoint(force: bool = False) -> None:
+        nonlocal last_ckpt
+        if not args.checkpoint:
+            return
+        if force or fields - last_ckpt >= args.checkpoint_every:
+            from atsc_tpu.utils.checkpoint import save_receiver
+
+            fout.flush()
+            save_receiver(args.checkpoint, rx,
+                          extra={"in_format": args.in_format,
+                                 "demux_slots": b,
+                                 "wideband_read": wb_read},
+                          extra_arrays={"demux_carry": dmx.get_state()})
+            last_ckpt = fields
 
     import contextlib
 
@@ -744,9 +815,11 @@ def run_decode_demux(args) -> dict:
             buf = fin.read(1 << 22)
             if not buf:
                 break
+            wb_read += len(buf) // sample_bytes
             bb = dmx.push(_wire_to_complex(buf, args.in_format))
             if bb.shape[-1]:
                 emit(rx.push(bb))
+            maybe_checkpoint()
             if args.max_fields and fields >= args.max_fields:
                 break
         if not args.max_fields or fields < args.max_fields:
@@ -754,6 +827,7 @@ def run_decode_demux(args) -> dict:
             if bb.shape[-1]:
                 emit(rx.push(bb))
             emit(rx.flush())
+        maybe_checkpoint(force=True)
     finally:
         stack.close()
         if fin is not sys.stdin.buffer:

@@ -293,6 +293,17 @@ class FdmDemuxer:
         self._carry = buf[..., used:]
         return (out[:, 0] + 1j * out[:, 1]).astype(np.complex64)
 
+    def get_state(self) -> np.ndarray:
+        """The complete resumable state: the carried halo + remainder
+        samples (mixdown/resampler are block-aligned and stateless)."""
+        return self._carry.copy()
+
+    def set_state(self, carry: np.ndarray) -> None:
+        carry = np.asarray(carry, np.float32)
+        if carry.ndim != 2 or carry.shape[0] != 2:
+            raise ValueError(f"want (2, n) carry, got {carry.shape}")
+        self._carry = carry
+
     def flush(self) -> np.ndarray:
         """End of stream: zero-fill the trailing partial block + halo."""
         p_in = RESAMPLE_UP * self.n_slots

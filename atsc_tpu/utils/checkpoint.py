@@ -53,11 +53,14 @@ _RX_CONFIG = ("batch", "first_field", "backend", "trellis", "erasures",
               "resync", "resync_after", "resync_threshold")
 
 
-def save_receiver(path: str, rx, extra: dict | None = None) -> None:
+def save_receiver(path: str, rx, extra: dict | None = None,
+                  extra_arrays: dict | None = None) -> None:
     """Persist an IqReceiver (models/receiver.py) mid-stream.
 
     extra: optional JSON-serializable caller metadata (e.g. the CLI's
     conditioning parameters), returned as `rx.checkpoint_extra` on load.
+    extra_arrays: optional caller-owned numpy arrays (e.g. the --demux
+    FdmDemuxer carry), returned as `rx.checkpoint_arrays` on load.
     """
     import json
 
@@ -98,6 +101,8 @@ def save_receiver(path: str, rx, extra: dict | None = None) -> None:
         arrays["rls_v"] = np.asarray(rx._adaptive._v)
         arrays["rls_lam"] = np.asarray(rx._adaptive._lam)
         arrays["rls_ridge"] = np.asarray(rx._adaptive._ridge)
+    for name, arr in (extra_arrays or {}).items():
+        arrays["xarr_" + name] = np.asarray(arr)
     np.savez_compressed(path, **arrays)
 
 
@@ -176,4 +181,7 @@ def load_receiver(path: str):
         rx._adaptive._lam = jnp.asarray(z["rls_lam"])
         rx._adaptive._ridge = jnp.asarray(z["rls_ridge"])
     rx.checkpoint_extra = extra
+    rx.checkpoint_arrays = {
+        k[5:]: z[k] for k in z.files if k.startswith("xarr_")
+    }
     return rx

@@ -278,3 +278,42 @@ def test_write_mux_preserves_full_chunk_length():
     sink = StubSink()
     _write_mux(sink, np.zeros((2, m), np.float32))
     assert sink.samples == m
+
+
+def test_cli_demux_checkpoint_resume(tmp_path):
+    """`decode --demux --checkpoint` + `--resume`: the demuxer carry and
+    the wideband read cursor ride the receiver checkpoint, so the
+    interrupted+resumed decode writes the same bytes as the
+    uninterrupted run."""
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+
+    rng = np.random.default_rng(139)
+    ts = _random_ts(rng, 5, 2)
+    m = _mux_fields(ts)
+    cap = tmp_path / "wide.iq"
+    np.ascontiguousarray(
+        np.stack([m[0], m[1]], -1).astype(np.float32)
+    ).tofile(cap)
+
+    full = tmp_path / "full.ts"
+    run_decode(build_decode_argparser().parse_args(
+        [str(cap), "--demux", "2", "-o", str(full)]
+    ))
+    part = tmp_path / "part.ts"
+    ck = str(tmp_path / "rx.npz")
+    run_decode(build_decode_argparser().parse_args(
+        [str(cap), "--demux", "2", "-o", str(part),
+         "--checkpoint", ck, "--checkpoint-every", "1",
+         "--max-fields", "2"]
+    ))
+    assert 0 < part.stat().st_size < full.stat().st_size  # a real split
+    run_decode(build_decode_argparser().parse_args(
+        [str(cap), "--demux", "2", "-o", str(part),
+         "--checkpoint", ck, "--resume"]
+    ))
+    assert part.read_bytes() == full.read_bytes()
+    got = np.frombuffer(full.read_bytes(), np.uint8).reshape(
+        -1, 2, P.FIELD_TS_BYTES
+    )
+    for k in range(got.shape[0]):
+        np.testing.assert_array_equal(got[k], ts[k])
