@@ -11,6 +11,7 @@ Usage:
   python -m atsc_tpu.cli input.ts -o out.iq             # encode to file
   python -m atsc_tpu.cli input.ts                       # null sink (bench)
   cat stream.ts | python -m atsc_tpu.cli - --realtime -o -   # paced stdout
+  python -m atsc_tpu.cli udp://239.1.1.1:1234 -o soapy  # live multicast feed
   python -m atsc_tpu.cli input.ts --channels 8          # same TS x8 batch
   python -m atsc_tpu.cli decode out.iq -o back.ts       # IQ -> TS receiver
 
@@ -40,10 +41,13 @@ def build_argparser() -> argparse.ArgumentParser:
         prog="atsc_tpu", description="TPU-native ATSC 8VSB encoder"
     )
     ap.add_argument("input", nargs="+",
-                    help="MPEG-TS file(s) (19.393 Mbps muxrate) or '-'. One "
-                         "path: broadcast to all --channels. Several paths: "
-                         "one independent stream per channel (shorter "
-                         "streams are zero-padded until the longest ends)")
+                    help="MPEG-TS source(s) (19.393 Mbps muxrate): file, "
+                         "'-' (stdin), or 'udp://[group]:port' for a live "
+                         "UDP/RTP headend feed (multicast joined, RTP "
+                         "auto-stripped). One source: broadcast to all "
+                         "--channels. Several: one independent stream per "
+                         "channel (shorter streams are zero-padded until "
+                         "the longest ends)")
     ap.add_argument("-o", "--output", default="null",
                     help="IQ sink: 'null', '-' (stdout), file path, or "
                          "'soapy[:driver]' for SDR transmit")

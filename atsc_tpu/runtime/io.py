@@ -74,8 +74,56 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def _rtp_strip(dgram: bytes) -> bytes:
+    """Strip an RTP wrap (RFC 3550 / SMPTE 2022-2) if present: version-2
+    header followed by a 0x47-aligned n*188 TS payload."""
+    if len(dgram) >= 13 and (dgram[0] >> 6) == 2:
+        hdr = 12 + 4 * (dgram[0] & 0x0F)
+        if (len(dgram) > hdr and dgram[hdr] == 0x47
+                and (len(dgram) - hdr) % 188 == 0):
+            return dgram[hdr:]
+    return dgram
+
+
+class _UdpTs:
+    """Fallback 'udp://[group]:port' TS source (datagram-aligned, RTP
+    auto-stripped) — same contract as the native socket path in tsio.cpp."""
+
+    def __init__(self, spec: str):
+        import socket
+
+        host, _, port = spec.rpartition(":")
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        mcast = False
+        if host:
+            first = int(host.split(".", 1)[0])
+            mcast = 224 <= first <= 239
+        self._sock.bind(("" if (not host or mcast) else host, int(port)))
+        if mcast:
+            import struct
+
+            req = struct.pack("4s4s", socket.inet_aton(host),
+                              socket.inet_aton("0.0.0.0"))
+            self._sock.setsockopt(socket.IPPROTO_IP,
+                                  socket.IP_ADD_MEMBERSHIP, req)
+        self._pend = bytearray()
+        self.name = f"udp://{spec}"
+
+    def read(self, n: int) -> bytes:
+        while len(self._pend) < n:
+            self._pend.extend(_rtp_strip(self._sock.recv(65536)))
+        out = bytes(self._pend[:n])
+        del self._pend[:n]
+        return out
+
+    def close(self) -> None:
+        self._sock.close()
+
+
 class TsReader:
-    """Aligned TS byte source. path '-' = stdin."""
+    """Aligned TS byte source. path '-' = stdin, 'udp://[group]:port' for
+    a live UDP/RTP headend feed (multicast groups are joined)."""
 
     def __init__(self, path: str, ring_bytes: int = 8 << 20):
         lib = _load()
@@ -86,6 +134,8 @@ class TsReader:
             if not h:
                 raise FileNotFoundError(path)
             self._h = ctypes.c_void_p(h)
+        elif path.startswith("udp://"):
+            self._fp = _UdpTs(path[len("udp://"):])
         else:  # pure-Python fallback
             import sys
 

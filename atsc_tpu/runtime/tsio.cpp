@@ -8,6 +8,9 @@
 //
 //   * ts_reader: file/stdin -> ring buffer, with TS sync-byte alignment
 //     (drop bytes until buf[k*188] == 0x47 holds for a run of packets).
+//     Also accepts "udp://[group]:port" — the standard headend feed
+//     (UDP/RTP multicast TS per SMPTE 2022-2, i.e. what ffmpeg's
+//     `-f mpegts udp://...` emits); RTP headers are auto-stripped.
 //   * iq_sink: ring buffer -> null/file sink, optionally paced to the
 //     8VSB sample clock (the SDR's role as pacemaker in the reference).
 //
@@ -18,10 +21,17 @@
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <thread>
 #include <vector>
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <sys/socket.h>
+#include <sys/time.h>
+#include <unistd.h>
 
 namespace {
 
@@ -53,9 +63,68 @@ struct Ring {
     }
 };
 
+// If the datagram is RTP-wrapped TS (RFC 3550 / SMPTE 2022-2: version-2
+// header, 0x47-aligned n*188 payload right after the 12+4*CC fixed header),
+// return the header length to strip; else 0 (raw UDP TS or unknown payload).
+static size_t rtp_header_len(const uint8_t* d, size_t n) {
+    if (n < 13 || (d[0] >> 6) != 2) return 0;
+    size_t hdr = 12 + 4 * (d[0] & 0x0f);
+    if (n > hdr && d[hdr] == 0x47 && (n - hdr) % TS_PACKET == 0) return hdr;
+    return 0;
+}
+
+// "host:port" / ":port" / "port" -> bound datagram socket (joining the
+// group when host is an IPv4 multicast address), or -1.
+static int open_udp(const char* spec) {
+    std::string s(spec);
+    std::string host;
+    std::string port = s;
+    auto c = s.rfind(':');
+    if (c != std::string::npos) {
+        host = s.substr(0, c);
+        port = s.substr(c + 1);
+    }
+    int p = atoi(port.c_str());
+    if (p <= 0 || p > 65535) return -1;
+    in_addr ha{};
+    bool have_host = !host.empty();
+    if (have_host && !inet_aton(host.c_str(), &ha)) return -1;
+    bool mcast = have_host && (ntohl(ha.s_addr) >> 28) == 0xe;
+
+    int fd = socket(AF_INET, SOCK_DGRAM, 0);
+    if (fd < 0) return -1;
+    int one = 1;
+    setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    int rcv = 8 << 20;  // ~3.4 s of 19.39 Mbps TS of kernel-side slack
+    setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &rcv, sizeof(rcv));
+    timeval tv{0, 200000};  // recv timeout: the reader polls its stop flag
+    setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons((uint16_t)p);
+    addr.sin_addr.s_addr =
+        (have_host && !mcast) ? ha.s_addr : htonl(INADDR_ANY);
+    if (bind(fd, (sockaddr*)&addr, sizeof(addr)) < 0) {
+        close(fd);
+        return -1;
+    }
+    if (mcast) {
+        ip_mreq req{};
+        req.imr_multiaddr = ha;
+        req.imr_interface.s_addr = htonl(INADDR_ANY);
+        if (setsockopt(fd, IPPROTO_IP, IP_ADD_MEMBERSHIP, &req,
+                       sizeof(req)) < 0) {
+            close(fd);
+            return -1;
+        }
+    }
+    return fd;
+}
+
 struct TsReader {
     FILE* fp = nullptr;
     bool own_fp = false;
+    int sock = -1;
     Ring ring;
     std::thread thr;
     std::atomic<bool> stop{false};
@@ -126,6 +195,22 @@ struct TsReader {
         }
         eof.store(true);
     }
+
+    // Datagram loop: UDP preserves message boundaries, so alignment comes
+    // for free per datagram (senders emit n*188 payloads); RTP wrapping is
+    // detected and stripped per packet. A live feed has no EOF — the loop
+    // ends only on close().
+    void run_udp() {
+        std::vector<uint8_t> dgram(65536);
+        while (!stop.load()) {
+            ssize_t n = recv(sock, dgram.data(), dgram.size(), 0);
+            if (n <= 0) continue;  // timeout/EINTR: re-check the stop flag
+            size_t off = rtp_header_len(dgram.data(), (size_t)n);
+            bytes_in += (uint64_t)n;
+            if (!push(dgram.data() + off, (size_t)n - off)) return;
+        }
+        eof.store(true);
+    }
 };
 
 struct IqSink {
@@ -172,6 +257,15 @@ extern "C" {
 
 void* ts_reader_open(const char* path, size_t ring_bytes) {
     auto* r = new TsReader(ring_bytes ? ring_bytes : (8u << 20));
+    if (strncmp(path, "udp://", 6) == 0) {
+        r->sock = open_udp(path + 6);
+        if (r->sock < 0) {
+            delete r;
+            return nullptr;
+        }
+        r->thr = std::thread([r] { r->run_udp(); });
+        return r;
+    }
     if (strcmp(path, "-") == 0) {
         r->fp = stdin;
     } else {
@@ -213,6 +307,7 @@ void ts_reader_close(void* h) {
     r->stop.store(true);
     if (r->thr.joinable()) r->thr.join();
     if (r->own_fp && r->fp) fclose(r->fp);
+    if (r->sock >= 0) close(r->sock);
     delete r;
 }
 

@@ -113,6 +113,78 @@ def test_native_reader_passthrough_without_sync(tmp_path):
     assert data == b"\xab" * 500
 
 
+def _udp_send(port: int, dgrams, host="127.0.0.1") -> None:
+    import socket
+
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    for d in dgrams:
+        s.sendto(d, (host, port))
+    s.close()
+
+
+def _free_udp_port() -> int:
+    import socket
+
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _ts_payload(n_pkts: int) -> np.ndarray:
+    pkts = np.zeros((n_pkts, 188), dtype=np.uint8)
+    pkts[:, 0] = 0x47
+    pkts[:, 1] = np.arange(n_pkts) % 256
+    return pkts
+
+
+@pytest.mark.parametrize("rtp", [False, True])
+def test_udp_ts_source(rtp):
+    """'udp://host:port' input: datagram-aligned live TS feed; RTP wraps
+    (RFC 3550 version-2 header + n*188 payload) are stripped per packet."""
+    pkts = _ts_payload(70)  # 10 datagrams x 7 packets (the standard MTU fit)
+    dgrams = []
+    for i in range(10):
+        payload = pkts[7 * i : 7 * (i + 1)].tobytes()
+        if rtp:
+            seq = i.to_bytes(2, "big")
+            hdr = b"\x80\x21" + seq + (b"\x00" * 8)  # V=2, PT=33 (MP2T)
+            payload = hdr + payload
+        dgrams.append(payload)
+
+    port = _free_udp_port()
+    r = TsReader(f"udp://127.0.0.1:{port}")  # binds before the send below
+    try:
+        _udp_send(port, dgrams)
+        data = r.read(70 * 188)
+    finally:
+        r.close()
+    np.testing.assert_array_equal(
+        np.frombuffer(data, dtype=np.uint8).reshape(-1, 188), pkts
+    )
+
+
+def test_udp_ts_source_python_fallback(monkeypatch):
+    """The no-toolchain fallback speaks the same udp:// contract."""
+    import atsc_tpu.runtime.io as io_mod
+
+    monkeypatch.setattr(io_mod, "_load", lambda: None)
+    pkts = _ts_payload(14)
+    hdr = b"\x80\x21\x00\x01" + b"\x00" * 8
+    dgrams = [hdr + pkts[:7].tobytes(), pkts[7:].tobytes()]  # mixed wrap
+    port = _free_udp_port()
+    r = io_mod.TsReader(f"udp://127.0.0.1:{port}")
+    try:
+        _udp_send(port, dgrams)
+        data = r.read(14 * 188)
+    finally:
+        r.close()
+    np.testing.assert_array_equal(
+        np.frombuffer(data, dtype=np.uint8).reshape(-1, 188), pkts
+    )
+
+
 def test_cli_end_to_end(golden, tmp_path):
     ts_path = tmp_path / "in.ts"
     ts_path.write_bytes(golden["input"].reshape(-1).tobytes())
