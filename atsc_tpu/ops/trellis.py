@@ -57,8 +57,12 @@ def _byte_excl_scan(s: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exclusive XOR prefix over the byte axis via MXU block matmuls.
 
     s: (B, 12, 5382) int32 in {0,1}. Returns (excl (B, 12, 5382) int32 in
-    {0,1}, total (B, 12) int32 in {0,1}). Exact: in-block sums <= 128 are
-    exact in bf16, cross-block carries <= 5382 are exact in f32.
+    {0,1}, total (B, 12) int32 in {0,1}). Exact end-to-end in bf16: every
+    value is an integer <= 128 (in-block prefix sums <= 127, plus a carry
+    reduced mod 2 *before* the add — only parity survives the final &1, so
+    the cross-block cumsum never needs to ride the wide intermediate).
+    Keeping the (B, 12, QB, 128) dot output in bf16 instead of f32 halves
+    this stage's dominant HBM intermediate.
     """
     b = s.shape[0]
     pad = _QB * _BLK - _NB
@@ -68,11 +72,12 @@ def _byte_excl_scan(s: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         xb,
         jnp.asarray(_TRIU_STRICT, dtype=jnp.bfloat16),
         dimension_numbers=(((3,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (B, 12, QB, 128) in-block exclusive prefix
-    block_tot = excl_in[..., -1] + xb[..., -1].astype(jnp.float32)  # (B,12,QB)
+        preferred_element_type=jnp.bfloat16,
+    )  # (B, 12, QB, 128) in-block exclusive prefix, integers <= 127
+    block_tot = (excl_in[..., -1] + xb[..., -1]).astype(jnp.float32)  # (B,12,QB)
     carry = jnp.cumsum(block_tot, axis=-1) - block_tot  # exclusive block carry
-    cum = excl_in + carry[..., None]
+    carry_par = (carry.astype(jnp.int32) & 1).astype(jnp.bfloat16)
+    cum = excl_in + carry_par[..., None]
     excl = (cum.astype(jnp.int32) & 1).reshape(b, 12, _QB * _BLK)[..., :_NB]
     total = jnp.sum(block_tot, axis=-1).astype(jnp.int32) & 1
     return excl, total
