@@ -353,11 +353,21 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                     help="oscillator epoch (field index) of the stream start")
     ap.add_argument("--sro", default="0", metavar="PPM|auto",
                     help="sample-rate offset of the capture: a fixed ppm "
-                         "value, or 'auto' to estimate it from the sync-peak "
-                         "drift across the capture (sub-ppm). The stream is "
+                         "value (streaming — composes with --rate and live "
+                         "'soapy' input), or 'auto' to estimate it from the "
+                         "sync-peak drift across the capture (sub-ppm; "
+                         "reads the whole input up front). The stream is "
                          "polyphase-resampled to the nominal symbol rate; "
-                         "reads the whole input up front and implies "
-                         "--align auto")
+                         "implies --align auto (the resampler's bulk delay "
+                         "shifts the field boundaries)")
+    ap.add_argument("--rate", default=None, metavar="SPS",
+                    help="sample rate of the capture in samples/s (e.g. "
+                         "20e6 for a 20 MS/s SDR): streaming polyphase-"
+                         "resample to the nominal symbol rate, tracking "
+                         "the conversion position as an exact rational so "
+                         "an unbounded live run never drifts. On live "
+                         "'soapy' input the tuner is run at this rate. "
+                         "Implies --align auto; single-channel only")
     ap.add_argument("--cfo", default="0", metavar="HZ|auto|track",
                     help="carrier frequency offset of the capture: a fixed "
                          "Hz value, or 'auto' to estimate it from the pilot "
@@ -535,6 +545,72 @@ class _TsOut:
                 fp.close()
 
 
+def _parse_sps(s: str):
+    """'20e6' / '16000000' / '10762237.76' -> exact Fraction samples/s."""
+    from fractions import Fraction
+
+    try:
+        return Fraction(s)
+    except ValueError:
+        return Fraction(float(s))
+
+
+class _ResampledCapture:
+    """Streaming rate-conversion adapter for decode input: wraps a
+    capture-rate wire stream (any --format, file or live SDR) and serves
+    nominal-symbol-rate cf32 wire bytes through a
+    `ops/resample.StreamResampler`. read(n) returns exactly n bytes until
+    the source is exhausted (then the resampler tail, then b''), so every
+    capture-conditioning stage downstream (align/CFO/equalizer) runs
+    unchanged at the nominal rate."""
+
+    _CHUNK = 1 << 19  # capture samples ingested per source read
+
+    def __init__(self, fin, fmt: str, rate):
+        from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
+        from atsc_tpu.ops.resample import StreamResampler
+
+        self._fin = fin
+        self._fmt = fmt
+        self._bps = BYTES_PER_SAMPLE[fmt]
+        self._rs = StreamResampler(rate, batch=1)
+        self._pend = bytearray()
+        self._eof = False
+
+    def _ingest(self) -> None:
+        want = self._CHUNK * self._bps
+        raw = self._fin.read(want)
+        out = (self._rs.push(_wire_to_complex(raw, self._fmt)[None])
+               if raw else None)
+        if len(raw) < want:
+            self._eof = True
+            tail = self._rs.flush()
+            out = (np.concatenate([out, tail], -1)
+                   if out is not None else tail)
+        if out.shape[-1]:
+            self._pend += np.ascontiguousarray(out[0]).view(
+                np.float32).tobytes()
+
+    def read(self, n: int = -1) -> bytes:
+        while not self._eof and (n < 0 or len(self._pend) < n):
+            self._ingest()
+        if n < 0:
+            n = len(self._pend)
+        out = bytes(self._pend[:n])
+        del self._pend[:n]
+        return out
+
+    def seekable(self) -> bool:
+        return False
+
+    def close(self) -> None:
+        if self._fin is not sys.stdin.buffer:
+            self._fin.close()
+
+    def __getattr__(self, name):  # live-source stats (overflows, gaps, ...)
+        return getattr(self._fin, name)
+
+
 def _wire_to_complex(buf: bytes, fmt: str) -> np.ndarray:
     """Wire bytes -> flat complex64 samples (any whole-sample length)."""
     from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE, dequantize_iq
@@ -573,6 +649,7 @@ def run_decode_mesh(args) -> dict:
     from atsc_tpu.parallel.rx_shard import ShardedReceiver
 
     for flag, default in (("align", "none"), ("cfo", "0"), ("sro", "0"),
+                          ("rate", None),
                           ("trellis", "hard"), ("forgetting", 1.0),
                           ("ntsc", "off"), ("erasures", "off"),
                           ("resync", "off"), ("checkpoint", None)):
@@ -695,7 +772,7 @@ def run_decode_demux(args) -> dict:
     from atsc_tpu.ops.mux import FdmDemuxer
 
     for flag, default in (("align", "none"), ("cfo", "0"), ("sro", "0"),
-                          ("mesh", None)):
+                          ("rate", None), ("mesh", None)):
         if getattr(args, flag) != default:
             raise ValueError(f"--demux does not support --{flag}")
     resume = bool(getattr(args, "resume", False))
@@ -885,30 +962,52 @@ def run_decode(args) -> dict:
         if args.channels != 1:
             raise ValueError("a live SDR capture is single-channel; use "
                              "--demux for a wideband multi-channel band")
-        if args.sro != "0":
-            raise ValueError("--sro reads the whole capture up front and "
-                             "cannot run on a live stream (capture to a "
-                             "file first, or correct the tuner clock)")
+        if args.sro == "auto":
+            raise ValueError("--sro auto reads the whole capture up front "
+                             "and cannot run on a live stream (capture to "
+                             "a file first and measure, then pass the "
+                             "numeric ppm value — that path streams)")
         if resume:
             raise ValueError("--resume needs a repositionable capture, "
                              "not a live stream")
-    fin = _open_capture(args, P.SAMPLE_RATE, 6e6)
+    # streaming rate conversion (--rate capture clock, numeric --sro ppm):
+    # exact-rational capture-samples-per-output ratio, applied by a
+    # StreamResampler wrapped around the input — live-capable, no
+    # whole-capture read (`--sro auto` below still needs one)
+    from fractions import Fraction
+
+    stream_rate = None
+    if args.rate is not None:
+        from atsc_tpu.ops.resample import capture_rate
+
+        stream_rate = capture_rate(_parse_sps(args.rate))
+    if args.sro not in ("0", "auto"):
+        stream_rate = ((stream_rate or Fraction(1))
+                       * (1 + _parse_sps(args.sro) / 1_000_000))
+    if stream_rate is not None and args.channels != 1:
+        raise ValueError("--rate/--sro are single-channel only")
+    capture_sps = float(_parse_sps(args.rate)) if args.rate else P.SAMPLE_RATE
+    fin = _open_capture(args, capture_sps, 6e6)
     fout = None  # opened once the resume state (if any) is known
     align = args.align == "auto"
     cfo_auto = args.cfo in ("auto", "track")
     cfo_track = args.cfo == "track"
     sro_rate = None
-    if args.sro != "0":
-        # whole-capture conditioning: resample to the nominal symbol rate,
-        # re-wrap as an in-memory cf32 stream, and force auto-alignment
-        # (the resampler's bulk delay shifts the field boundaries)
+    if stream_rate is not None and stream_rate != 1:
+        fin = _ResampledCapture(fin, fmt, stream_rate)
+        fmt, align = "cf32", True  # the resampler's bulk delay shifts
+        #                            the field boundaries
+    if args.sro == "auto":
+        # whole-capture conditioning: estimate the rate from sync-peak
+        # drift, resample to the nominal symbol rate, re-wrap as an
+        # in-memory cf32 stream, and force auto-alignment (composes with
+        # --rate: the streaming wrapper above runs first)
         if args.channels != 1:
             raise ValueError("--sro is single-channel only")
         raw = _wire_to_complex(fin.read(), fmt)
         if fin is not sys.stdin.buffer:
             fin.close()
-        sro_rate = (estimate_sro(raw) if args.sro == "auto"
-                    else 1.0 + float(args.sro) * 1e-6)
+        sro_rate = estimate_sro(raw)
         cond = resample_stream(raw, sro_rate)[0]
         fin = io.BytesIO(
             np.stack([cond.real, cond.imag], -1).astype(np.float32).tobytes()
@@ -945,9 +1044,11 @@ def run_decode(args) -> dict:
     # dequantized inside the jitted equalizer step
     codes_path = (fmt in ("cs16", "cs8") and equalizer == "zf"
                   and not align and cfo_hz == 0.0 and pending is None)
-    if resume and (align or sro_rate is not None or cfo_auto):
-        raise ValueError("--resume cannot re-run --align/--sro/--cfo auto "
-                         "conditioning (pass the numeric values instead)")
+    if resume and (align or sro_rate is not None or stream_rate is not None
+                   or cfo_auto):
+        raise ValueError("--resume cannot re-run --align/--sro/--rate/"
+                         "--cfo auto conditioning (decode the capture in "
+                         "one run, or pre-convert it)")
     if resume:
         import os
 
@@ -1132,6 +1233,10 @@ def run_decode(args) -> dict:
         summary["cfo_retunes"] = cfo_retunes
     if sro_rate is not None:
         summary["sro_ppm"] = round((sro_rate - 1.0) * 1e6, 3)
+    elif args.sro != "0":
+        summary["sro_ppm"] = float(_parse_sps(args.sro))
+    if args.rate is not None:
+        summary["resample_rate"] = float(stream_rate)
     if args.stats:
         print(json.dumps(summary), file=sys.stderr)
     return summary

@@ -1,0 +1,150 @@
+"""Streaming arbitrary-rate polyphase resampler (ops/resample.py) and its
+CLI integration (`decode --rate`, streaming numeric `--sro`). The reference
+is transmit-only and always runs at the exact symbol rate (SoapySDR setup,
+util/atsc_encoder.cpp:70); real receive hardware rarely does — this is the
+capture-rate front end the reference has no counterpart for."""
+
+import numpy as np
+
+from atsc_tpu import params as P
+from atsc_tpu.ops.resample import (
+    SYMBOL_RATE_FRACTION,
+    StreamResampler,
+    capture_rate,
+)
+from tests.test_decoder import _random_ts
+from tests.test_receiver import _encode_iq
+
+
+def test_stream_matches_whole_capture_kernel():
+    """One-shot StreamResampler output matches resample_stream (the
+    whole-capture reference implementation of the same Kaiser-sinc
+    interpolator) on every sample both emit."""
+    from atsc_tpu.models.receiver import resample_stream
+
+    rng = np.random.default_rng(11)
+    n = 120_000
+    iq = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    rate = 1.0 + 37e-6
+    ref = resample_stream(iq, rate)
+    rs = StreamResampler(rate, batch=1)
+    out = np.concatenate([rs.push(iq[None]), rs.flush()], axis=-1)
+    m = min(ref.shape[1], out.shape[1])
+    assert m >= ref.shape[1]  # streaming emits at least the reference set
+    np.testing.assert_allclose(out[:, :m], ref[:, :m], atol=1e-5)
+
+
+def test_stream_chunked_equals_one_shot():
+    """Push boundaries are invisible: any chunking emits bit-identical
+    output (the carried rational position is exact)."""
+    rng = np.random.default_rng(12)
+    n = 100_000
+    iq = (rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+          ).astype(np.complex64)
+    rate = capture_rate(16_000_000)  # 16 MS/s capture
+    one = StreamResampler(rate, batch=2)
+    ref = np.concatenate([one.push(iq), one.flush()], axis=-1)
+    chunked = StreamResampler(rate, batch=2)
+    outs, pos = [], 0
+    for c in (1, 999, 65_536, 17, 33_447):
+        outs.append(chunked.push(iq[:, pos:pos + c]))
+        pos += c
+    outs.append(chunked.push(iq[:, pos:]))
+    outs.append(chunked.flush())
+    got = np.concatenate(outs, axis=-1)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_exact_rational_position_never_drifts():
+    """The carried position is an exact rational: after 10^8 outputs the
+    interpolation point equals the closed form exactly (a float64 cursor
+    would be ~1e-2 samples off by then and growing)."""
+    from fractions import Fraction
+
+    rate = capture_rate(20_000_000)
+    assert rate == Fraction(2860, 1539)
+    rs = StreamResampler(rate, batch=1)
+    n = 100_000_000
+    base, ph = rs._pos(n)
+    exact = Fraction(2860, 1539) * n + 16
+    assert base == exact.numerator // exact.denominator
+    frac = exact - base
+    assert ph == min(round(frac * 512), 511)
+    # the ATSC symbol rate itself round-trips exactly
+    assert capture_rate(SYMBOL_RATE_FRACTION) == 1
+
+
+def test_state_roundtrip_resumes_bit_identically():
+    """state()/load_state() + re-reading the capture tail from in_base
+    continues the emission bit-identically (the checkpoint contract)."""
+    rng = np.random.default_rng(13)
+    n = 150_000
+    iq = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    rs = StreamResampler((2860, 1539), batch=1)
+    rs.push(iq[None, :70_000])
+    st = rs.state()
+    cont = np.concatenate(
+        [rs.push(iq[None, 70_000:]), rs.flush()], axis=-1
+    )
+    rs2 = StreamResampler.load_state(st)
+    cont2 = np.concatenate(
+        [rs2.push(iq[None, st["in_base"]:]), rs2.flush()], axis=-1
+    )
+    assert cont.shape == cont2.shape
+    np.testing.assert_array_equal(cont, cont2)
+
+
+def test_cli_decode_rate(tmp_path):
+    """`decode --rate 12e6`: a capture recorded at 12 MS/s (synthesized by
+    resampling the nominal-rate IQ up) decodes to the exact transport
+    stream through the streaming rate-conversion front end."""
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+    from atsc_tpu.models.receiver import resample_stream
+
+    rng = np.random.default_rng(107)
+    ts = _random_ts(rng, 5, 1)
+    iq = _encode_iq(ts) * (0.95 * np.exp(0.3j))
+    cap = resample_stream(iq, float(P.SAMPLE_RATE) / 12e6)[0]
+    path = tmp_path / "cap12.iq"
+    np.stack([cap.real, cap.imag], axis=-1).astype(np.float32).tofile(path)
+    out = tmp_path / "out.ts"
+    args = build_decode_argparser().parse_args(
+        [str(path), "--rate", "12e6", "-o", str(out)]
+    )
+    summary = run_decode(args)
+    assert summary["fields_decoded"] >= 2
+    assert summary["segments_uncorrectable"] == 0
+    assert abs(summary["resample_rate"] - 12e6 / P.SAMPLE_RATE) < 1e-9
+    got = np.fromfile(out, dtype=np.uint8)
+    want = ts[1:1 + summary["fields_decoded"], 0].reshape(-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cli_decode_sro_numeric_streams(tmp_path):
+    """Numeric `--sro 37` now streams (no whole-capture read): same exact
+    decode as the `--sro auto` path on a 37 ppm fast capture."""
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+    from atsc_tpu.models.receiver import resample_stream
+
+    rng = np.random.default_rng(109)
+    ts = _random_ts(rng, 5, 1)
+    iq = _encode_iq(ts) * (0.9 * np.exp(0.8j))
+    cap = resample_stream(iq, 1.0 / (1.0 + 37e-6))[0]
+    path = tmp_path / "cap.iq"
+    np.stack([cap.real, cap.imag], axis=-1).astype(np.float32).tofile(path)
+    out = tmp_path / "out.ts"
+    args = build_decode_argparser().parse_args(
+        [str(path), "--sro", "37", "-o", str(out)]
+    )
+    summary = run_decode(args)
+    assert summary["sro_ppm"] == 37.0
+    assert summary["fields_decoded"] >= 2
+    assert summary["segments_uncorrectable"] == 0
+    got = np.fromfile(out, dtype=np.uint8)
+    want = ts[1:1 + summary["fields_decoded"], 0].reshape(-1)
+    np.testing.assert_array_equal(got, want)
