@@ -72,6 +72,17 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="IQ wire format: complex float32 (the reference's "
                          "layout), or int16/int8 codes quantized on-device "
                          "(half/quarter the output bandwidth)")
+    ap.add_argument("--rate", default=None, metavar="SPS",
+                    help="output sample rate in samples/s (e.g. 20e6 for a "
+                         "20 MS/s SDR master clock): polyphase-resample the "
+                         "baseband from the nominal 10.762238 MHz symbol "
+                         "rate (or the channels*6 MHz multiplex rate with "
+                         "--mux) before the sink, tracking the conversion "
+                         "position as an exact rational so an unbounded "
+                         "run never drifts. The 'soapy' sink runs the SDR "
+                         "at this rate; `decode --rate` inverts it. cf32 "
+                         "output only (quantized wire formats are produced "
+                         "in-kernel at the nominal rate)")
     ap.add_argument("--max-fields", type=int, default=0,
                     help="stop after N fields per channel (0 = until EOF)")
     ap.add_argument("--stats", action="store_true",
@@ -94,16 +105,17 @@ def build_argparser() -> argparse.ArgumentParser:
     return ap
 
 
-def _write_mux(sink, chunk: np.ndarray) -> None:
-    """Write a (2, m) planar multiplex chunk as one wideband stream."""
-    if chunk.shape[-1] == 0:
+def _write_planar(sink, arr: np.ndarray) -> None:
+    """Write a (B, 2, m) planar chunk, every sample valid (mux chunks and
+    resampled streams have no padded tail; whole-field writes go through
+    write_planar/iq_interleave with their SYMBOLS_PER_FIELD truncation)."""
+    if arr.shape[-1] == 0:
         return
-    arr = chunk[None]  # (1, 2, m): one channel at channels*6 MHz
     if isinstance(sink, IqSink):
-        sink.write_planar(arr, chunk.shape[-1])
+        sink.write_planar(arr, arr.shape[-1])
     else:
         # NOT iq_interleave: that truncates to SYMBOLS_PER_FIELD, but a
-        # multiplex chunk's full (resampled) length is valid payload
+        # mux/resampled chunk's full length is valid payload
         sink.write(np.ascontiguousarray(np.moveaxis(arr, -2, -1)))
 
 
@@ -153,19 +165,49 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
         )
     if cfg.mux and cfg.out_format != "cf32":
         raise ValueError("--mux emits cf32 only")
+    resampler = None
+    out_sps = None  # output sample rate per emitted stream (Hz)
+    if cfg.rate is not None:
+        from fractions import Fraction
+
+        from atsc_tpu.ops.resample import (
+            SYMBOL_RATE_FRACTION,
+            StreamResampler,
+        )
+
+        if cfg.out_format != "cf32":
+            raise ValueError("--rate emits cf32 only (quantized wire "
+                             "formats are produced in-kernel at the "
+                             "nominal rate)")
+        target = Fraction(cfg.rate)
+        native = (Fraction(6_000_000 * cfg.channels) if cfg.mux
+                  else SYMBOL_RATE_FRACTION)
+        band = 6_000_000 * (cfg.channels if cfg.mux else 1)
+        if target < band:
+            raise ValueError(
+                f"--rate {float(target):.0f} cannot carry the occupied "
+                f"+-{band / 2e6:g} MHz band (needs >= {band / 1e6:g} MS/s)")
+        if target != native:
+            resampler = StreamResampler(
+                native / target, batch=1 if cfg.mux else cfg.channels)
+        out_sps = float(target)
     sample_bytes = BYTES_PER_SAMPLE[cfg.out_format]
-    stream_rate = (cfg.channels * 6e6 if cfg.mux
-                   else P.SAMPLE_RATE * cfg.channels)
+    per_stream = out_sps if out_sps is not None else (
+        cfg.channels * 6e6 if cfg.mux else P.SAMPLE_RATE)
+    stream_rate = per_stream * (1 if cfg.mux else cfg.channels)
     pace = stream_rate * sample_bytes if cfg.realtime else 0.0
     readers = [TsReader(p) for p in input_paths]
     if cfg.sink == "soapy" or cfg.sink.startswith("soapy:"):
         driver = cfg.sink.split(":", 1)[1] if ":" in cfg.sink else cfg.driver
         # --mux emits ONE wideband stream at channels*6 MHz: the SDR must
         # run at the multiplex rate with a matching analog bandwidth, not
-        # the per-channel symbol rate / 6 MHz defaults
+        # the per-channel symbol rate / 6 MHz defaults. --rate overrides
+        # the SDR clock with the resampled output rate.
         sink = SoapySdrSink(driver=driver, frequency_hz=cfg.frequency_hz,
                             gain_db=cfg.gain_db, stream_format=cfg.out_format,
-                            sample_rate=stream_rate if cfg.mux else None,
+                            sample_rate=(out_sps if out_sps is not None
+                                         else (stream_rate if cfg.mux
+                                               else None)),
                             bandwidth_hz=(cfg.channels * 6e6 if cfg.mux
                                           else 6_000_000.0))
     else:
@@ -195,6 +237,26 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
         muxer = FdmMuxer(cfg.channels)
     meter = ThroughputMeter(channels=cfg.channels)
 
+    def emit_mux_chunk(chunk: np.ndarray) -> None:
+        """(2, m) wideband multiplex chunk -> (resample ->) sink."""
+        if resampler is not None and chunk.shape[-1]:
+            chunk = resampler.push_planar(chunk[None])[0]
+        _write_planar(sink, chunk[None])
+
+    def emit_field(arr: np.ndarray) -> None:
+        """One encoded field per channel, planar (B, 2, >= 260,416)."""
+        if muxer is not None:
+            emit_mux_chunk(muxer.push(arr[:, :, : P.SYMBOLS_PER_FIELD]))
+        elif resampler is not None:
+            _write_planar(sink, resampler.push_planar(
+                np.ascontiguousarray(arr[:, :, : P.SYMBOLS_PER_FIELD],
+                                     dtype=np.float32)))
+        elif isinstance(sink, IqSink):
+            # planar handoff: native sink interleaves off the GIL
+            sink.write_planar(arr, P.SYMBOLS_PER_FIELD)
+        else:
+            sink.write(iq_interleave(arr))
+
     field_bytes = P.FIELD_TS_BYTES
     step_bytes = field_bytes * t_total
     fields_done = 0
@@ -218,6 +280,21 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
             )
         if muxer is not None:
             muxer.set_state(carry)
+        from atsc_tpu.utils.checkpoint import load_resample_state
+
+        rs_saved = load_resample_state(checkpoint)
+        if (rs_saved is not None) != (resampler is not None):
+            raise ValueError(
+                "checkpoint and --rate disagree: resume a --rate run with "
+                "the same --rate and a nominal-rate run without it"
+            )
+        if resampler is not None:
+            if (int(rs_saved["num"]), int(rs_saved["den"])) != (
+                    resampler.num, resampler.den):
+                raise ValueError(
+                    "--rate differs from the checkpointed run's rate"
+                )
+            resampler = StreamResampler.load_full_state(rs_saved)
         # file inputs: skip the already-encoded prefix of each stream
         skip = fields_done * field_bytes
         for r in readers:
@@ -256,28 +333,12 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
                     state, iq = enc.step(state, ts)
                     iq_np = np.asarray(iq)     # (T, B, 2, PADDED_OUT)
                     for f in range(whole):
-                        if muxer is not None:
-                            _write_mux(sink, muxer.push(
-                                iq_np[f][:, :, : P.SYMBOLS_PER_FIELD]
-                            ))
-                        elif isinstance(sink, IqSink):
-                            sink.write_planar(iq_np[f], P.SYMBOLS_PER_FIELD)
-                        else:
-                            sink.write(iq_interleave(iq_np[f]))
+                        emit_field(iq_np[f])
                 else:
                     # per-field dispatch (a scanned multi-field step pays an
                     # extra device copy of the stacked IQ — see PERF.md)
                     for f in range(whole):
-                        out = np.asarray(enc.encode(ts[f]))
-                        if muxer is not None:
-                            _write_mux(sink, muxer.push(
-                                out[:, :, : P.SYMBOLS_PER_FIELD]
-                            ))
-                        elif isinstance(sink, IqSink):
-                            # planar handoff: native sink interleaves off-GIL
-                            sink.write_planar(out, P.SYMBOLS_PER_FIELD)
-                        else:
-                            sink.write(iq_interleave(out))
+                        emit_field(np.asarray(enc.encode(ts[f])))
                 meter.add_fields(whole * cfg.channels)
                 fields_done += whole
                 if (checkpoint and state_clean
@@ -285,7 +346,9 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
                     save_state(checkpoint,
                                state if meshed else enc.state, fields_done,
                                mux_carry=(None if muxer is None
-                                          else muxer.get_state()))
+                                          else muxer.get_state()),
+                               resample_state=(None if resampler is None
+                                               else resampler.full_state()))
                     last_saved = fields_done
                 if max_fields and meter.fields >= max_fields * cfg.channels:
                     break
@@ -293,17 +356,24 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
         # flush zero-pads the carried remainder, which the resumed run
         # renders from real data instead. At EOF, or without a
         # checkpoint, emit everything still buffered.
-        if muxer is not None and (eof or not checkpoint):
-            _write_mux(sink, muxer.flush())
+        if eof or not checkpoint:
+            if muxer is not None:
+                emit_mux_chunk(muxer.flush())
+            if resampler is not None:
+                _write_planar(sink, resampler.flush_planar())
     finally:
         for r in readers:
             r.close()
         sink.close()
     if checkpoint and fields_done != last_saved and state_clean:
         save_state(checkpoint, state if meshed else enc.state, fields_done,
-                   mux_carry=None if muxer is None else muxer.get_state())
+                   mux_carry=None if muxer is None else muxer.get_state(),
+                   resample_state=(None if resampler is None
+                                   else resampler.full_state()))
 
     summary = meter.summary()
+    if out_sps is not None:
+        summary["output_rate"] = out_sps
     # input-health telemetry: fraction of 188-byte packets whose sync
     # byte isn't 0x47 — a misaligned or non-TS input encodes to a
     # perfectly valid 8VSB signal no demod downstream can make sense of
@@ -367,7 +437,10 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                          "the conversion position as an exact rational so "
                          "an unbounded live run never drifts. On live "
                          "'soapy' input the tuner is run at this rate. "
-                         "Implies --align auto; single-channel only")
+                         "Implies --align auto; single-channel only — "
+                         "except with --demux, where the capture is "
+                         "resampled to the B*6 MHz multiplex rate and the "
+                         "band is aligned via slot 0's PN511")
     ap.add_argument("--cfo", default="0", metavar="HZ|auto|track",
                     help="carrier frequency offset of the capture: a fixed "
                          "Hz value, or 'auto' to estimate it from the pilot "
@@ -767,15 +840,33 @@ def run_decode_mesh(args) -> dict:
 def run_decode_demux(args) -> dict:
     """Wideband headend receive: on-device FDM demultiplex (ops/mux.py)
     feeding one batched adaptive receiver — B transport streams out of
-    one B*6 MHz capture."""
-    from atsc_tpu.models.receiver import IqReceiver
+    one B*6 MHz capture. `--rate` accepts captures clocked at any SDR
+    master rate (streaming-resampled to the B*6 MHz multiplex rate;
+    implies `--align auto` since the conversion shifts the epoch);
+    `--align auto` locates the field boundary in slot 0's demuxed
+    baseband (all slots are sample-synchronous by construction)."""
+    from atsc_tpu.models.receiver import IqReceiver, find_field_sync_iq
     from atsc_tpu.ops.mux import FdmDemuxer
 
-    for flag, default in (("align", "none"), ("cfo", "0"), ("sro", "0"),
-                          ("rate", None), ("mesh", None)):
+    for flag, default in (("cfo", "0"), ("sro", "0"), ("mesh", None)):
         if getattr(args, flag) != default:
             raise ValueError(f"--demux does not support --{flag}")
+    rate_frac = None
+    if args.rate is not None:
+        from fractions import Fraction
+
+        rate_frac = _parse_sps(args.rate) / Fraction(6_000_000 * args.demux)
+        if rate_frac < 1:
+            raise ValueError(
+                f"--rate below the {args.demux * 6} MHz multiplex rate "
+                "cannot carry the band")
+    align = args.align == "auto" or (rate_frac is not None
+                                     and rate_frac != 1)
     resume = bool(getattr(args, "resume", False))
+    if args.checkpoint and (rate_frac is not None or align):
+        raise ValueError("--demux --rate/--align conditioning is not "
+                         "checkpointable (decode the capture in one run, "
+                         "or pre-convert it)")
     if resume and not args.checkpoint:
         raise ValueError("--resume requires --checkpoint")
     if resume and _is_live(args.input):
@@ -795,8 +886,22 @@ def run_decode_demux(args) -> dict:
         raise ValueError(f"--demux wants a slot count >= 1, got {b}")
     from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
 
-    sample_bytes = BYTES_PER_SAMPLE[args.in_format]
     dmx = FdmDemuxer(b)
+
+    def make_rx(first_field: int) -> IqReceiver:
+        return IqReceiver(
+            batch=b,
+            backend=("adaptive-dd" if args.equalizer == "adaptive-dd"
+                     else "adaptive"),
+            forgetting=args.forgetting,
+            first_field=first_field,
+            trellis="soft" if args.trellis == "viterbi" else "hard",
+            erasures=None if args.erasures == "off" else args.erasures,
+            ntsc=None if args.ntsc == "off" else args.ntsc,
+            viterbi_chunks=args.viterbi_chunks, eq_profile=args.eq_profile,
+            measure_mer=args.stats,
+            resync=None if args.resync == "off" else args.resync,
+        )
     wb_read = 0  # wideband multiplex samples consumed (resume cursor)
     fout = None
     if resume:
@@ -821,22 +926,18 @@ def run_decode_demux(args) -> dict:
         rx.measure_mer = args.stats
     else:
         # construct (and therefore flag-validate) the receiver BEFORE
-        # opening the output: a usage error must not truncate a file
-        rx = IqReceiver(
-            batch=b,
-            backend=("adaptive-dd" if args.equalizer == "adaptive-dd"
-                     else "adaptive"),
-            forgetting=args.forgetting,
-            first_field=args.first_field,
-            trellis="soft" if args.trellis == "viterbi" else "hard",
-            erasures=None if args.erasures == "off" else args.erasures,
-            ntsc=None if args.ntsc == "off" else args.ntsc,
-            viterbi_chunks=args.viterbi_chunks, eq_profile=args.eq_profile,
-            measure_mer=args.stats,
-            resync=None if args.resync == "off" else args.resync,
-        )
+        # opening the output: a usage error must not truncate a file.
+        # An --align run rebuilds it with the detected parity later.
+        rx = make_rx(args.first_field)
     # live wideband headend receive: the SDR runs at the multiplex rate
-    fin = _open_capture(args, dmx.rate_hz, dmx.rate_hz)
+    # (or at --rate, streaming-resampled down to it)
+    cap_sps = float(_parse_sps(args.rate)) if args.rate else dmx.rate_hz
+    fin = _open_capture(args, cap_sps, dmx.rate_hz)
+    in_fmt = args.in_format
+    if rate_frac is not None and rate_frac != 1:
+        fin = _ResampledCapture(fin, in_fmt, rate_frac)
+        in_fmt = "cf32"
+    sample_bytes = BYTES_PER_SAMPLE[in_fmt]
     if resume:
         import os
 
@@ -869,6 +970,35 @@ def run_decode_demux(args) -> dict:
             fout.write_fields(ts)
             fields += 1
 
+    # --align/--rate: hold the demuxed baseband until slot 0's PN511
+    # locates the field boundary (all slots are sample-synchronous, so
+    # one search aligns the whole band); the residual fractional delay
+    # of the rate conversion is a linear channel the per-field adaptive
+    # training absorbs
+    pend_bb: list[np.ndarray] = []
+    aligned = not align
+    align_info: dict = {}
+
+    def _start_aligned() -> None:
+        nonlocal aligned, rx
+        buf = np.concatenate(pend_bb, axis=-1)
+        off, parity = find_field_sync_iq(buf[0])
+        align_info.update(align_offset=int(off), align_parity=int(parity))
+        rx = make_rx(parity)
+        aligned = True
+        pend_bb.clear()
+        emit(rx.push(buf[:, off:]))
+
+    def feed(bb: np.ndarray) -> None:
+        if aligned:
+            if bb.shape[-1]:
+                emit(rx.push(bb))
+            return
+        if bb.shape[-1]:
+            pend_bb.append(bb)
+        if sum(x.shape[-1] for x in pend_bb) >= 2 * P.SYMBOLS_PER_FIELD:
+            _start_aligned()
+
     def maybe_checkpoint(force: bool = False) -> None:
         nonlocal last_ckpt
         if not args.checkpoint:
@@ -897,17 +1027,23 @@ def run_decode_demux(args) -> dict:
             if not buf:
                 break
             wb_read += len(buf) // sample_bytes
-            bb = dmx.push(_wire_to_complex(buf, args.in_format))
-            if bb.shape[-1]:
-                emit(rx.push(bb))
+            feed(dmx.push(_wire_to_complex(buf, in_fmt)))
             maybe_checkpoint()
             if args.max_fields and fields >= args.max_fields:
                 break
         if not args.max_fields or fields < args.max_fields:
-            bb = dmx.flush()
-            if bb.shape[-1]:
-                emit(rx.push(bb))
-            emit(rx.flush())
+            feed(dmx.flush())
+            if not aligned:
+                # short capture: align with whatever is buffered, if a
+                # whole field (+ sync probe span) made it through
+                if sum(x.shape[-1] for x in pend_bb) >= (
+                        P.SYMBOLS_PER_FIELD + 707):
+                    _start_aligned()
+                else:
+                    print("warning: capture too short to locate a field "
+                          "boundary; nothing decoded", file=sys.stderr)
+            if aligned:
+                emit(rx.flush())
         maybe_checkpoint(force=True)
     finally:
         stack.close()
@@ -920,6 +1056,9 @@ def run_decode_demux(args) -> dict:
         "segments_uncorrectable": rx.decoder.segments_uncorrectable,
         "demux_slots": b,
     }
+    summary.update(align_info)
+    if rate_frac is not None:
+        summary["resample_rate"] = float(rate_frac)
     if args.resync != "off":
         summary["resyncs"] = rx.resyncs
     if _is_live(args.input):
@@ -1274,6 +1413,7 @@ def main(argv=None) -> int:
         sink=args.output,
         realtime=args.realtime,
         out_format=args.out_format,
+        rate=_parse_sps(args.rate) if args.rate is not None else None,
         frequency_hz=args.frequency,
         gain_db=args.gain,
         driver=args.driver,

@@ -63,6 +63,16 @@ def capture_rate(sps) -> Fraction:
     return Fraction(sps) / SYMBOL_RATE_FRACTION
 
 
+def output_rate(sps) -> Fraction:
+    """Exact `rate` (nominal-rate input samples consumed per emitted
+    output sample) for an *output* stream clocked at `sps` samples/s —
+    the transmit-side mirror of `capture_rate`: `encode --rate 20e6`
+    resamples the symbol-rate baseband up to a 20 MS/s SDR master clock
+    (the reference pins the SDR to the symbol rate instead,
+    reference util/atsc_encoder.cpp:70)."""
+    return SYMBOL_RATE_FRACTION / Fraction(sps)
+
+
 @functools.lru_cache(maxsize=1)
 def _kernel_table() -> np.ndarray:
     """(PHASES, TAPS) float32 — kaiser(beta=10)-windowed sinc fractional-
@@ -147,6 +157,20 @@ class StreamResampler:
         rs._flushed = False
         return rs
 
+    def full_state(self) -> dict:
+        """Complete state *including* the buffered input window — for
+        resuming a stream whose input cannot be re-read from a seekable
+        source (the transmit side: the input is generated IQ). All values
+        are ints or numpy arrays (npz-serializable)."""
+        return dict(self.state(), buf=self._buf.copy())
+
+    @classmethod
+    def load_full_state(cls, st: dict) -> "StreamResampler":
+        rs = cls.load_state({k: int(st[k]) for k in
+                             ("num", "den", "out_next", "in_base", "batch")})
+        rs._buf = np.asarray(st["buf"], np.float32)
+        return rs
+
     @property
     def in_consumed(self) -> int:
         """Total input samples ingested so far (for input re-seeking)."""
@@ -162,22 +186,38 @@ class StreamResampler:
         return base, ph
 
     def push(self, iq: np.ndarray) -> np.ndarray:
-        if self._flushed:
-            raise RuntimeError("push() after flush()")
+        """Complex (B, n) / (n,) in -> complex64 (B, m) out."""
         iq = np.atleast_2d(np.asarray(iq))
-        if iq.shape[0] != self.batch:
-            raise ValueError(f"batch {iq.shape[0]} != {self.batch}")
-        ch = np.empty((self.batch, 2, iq.shape[-1]), np.float32)
+        ch = np.empty((iq.shape[0], 2, iq.shape[-1]), np.float32)
         ch[:, 0] = iq.real
         ch[:, 1] = iq.imag
+        out = self.push_planar(ch)
+        return (out[:, 0] + 1j * out[:, 1]).astype(np.complex64)
+
+    def push_planar(self, ch: np.ndarray) -> np.ndarray:
+        """Planar (B, 2, n) float32 in -> planar (B, 2, m) float32 out —
+        the zero-conversion path for device-emitted planar IQ (the TX
+        side; models/encoder.py's output layout)."""
+        if self._flushed:
+            raise RuntimeError("push() after flush()")
+        ch = np.asarray(ch, np.float32)
+        if ch.ndim != 3 or ch.shape[0] != self.batch or ch.shape[1] != 2:
+            raise ValueError(
+                f"want planar ({self.batch}, 2, n), got {ch.shape}"
+            )
         self._buf = np.concatenate([self._buf, ch], axis=-1)
         return self._drain()
 
     def flush(self) -> np.ndarray:
         """Emit the tail: pad TAPS+2 zeros so every output whose window
         began inside the real capture becomes computable."""
+        out = self.flush_planar()
+        return (out[:, 0] + 1j * out[:, 1]).astype(np.complex64)
+
+    def flush_planar(self) -> np.ndarray:
+        """Planar-form flush (see `flush`): (B, 2, m) float32."""
         if self._flushed:
-            return np.zeros((self.batch, 0), np.complex64)
+            return np.zeros((self.batch, 2, 0), np.float32)
         self._flushed = True
         pad = np.zeros((self.batch, 2, TAPS + 2), np.float32)
         self._buf = np.concatenate([self._buf, pad], axis=-1)
@@ -198,7 +238,7 @@ class StreamResampler:
         if limit is not None:
             n_emit = min(n_emit, limit - self.out_next)
         if n_emit <= 0:
-            return np.zeros((self.batch, 0), np.complex64)
+            return np.zeros((self.batch, 2, 0), np.float32)
         outs = []
         while n_emit > 0:
             m = min(n_emit, _OUT_BLOCK)
@@ -230,7 +270,7 @@ class StreamResampler:
                 jnp.asarray(win), jnp.asarray(rel), jnp.asarray(ph),
                 n_win=n_win,
             ))[:, :, :m]
-            outs.append((out[:, 0] + 1j * out[:, 1]).astype(np.complex64))
+            outs.append(out)
             self.out_next += m
             n_emit -= m
         # trim consumed input (keep the window context for out_next)

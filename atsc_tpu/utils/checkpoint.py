@@ -25,11 +25,16 @@ _FIELDS = EncoderState._fields
 
 
 def save_state(path: str, state: EncoderState, fields_encoded: int = 0,
-               mux_carry: np.ndarray | None = None) -> None:
+               mux_carry: np.ndarray | None = None,
+               resample_state: dict | None = None) -> None:
     arrays = {name: np.asarray(getattr(state, name)) for name in _FIELDS}
     arrays["__fields_encoded__"] = np.asarray(fields_encoded, dtype=np.int64)
     if mux_carry is not None:  # FdmMuxer.get_state() of an encode --mux run
         arrays["__mux_carry__"] = np.asarray(mux_carry)
+    if resample_state is not None:  # StreamResampler.full_state() of an
+        #                             encode --rate run (output-clock side)
+        for k, v in resample_state.items():
+            arrays[f"__rs_{k}__"] = np.asarray(v)
     np.savez_compressed(path, **arrays)
 
 
@@ -44,6 +49,16 @@ def load_mux_carry(path: str) -> np.ndarray | None:
     checkpoint was written by a plain single-stream run)."""
     z = np.load(path)
     return z["__mux_carry__"] if "__mux_carry__" in z else None
+
+
+def load_resample_state(path: str) -> dict | None:
+    """The output-clock StreamResampler state of an encode --rate
+    checkpoint (None for a nominal-rate run)."""
+    z = np.load(path)
+    keys = [k for k in z.files if k.startswith("__rs_")]
+    if not keys:
+        return None
+    return {k[len("__rs_"):-2]: z[k] for k in keys}
 
 
 # -- receiver checkpoints -----------------------------------------------

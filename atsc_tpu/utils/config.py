@@ -25,6 +25,10 @@ class EncoderConfig:
     sink: str = "null"             # "null" | "-" | file path
     realtime: bool = False         # pace the sink to the 8VSB sample clock
     out_format: str = "cf32"       # "cf32" | "cs16" | "cs8" wire format
+    rate: object = None            # output sample rate (samples/s, exact
+    #                                Fraction preferred; None = nominal):
+    #                                resample the baseband to an arbitrary
+    #                                SDR master clock before the sink
     # SDR-facing metadata (not used on the compute path; carried for
     # parity with the reference's -d/-f/-g flags, util/defaults.h:3-5)
     frequency_hz: float = 473_000_000.0

@@ -229,6 +229,39 @@ def test_cli_decode_demux_first_field(tmp_path):
         np.testing.assert_array_equal(got[k], ts[k + 1])
 
 
+def test_cli_decode_demux_rate(tmp_path):
+    """`encode --mux --rate 16e6` -> `decode --demux 2 --rate 16e6`: a
+    wideband headend capture at an arbitrary SDR master clock decodes
+    every slot back to exact TS (streaming rate conversion to the 12 MHz
+    multiplex rate, PN511 band alignment off slot 0, adaptive
+    equalization absorbing the conversion's fractional bulk delay). The
+    round-trip resampler delay pushes the capture epoch past field 0's
+    sync, so decoding starts at field 1 (the mid-stream contract)."""
+    from atsc_tpu.cli import build_decode_argparser, main, run_decode
+
+    rng = np.random.default_rng(151)
+    t, b = 4, 2
+    ts = _random_ts(rng, t, b)
+    a, c = tmp_path / "a.ts", tmp_path / "b.ts"
+    a.write_bytes(ts[:, 0].tobytes())
+    c.write_bytes(ts[:, 1].tobytes())
+    cap = tmp_path / "wide16.iq"
+    assert main([str(a), str(c), "--mux", "-o", str(cap),
+                 "--rate", "16e6"]) == 0
+    out = tmp_path / "out.ts"
+    summary = run_decode(build_decode_argparser().parse_args(
+        [str(cap), "--demux", "2", "--rate", "16e6", "-o", str(out)]
+    ))
+    assert summary["segments_uncorrectable"] == 0
+    assert summary["align_parity"] == 1
+    assert abs(summary["resample_rate"] - 16e6 / 12e6) < 1e-12
+    m = summary["fields_decoded"]
+    assert m >= t - 2
+    got = np.fromfile(out, np.uint8).reshape(-1, b, P.FIELD_TS_BYTES)
+    for k in range(m):
+        np.testing.assert_array_equal(got[k], ts[k + 1])
+
+
 def test_cli_decode_demux_flag_validation(tmp_path):
     """Usage errors on the demux path fail fast and do NOT clobber an
     existing output file (regression: fout used to be opened/truncated
@@ -260,11 +293,11 @@ def test_cli_decode_demux_flag_validation(tmp_path):
     assert out.read_bytes() == payload  # no truncation on any usage error
 
 
-def test_write_mux_preserves_full_chunk_length():
-    """_write_mux must not truncate a multiplex chunk to one field's
-    sample count on the raw-sink branch (regression: iq_interleave
-    slices to SYMBOLS_PER_FIELD, dropping the resampled surplus)."""
-    from atsc_tpu.cli import _write_mux
+def test_write_planar_preserves_full_chunk_length():
+    """_write_planar must not truncate a multiplex/resampled chunk to one
+    field's sample count on the raw-sink branch (regression:
+    iq_interleave slices to SYMBOLS_PER_FIELD, dropping the surplus)."""
+    from atsc_tpu.cli import _write_planar
 
     class StubSink:
         def __init__(self):
@@ -272,11 +305,11 @@ def test_write_mux_preserves_full_chunk_length():
 
         def write(self, arr):
             assert arr.shape[-1] == 2  # interleaved (I, Q) wire layout
-            self.samples += arr.shape[-2]
+            self.samples += arr.shape[-2] * arr.shape[0]
 
     m = N + 29_588  # a realistic B=2 per-field multiplex chunk length
     sink = StubSink()
-    _write_mux(sink, np.zeros((2, m), np.float32))
+    _write_planar(sink, np.zeros((1, 2, m), np.float32))
     assert sink.samples == m
 
 

@@ -125,6 +125,114 @@ def test_cli_decode_rate(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_push_planar_matches_push():
+    """push_planar (the TX-side zero-conversion entry) emits the same
+    samples as the complex push for the same stream."""
+    rng = np.random.default_rng(21)
+    n = 80_000
+    iq = (rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+          ).astype(np.complex64)
+    a = StreamResampler((1539, 2000), batch=3)  # upsample ~1.3x
+    want = np.concatenate([a.push(iq), a.flush()], axis=-1)
+    b = StreamResampler((1539, 2000), batch=3)
+    planar = np.stack([iq.real, iq.imag], axis=1).astype(np.float32)
+    got = np.concatenate(
+        [b.push_planar(planar), b.flush_planar()], axis=-1
+    )
+    np.testing.assert_array_equal(got[:, 0] + 1j * got[:, 1], want)
+
+
+def test_cli_encode_rate_decode_rate_loopback(tmp_path):
+    """`encode --rate 16e6` -> `decode --rate 16e6`: the TX-side output
+    resampler (new; the reference pins the SDR to the symbol rate) round-
+    trips with the RX-side rate front end to the exact transport stream."""
+    from atsc_tpu.cli import build_decode_argparser, main, run_decode
+
+    rng = np.random.default_rng(211)
+    ts = _random_ts(rng, 5, 1)
+    ts_path = tmp_path / "in.ts"
+    ts_path.write_bytes(ts[:, 0].tobytes())
+    cap = tmp_path / "cap16.iq"
+    assert main([str(ts_path), "-o", str(cap), "--rate", "16e6"]) == 0
+    # the emitted sample count matches the rate conversion
+    n_out = cap.stat().st_size // 8
+    n_in = 5 * P.SYMBOLS_PER_FIELD
+    assert abs(n_out - n_in * 16e6 / float(P.SAMPLE_RATE)) < 64
+
+    out = tmp_path / "out.ts"
+    args = build_decode_argparser().parse_args(
+        [str(cap), "--rate", "16e6", "-o", str(out)]
+    )
+    summary = run_decode(args)
+    assert summary["fields_decoded"] >= 2
+    assert summary["segments_uncorrectable"] == 0
+    got = np.fromfile(out, dtype=np.uint8)
+    want = ts[1 : 1 + summary["fields_decoded"], 0].reshape(-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cli_encode_rate_checkpoint_resume(tmp_path):
+    """--rate composes with --checkpoint/--resume: the resampler's carry
+    (exact-rational position + buffered input window) is part of the
+    checkpoint, so the split run is byte-identical to the full run."""
+    from atsc_tpu.cli import main
+    from tests.conftest import GOLDEN_PATH
+
+    golden_in = np.load(GOLDEN_PATH)["input"]
+    ts = tmp_path / "in.ts"
+    ts.write_bytes(golden_in.reshape(-1).tobytes())
+    full, p1, p2 = (tmp_path / n for n in ("full.iq", "p1.iq", "p2.iq"))
+    ck = tmp_path / "state.npz"
+    assert main([str(ts), "-o", str(full), "--rate", "12e6"]) == 0
+    assert main([str(ts), "-o", str(p1), "--rate", "12e6",
+                 "--max-fields", "2", "--checkpoint", str(ck)]) == 0
+    assert main([str(ts), "-o", str(p2), "--rate", "12e6", "--resume",
+                 "--checkpoint", str(ck)]) == 0
+    assert p1.read_bytes() + p2.read_bytes() == full.read_bytes()
+
+
+def test_cli_encode_mux_rate_matches_one_shot(tmp_path):
+    """--mux --rate: the wideband multiplex is resampled from its native
+    channels*6 MHz to the SDR master clock; byte-identical to a one-shot
+    StreamResampler pass over the nominal-rate multiplex (push-boundary
+    invariance)."""
+    from fractions import Fraction
+
+    from atsc_tpu.cli import main
+    from tests.conftest import GOLDEN_PATH
+
+    golden_in = np.load(GOLDEN_PATH)["input"]
+    ts = tmp_path / "in.ts"
+    ts.write_bytes(golden_in[:2].reshape(-1).tobytes())
+    nom, res = tmp_path / "mux.iq", tmp_path / "mux16.iq"
+    assert main([str(ts), "--channels", "2", "--mux", "-o", str(nom)]) == 0
+    assert main([str(ts), "--channels", "2", "--mux", "-o", str(res),
+                 "--rate", "16e6"]) == 0
+    wide = np.fromfile(nom, np.float32).reshape(-1, 2)
+    rs = StreamResampler(Fraction(12_000_000) / Fraction(16_000_000),
+                         batch=1)
+    planar = np.ascontiguousarray(wide.T)[None]
+    want = np.concatenate(
+        [rs.push_planar(planar), rs.flush_planar()], axis=-1
+    )[0]
+    got = np.fromfile(res, np.float32).reshape(-1, 2).T
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cli_encode_rate_rejections():
+    """--rate guardrails: quantized wire formats and clocks below the
+    occupied band are refused before any output is produced."""
+    import pytest
+
+    from atsc_tpu.cli import run
+    from atsc_tpu.utils.config import EncoderConfig
+
+    with pytest.raises(ValueError, match="cf32 only"):
+        run(EncoderConfig(rate=16e6, out_format="cs8"), ["/dev/null"])
+    with pytest.raises(ValueError, match="occupied"):
+        run(EncoderConfig(rate=4e6), ["/dev/null"])
+
+
 def test_cli_decode_sro_numeric_streams(tmp_path):
     """Numeric `--sro 37` now streams (no whole-capture read): same exact
     decode as the `--sro auto` path on a 37 ppm fast capture."""
