@@ -83,6 +83,12 @@ def build_argparser() -> argparse.ArgumentParser:
                          "at this rate; `decode --rate` inverts it. cf32 "
                          "output only (quantized wire formats are produced "
                          "in-kernel at the nominal rate)")
+    ap.add_argument("--ppm", type=float, default=0.0,
+                    help="emulate a transmit clock error of this many parts "
+                         "per million: the output is resampled as if the "
+                         "DAC ran at nominal*(1+ppm/1e6) — the TX mirror of "
+                         "`decode --sro` (generates controlled-SRO captures "
+                         "for receiver testing; composes with --rate)")
     ap.add_argument("--max-fields", type=int, default=0,
                     help="stop after N fields per channel (0 = until EOF)")
     ap.add_argument("--stats", action="store_true",
@@ -167,7 +173,7 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
         raise ValueError("--mux emits cf32 only")
     resampler = None
     out_sps = None  # output sample rate per emitted stream (Hz)
-    if cfg.rate is not None:
+    if cfg.rate is not None or cfg.ppm:
         from fractions import Fraction
 
         from atsc_tpu.ops.resample import (
@@ -176,12 +182,17 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
         )
 
         if cfg.out_format != "cf32":
-            raise ValueError("--rate emits cf32 only (quantized wire "
+            raise ValueError("--rate/--ppm emit cf32 only (quantized wire "
                              "formats are produced in-kernel at the "
                              "nominal rate)")
-        target = Fraction(cfg.rate)
         native = (Fraction(6_000_000 * cfg.channels) if cfg.mux
                   else SYMBOL_RATE_FRACTION)
+        target = Fraction(cfg.rate) if cfg.rate is not None else native
+        if cfg.ppm:
+            # a DAC clocked ppm fast stretches the sample grid: emit
+            # 1 + ppm/1e6 samples per nominal sample (decode --sro ppm
+            # is the exact inverse)
+            target = target * (1 + Fraction(cfg.ppm) / 1_000_000)
         band = 6_000_000 * (cfg.channels if cfg.mux else 1)
         if target < band:
             raise ValueError(
@@ -1414,6 +1425,7 @@ def main(argv=None) -> int:
         realtime=args.realtime,
         out_format=args.out_format,
         rate=_parse_sps(args.rate) if args.rate is not None else None,
+        ppm=args.ppm,
         frequency_hz=args.frequency,
         gain_db=args.gain,
         driver=args.driver,

@@ -148,10 +148,17 @@ def solve_and_equalize(
     trace: large enough to dominate fp32 accumulation noise in the null
     space, small enough (1e-4 default) that the tap shrinkage is far
     below the 1.0 slicing margin.
+
+    The solve is Cholesky, not LU: the ridged Gram is symmetric positive
+    definite, so Cholesky is the right factorization — and the axon TPU
+    runtime's batched LU kernel fault-crashes the worker at batch >= ~64
+    when jitted (measured on v5e: jitted (64, 515, 515) linalg.solve
+    kills the TPU worker process; cho_solve of the same system is fine).
     """
     eye = jnp.eye(EQ_DIM, dtype=r_mat.dtype)
     scale = jnp.trace(r_mat, axis1=-2, axis2=-1)[:, None, None] / EQ_DIM
-    w = jnp.linalg.solve(r_mat + ridge * scale * eye, v[..., None])[..., 0]
+    chol = jax.scipy.linalg.cholesky(r_mat + ridge * scale * eye, lower=True)
+    w = jax.scipy.linalg.cho_solve((chol, True), v[..., None])[..., 0]
     p, q, bias = w[:, :EQ_TAPS], w[:, EQ_TAPS : 2 * EQ_TAPS], w[:, 2 * EQ_TAPS :]
     ur, ui = _derotate(win, osc)
     start = margin - EQ_HALF

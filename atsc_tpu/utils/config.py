@@ -29,6 +29,10 @@ class EncoderConfig:
     #                                Fraction preferred; None = nominal):
     #                                resample the baseband to an arbitrary
     #                                SDR master clock before the sink
+    ppm: float = 0.0               # emulated transmit clock error (parts
+    #                                per million; the TX mirror of the
+    #                                receiver's --sro — scales the output
+    #                                rate by 1 + ppm/1e6)
     # SDR-facing metadata (not used on the compute path; carried for
     # parity with the reference's -d/-f/-g flags, util/defaults.h:3-5)
     frequency_hz: float = 473_000_000.0

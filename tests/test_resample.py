@@ -219,6 +219,35 @@ def test_cli_encode_mux_rate_matches_one_shot(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_cli_encode_ppm_decode_sro_roundtrip(tmp_path):
+    """`encode --ppm 37` emulates a 37 ppm fast transmit DAC; `decode
+    --sro 37` is its exact inverse — the TS round-trips exactly (the TX
+    mirror of the receiver's SRO handling; generates controlled-SRO
+    captures for receiver testing without an impaired SDR)."""
+    from atsc_tpu.cli import build_decode_argparser, main, run_decode
+
+    rng = np.random.default_rng(223)
+    ts = _random_ts(rng, 5, 1)
+    ts_path = tmp_path / "in.ts"
+    ts_path.write_bytes(ts[:, 0].tobytes())
+    cap = tmp_path / "cap_ppm.iq"
+    assert main([str(ts_path), "-o", str(cap), "--ppm", "37"]) == 0
+    # 37 ppm fast: ~37e-6 more samples than the nominal capture
+    n_out = cap.stat().st_size // 8
+    n_in = 5 * P.SYMBOLS_PER_FIELD
+    assert n_in < n_out < n_in * (1 + 60e-6)
+
+    out = tmp_path / "out.ts"
+    summary = run_decode(build_decode_argparser().parse_args(
+        [str(cap), "--sro", "37", "-o", str(out)]
+    ))
+    assert summary["fields_decoded"] >= 2
+    assert summary["segments_uncorrectable"] == 0
+    got = np.fromfile(out, dtype=np.uint8)
+    want = ts[1 : 1 + summary["fields_decoded"], 0].reshape(-1)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_cli_encode_rate_rejections():
     """--rate guardrails: quantized wire formats and clocks below the
     occupied band are refused before any output is produced."""
