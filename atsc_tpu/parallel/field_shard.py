@@ -31,7 +31,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
 
 from atsc_tpu import params as P
-from atsc_tpu.models.encoder import EncoderState, init_state
+from atsc_tpu.models.encoder import (
+    EncoderState,
+    _use_fused_offset_fir,
+    init_state,
+)
 from atsc_tpu.ops.assemble import assemble_field_structured, field_levels, _tables as _assemble_tables
 from atsc_tpu.ops.interleave import interleave_field_enc_major
 from atsc_tpu.ops.offset import _osc_planar, _scale_planar
@@ -79,7 +83,8 @@ def _phasor_chain(phasor0: jnp.ndarray, t_total: int) -> jnp.ndarray:
     return chain  # chain[g] = phasor *before* advancing at field g
 
 
-def _local_step(state: EncoderState, ts: jnp.ndarray, fields_per_device: int):
+def _local_step(state: EncoderState, ts: jnp.ndarray, fields_per_device: int,
+                out_format: str = "cf32"):
     """Per-device body (runs under shard_map).
 
     ts: (F, b, 58656) local fields; state leaves are (b, ...) local
@@ -155,20 +160,47 @@ def _local_step(state: EncoderState, ts: jnp.ndarray, fields_per_device: int):
     phasors = jax.lax.dynamic_slice_in_dim(phasors_all, g0, f_dev, axis=0)
 
     # ---- assemble + offset + RRC (field-local) ------------------------------
-    field, _ = jax.vmap(assemble_field_structured)(symbols, parity, saved)
-    levels = field_levels(field)                           # (F, b, 261248) f32
+    # The back half is field-local, so the per-device work is identical to
+    # the sequential encoder's: on TPU backends it runs the fused Pallas
+    # level-map+offset+FIR kernel (with in-kernel cs16/cs8 quantization);
+    # the CPU/test path keeps the unfused XLA ops (models/encoder.py:35-45).
+    if _use_fused_offset_fir():
+        from atsc_tpu.ops.pallas.offset_fir import (
+            QUANT_FIELD_LEN,
+            offset_fir_fused,
+        )
 
-    osc_re, osc_im = _osc_planar()
-    tr = jnp.asarray(osc_re)
-    ti = jnp.asarray(osc_im)
-    pr = phasors[..., 0:1]
-    pi = phasors[..., 1:2]
-    out_re = levels * (tr[None, None] * pr - ti[None, None] * pi)
-    out_im = levels * (tr[None, None] * pi + ti[None, None] * pr)
-    iq_padded = jnp.stack([out_re, out_im], axis=2)        # (F, b, 2, 261248)
+        pad_to = P.PADDED_SYMBOLS if out_format == "cf32" else QUANT_FIELD_LEN
+        field, _ = jax.vmap(
+            lambda s, p, sv: assemble_field_structured(s, p, sv, pad_to=pad_to)
+        )(symbols, parity, saved)
+        iq = offset_fir_fused(
+            field.reshape(f_dev * b, pad_to),
+            phasors.reshape(f_dev * b, 2),
+            out_format=out_format,
+        )
+        iq = iq.reshape(f_dev, b, 2, iq.shape[-1])
+    else:
+        field, _ = jax.vmap(assemble_field_structured)(symbols, parity, saved)
+        levels = field_levels(field)                       # (F, b, 261248) f32
 
-    iq = rrc_filter_field(iq_padded.reshape(f_dev * b, 2, P.PADDED_SYMBOLS))
-    iq = iq.reshape(f_dev, b, 2, P.PADDED_OUT)
+        osc_re, osc_im = _osc_planar()
+        tr = jnp.asarray(osc_re)
+        ti = jnp.asarray(osc_im)
+        pr = phasors[..., 0:1]
+        pi = phasors[..., 1:2]
+        out_re = levels * (tr[None, None] * pr - ti[None, None] * pi)
+        out_im = levels * (tr[None, None] * pi + ti[None, None] * pr)
+        iq_padded = jnp.stack([out_re, out_im], axis=2)    # (F, b, 2, 261248)
+
+        iq = rrc_filter_field(
+            iq_padded.reshape(f_dev * b, 2, P.PADDED_SYMBOLS)
+        )
+        iq = iq.reshape(f_dev, b, 2, P.PADDED_OUT)
+        if out_format != "cf32":
+            from atsc_tpu.ops.quantize import quantize_iq
+
+            iq = quantize_iq(iq, out_format)
 
     # ---- next state (replicated over time via masked psum) ------------------
     is_last_u8 = (t_idx == n_time - 1).astype(jnp.uint8)
@@ -203,13 +235,15 @@ class ShardedEncoder:
     equal to the sequential encoder's.
     """
 
-    def __init__(self, mesh: Mesh, batch: int, fields_per_device: int = 1):
+    def __init__(self, mesh: Mesh, batch: int, fields_per_device: int = 1,
+                 out_format: str = "cf32"):
         self.mesh = mesh
         self.batch = batch
         self.f_dev = fields_per_device
         self.n_time = mesh.shape[TIME_AXIS]
         self.n_ch = mesh.shape[CH_AXIS]
         self.t_total = self.n_time * fields_per_device
+        self.out_format = out_format
         assert batch % self.n_ch == 0
 
         state_spec = EncoderState(
@@ -224,7 +258,8 @@ class ShardedEncoder:
         ts_spec = PSpec(TIME_AXIS, CH_AXIS, None)
         iq_spec = PSpec(TIME_AXIS, CH_AXIS, None, None)
 
-        body = functools.partial(_local_step, fields_per_device=fields_per_device)
+        body = functools.partial(_local_step, fields_per_device=fields_per_device,
+                                 out_format=out_format)
         mapped = jax.shard_map(
             body,
             mesh=mesh,
@@ -244,7 +279,9 @@ class ShardedEncoder:
         return jax.device_put(st, self.state_sharding)
 
     def step(self, state: EncoderState, ts) -> tuple[EncoderState, jax.Array]:
-        """ts: (T, B, 58656) uint8 -> ((state), (T, B, 2, 260480) float32)."""
+        """ts: (T, B, 58656) uint8 -> ((state), (T, B, 2, >=260416) planar
+        IQ — float32 for cf32, int16/int8 codes for cs16/cs8; samples
+        [0, 260416) are the valid field output either way)."""
         ts = jax.device_put(jnp.asarray(ts), self.ts_sharding)
         return self._step(state, ts)
 

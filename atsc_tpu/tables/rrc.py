@@ -7,9 +7,13 @@ We derive the taps independently from the textbook RRC impulse response
 
     h(t) = [sin(pi t (1-a)) + 4 a t cos(pi t (1+a))] / [pi t (1 - (4 a t)^2)]
 
-(t in symbol periods), normalized to sum (DC gain) = GAIN, and verify at
-import time that the derivation reproduces the shipped float32 contract —
-a mismatch would silently break IQ compatibility with deployed receivers.
+(t in symbol periods), normalized to sum (DC gain) = GAIN, and verify —
+inside rrc_taps(), i.e. before any tap can ever be used — that the
+derivation reproduces the shipped float32 contract
+(spec/shipped_rrc.py, transcribed from reference filter.h:71) to within
+1 ulp per tap; a mismatch would silently break IQ compatibility with
+deployed receivers. tests/test_stages.py::test_rrc_taps_shipped_contract
+additionally pins the exact ulp budget.
 """
 
 from __future__ import annotations
@@ -48,6 +52,19 @@ def rrc_taps() -> np.ndarray:
     h *= P.RRC_GAIN / h.sum()
     out = np.zeros(P.RRC_TAPS, dtype=np.float32)
     out[: n] = h.astype(np.float32)
+
+    # guard the shipped contract: 1-ulp-per-tap tolerance (the float64
+    # derivation rounds a handful of taps one ulp away from the reference's
+    # printed float32 literals; anything larger is a real drift)
+    from atsc_tpu.spec.shipped_rrc import SHIPPED_RRC_TAPS
+
+    tol = np.spacing(np.abs(SHIPPED_RRC_TAPS).astype(np.float32))
+    if not np.all(np.abs(out - SHIPPED_RRC_TAPS) <= tol):
+        worst = np.abs(out - SHIPPED_RRC_TAPS).max()
+        raise AssertionError(
+            f"derived RRC taps drifted from the shipped contract "
+            f"(filter.h:71): max |delta| = {worst:.3e}"
+        )
     return out
 
 

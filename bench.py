@@ -1,20 +1,28 @@
-"""Benchmark harness: sustained encode throughput on the attached TPU chip.
+"""Benchmark harness: sustained encode + receive throughput on the attached
+TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 vs_baseline is measured against the reference design point of one real-time
 8VSB channel (10,762,237.76 IQ samples/s — the implicit baseline of
 philburr/atsc, BASELINE.md): value/baseline = simultaneous real-time
 channels per chip.
+
+Failure policy (the round-2 lesson, VERDICT.md §weak-1): a perf harness
+must never convert an exception into a silent zero. Every probe runs under
+a watchdog with ONE retry; failures are recorded verbatim (traceback tail)
+in extras["errors"]; the headline is the best probe that DID succeed, and
+value 0.0 is only ever printed together with the errors that caused it.
 """
 
 import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402
 
@@ -31,25 +39,92 @@ import jax.numpy as jnp  # noqa: E402
 from atsc_tpu import params as P  # noqa: E402
 from atsc_tpu.models.encoder import encode_field, init_state  # noqa: E402
 
+FIELD_RATE = P.SAMPLE_RATE / P.SYMBOLS_PER_FIELD  # 41.327 fields/s
 
-def measure(batch: int, iters: int = 30, warmup: int = 3) -> float:
-    """Returns sustained fields/s for `batch` channels on one chip."""
+
+def _barrier(x) -> None:
+    """Execution barrier: a value fetch. block_until_ready returns early
+    over the axon device tunnel (observed in rounds 1-2); summing to a
+    host float is the only reliable completion fence."""
+    float(jnp.sum(x.astype(jnp.float32)))
+
+
+def measure_tx(batch: int, out_format: str = "cf32",
+               iters: int = 30, warmup: int = 3) -> float:
+    """Sustained encode fields/s for `batch` channels on one chip."""
+    import functools
+
     rng = np.random.default_rng(0)
     ts = jnp.asarray(
         rng.integers(0, 256, size=(batch, P.FIELD_TS_BYTES), dtype=np.uint8)
     )
-    step = jax.jit(encode_field, donate_argnums=(0,))
+    step = jax.jit(
+        functools.partial(encode_field, out_format=out_format),
+        donate_argnums=(0,),
+    )
     state = init_state(batch)
     for _ in range(warmup):
         state, iq = step(state, ts)
-    float(jnp.sum(iq))  # block_until_ready is unreliable on the axon tunnel;
-    # a value fetch is the only sure execution barrier
+    _barrier(iq)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, iq = step(state, ts)
-    float(jnp.sum(iq))  # forces the whole chain via the state dependency
+    _barrier(iq)  # forces the whole chain via the state dependency
     dt = (time.perf_counter() - t0) / iters
     return batch / dt
+
+
+def measure_rx(batch: int = 64, iters: int = 10) -> dict:
+    """Receive-path device cores at `batch` channels: widely-used jitted
+    equalizer step + symbol-field decoder step, timed separately and
+    combined. Input windows are generated once at B=1 on the host and
+    tiled to B on the device — ~2 MB of H2D total, so the axon tunnel's
+    host-link bandwidth (PERF.md's H2D trap) never enters the timing."""
+    from atsc_tpu.models.decoder import Decoder
+    from atsc_tpu.models.encoder import Encoder, iq_to_complex
+    from atsc_tpu.models.receiver import _device_eq_step, field_window
+
+    rng = np.random.default_rng(3)
+    ts = rng.integers(0, 256, size=(2, 1, P.FIELD_TS_BYTES), dtype=np.uint8)
+    ts[..., ::188] = 0x47
+    enc = Encoder(batch=1, donate=False)
+    iq = np.concatenate(
+        [iq_to_complex(np.asarray(enc.encode(ts[k]))) for k in range(2)],
+        axis=-1,
+    )
+    win1, osc = field_window(iq, 0)           # (1, 2, W), (2, W)
+    win = jnp.tile(jnp.asarray(win1), (batch, 1, 1))
+    oscj = jnp.asarray(osc)
+    _barrier(win)
+
+    eq = _device_eq_step(False)
+    field = eq(win, oscj)
+    _barrier(field)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        field = eq(win, oscj)
+    _barrier(field)
+    eq_dt = (time.perf_counter() - t0) / iters
+
+    dec = Decoder(batch=batch)
+    st, cw, syn = dec._step(dec._state, field)
+    _barrier(syn)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, cw, syn = dec._step(dec._state, field)
+    _barrier(syn)
+    dec_dt = (time.perf_counter() - t0) / iters
+
+    step_dt = eq_dt + dec_dt
+    fps = batch / step_dt
+    return {
+        "batch": batch,
+        "eq_ms": round(eq_dt * 1e3, 3),
+        "decoder_ms": round(dec_dt * 1e3, 3),
+        "fields_per_s": round(fps, 1),
+        "samples_per_s": round(fps * P.SYMBOLS_PER_FIELD, 1),
+        "realtime_channels": round(fps / FIELD_RATE, 1),
+    }
 
 
 def _tpu_alive(timeout_s: int = 240) -> bool:
@@ -69,47 +144,105 @@ def _tpu_alive(timeout_s: int = 240) -> bool:
         return False
 
 
-def main() -> None:
-    if not _tpu_alive():
-        print(json.dumps({
-            "metric": "baseband IQ samples/s/chip",
-            "value": 0.0,
-            "unit": "samples/s",
-            "vs_baseline": 0.0,
-            "error": "TPU backend unreachable (device tunnel down); "
-                     "see PERF.md for the last measured numbers",
-        }))
-        return
+def _run_probe(name: str, fn, errors: list, timeout_s: int = 1200,
+               retries: int = 1):
+    """Run one probe under a hang watchdog with `retries` retries.
+    Returns the probe's value or None; every failure (including the ones
+    that a retry recovered from) is appended to `errors` verbatim."""
     import signal
 
-    best = 0.0
-    best_b = 0
-    for batch in (256, 384, 512):
-        # convert a mid-run tunnel death (a hang) into an exception
+    for attempt in range(retries + 1):
         signal.signal(
             signal.SIGALRM,
-            lambda *_: (_ for _ in ()).throw(TimeoutError("tpu hang")),
+            lambda *_: (_ for _ in ()).throw(
+                TimeoutError(f"probe {name} exceeded {timeout_s}s watchdog")
+            ),
         )
-        signal.alarm(1200)
+        signal.alarm(timeout_s)
         try:
-            fps = measure(batch)
+            return fn()
         except Exception:
-            break
+            tail = traceback.format_exc().strip().splitlines()
+            errors.append({
+                "probe": name,
+                "attempt": attempt,
+                "error": " | ".join(tail[-3:]),
+            })
         finally:
             signal.alarm(0)
-        if fps > best:
-            best, best_b = fps, batch
-    samples_per_sec = best * P.SYMBOLS_PER_FIELD
-    print(
-        json.dumps(
-            {
-                "metric": f"baseband IQ samples/s/chip (batch={best_b} channels)",
-                "value": round(samples_per_sec, 1),
-                "unit": "samples/s",
-                "vs_baseline": round(samples_per_sec / P.SAMPLE_RATE, 2),
-            }
+    return None
+
+
+def main() -> None:
+    result = {
+        "metric": "baseband IQ samples/s/chip",
+        "value": 0.0,
+        "unit": "samples/s",
+        "vs_baseline": 0.0,
+    }
+    extras: dict = {"tx": [], "errors": []}
+    errors = extras["errors"]
+
+    if not _tpu_alive():
+        errors.append({"probe": "tpu_alive",
+                       "error": "TPU backend unreachable (device tunnel "
+                                "down); see PERF.md for last measured"})
+        result["extras"] = extras
+        print(json.dumps(result))
+        return
+
+    best_fps = 0.0
+    best_desc = None
+    # cf32 at the known-good batches, then the cheaper wire formats at the
+    # best cf32 batch (quantized output halves/quarters the bottleneck
+    # HBM-write traffic — expected to set the headline)
+    cf32_results = {}
+    for batch in (256, 384, 512):
+        fps = _run_probe(f"tx_cf32_b{batch}",
+                         lambda b=batch: measure_tx(b, "cf32"), errors)
+        if fps is None:
+            continue
+        cf32_results[batch] = fps
+        row = {"batch": batch, "format": "cf32",
+               "fields_per_s": round(fps, 1),
+               "ms_per_step": round(batch / fps * 1e3, 2),
+               "samples_per_s": round(fps * P.SYMBOLS_PER_FIELD, 1),
+               "realtime_channels": round(fps / FIELD_RATE, 1)}
+        extras["tx"].append(row)
+        if fps > best_fps:
+            best_fps, best_desc = fps, (batch, "cf32")
+
+    q_batch = max(cf32_results, key=cf32_results.get) if cf32_results else 384
+    for fmt in ("cs16", "cs8"):
+        fps = _run_probe(f"tx_{fmt}_b{q_batch}",
+                         lambda f=fmt: measure_tx(q_batch, f), errors)
+        if fps is None:
+            continue
+        row = {"batch": q_batch, "format": fmt,
+               "fields_per_s": round(fps, 1),
+               "ms_per_step": round(q_batch / fps * 1e3, 2),
+               "samples_per_s": round(fps * P.SYMBOLS_PER_FIELD, 1),
+               "realtime_channels": round(fps / FIELD_RATE, 1)}
+        extras["tx"].append(row)
+        if fps > best_fps:
+            best_fps, best_desc = fps, (q_batch, fmt)
+
+    rx = _run_probe("rx_b64", lambda: measure_rx(64), errors)
+    if rx is not None:
+        extras["rx"] = rx
+
+    if best_fps > 0.0:
+        batch, fmt = best_desc
+        samples = best_fps * P.SYMBOLS_PER_FIELD
+        result["metric"] = (
+            f"baseband IQ samples/s/chip (batch={batch} channels, {fmt})"
         )
-    )
+        result["value"] = round(samples, 1)
+        result["vs_baseline"] = round(samples / P.SAMPLE_RATE, 2)
+    if not errors:
+        del extras["errors"]
+    result["extras"] = extras
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

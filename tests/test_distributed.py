@@ -1,7 +1,14 @@
-"""Multi-host helpers (parallel/distributed.py) on the virtual 8-device
-CPU mesh: pod-mesh construction and per-host channel-slice assignment.
-Real multi-process execution needs a pod slice; the logic here is what
-each host runs locally, so it is testable single-process."""
+"""Multi-host execution (parallel/distributed.py): pod-mesh construction
+and per-host channel assignment on the virtual 8-device CPU mesh, plus a
+REAL 2-process run — two jax.distributed processes (gloo CPU collectives,
+2 virtual devices each) executing one ShardedEncoder step over the global
+4-device mesh and checking their local shards against the sequential
+encoder (see _distributed_child.py)."""
+
+import os
+import socket
+import subprocess
+import sys
 
 import jax
 
@@ -31,3 +38,49 @@ def test_local_channel_slice_covers_batch_once():
 def test_initialize_single_host_is_noop():
     initialize(num_processes=1)  # must not raise or try to connect
     initialize(num_processes=None)
+
+
+def test_local_channel_indices_matches_slice():
+    from atsc_tpu.parallel.distributed import local_channel_indices
+
+    mesh = pod_mesh(n_time=2)
+    batch = 2 * mesh.shape[CH_AXIS]
+    idx = local_channel_indices(mesh, batch)
+    sl = local_channel_slice(mesh, batch)
+    assert idx.tolist() == list(range(sl.start, sl.stop))
+
+
+def test_two_process_sharded_encode():
+    """Two real jax.distributed processes execute one sharded encode step
+    over the global mesh; each checks its addressable shards in-process."""
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    child = os.path.join(os.path.dirname(__file__), "_distributed_child.py")
+    env = dict(
+        os.environ,
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        JAX_PLATFORMS="cpu",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, child, str(i), str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"child-ok {i}" in out, out

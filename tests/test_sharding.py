@@ -73,5 +73,82 @@ def test_multi_step_continuity(golden):
     np.testing.assert_allclose(got, seq_iq, atol=1e-6)
 
 
+def _force_fused_interpret(monkeypatch):
+    """Route the sharded encoder's back half through the fused Pallas
+    kernel (interpret mode — CPU has no Mosaic lowering), exactly the
+    branch a real TPU mesh executes."""
+    import functools
+
+    from atsc_tpu.ops.pallas import offset_fir as mod
+
+    monkeypatch.setenv("ATSC_TPU_FUSED", "1")
+    monkeypatch.setattr(
+        mod, "offset_fir_fused",
+        functools.partial(mod.offset_fir_fused, interpret=True),
+    )
+
+
+def test_sharded_fused_matches_sequential(golden, monkeypatch):
+    """The fused-Pallas sharded path == sequential unfused (<=2e-6, the
+    fused kernel's own tolerance vs the unfused ops)."""
+    n_time, n_ch, f_dev = 2, 2, 1
+    t_total = n_time * f_dev
+    batch = n_ch
+    rng = np.random.default_rng(11)
+    ts = rng.integers(
+        0, 256, size=(t_total, batch, P.FIELD_TS_BYTES), dtype=np.uint8
+    )
+    seq_state, seq_iq = _sequential(ts)
+
+    _force_fused_interpret(monkeypatch)
+    mesh = make_mesh(n_time, n_ch)
+    enc = ShardedEncoder(mesh, batch=batch, fields_per_device=f_dev)
+    state = enc.init_state()
+    state, iq = enc.step(state, ts)
+    iq = np.asarray(iq)
+
+    n = P.SYMBOLS_PER_FIELD
+    assert iq.shape[-1] >= n
+    np.testing.assert_allclose(iq[..., :n], seq_iq[..., :n], atol=2e-6)
+    np.testing.assert_array_equal(
+        np.asarray(state.prev_rs), np.asarray(seq_state.prev_rs)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.saved), np.asarray(seq_state.saved)
+    )
+
+
+def test_sharded_quantized_output(golden, monkeypatch):
+    """cs8 from the fused sharded path agrees with the sequential XLA
+    quantizer to <=1 LSB (phasor rotation applied in a different place)."""
+    from atsc_tpu.ops.quantize import quantize_iq
+
+    n_time, n_ch, f_dev = 2, 1, 1
+    t_total = n_time * f_dev
+    batch = n_ch
+    rng = np.random.default_rng(13)
+    ts = rng.integers(
+        0, 256, size=(t_total, batch, P.FIELD_TS_BYTES), dtype=np.uint8
+    )
+    _, seq_iq = _sequential(ts)
+    want = np.asarray(quantize_iq(jnp.asarray(seq_iq), "cs8"))
+
+    _force_fused_interpret(monkeypatch)
+    mesh = make_mesh(n_time, n_ch)
+    enc = ShardedEncoder(
+        mesh, batch=batch, fields_per_device=f_dev, out_format="cs8"
+    )
+    state = enc.init_state()
+    state, iq = enc.step(state, ts)
+    iq = np.asarray(iq)
+
+    assert iq.dtype == np.int8
+    n = P.SYMBOLS_PER_FIELD
+    diff = np.abs(
+        iq[..., :n].astype(np.int32) - want[..., :n].astype(np.int32)
+    )
+    assert diff.max() <= 1
+
+
 def test_dryrun_entrypoint():
     dryrun(8)

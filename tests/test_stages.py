@@ -159,3 +159,23 @@ def test_sync_symbol_template_matches_level_template():
     mask[tail:] = False
     np.testing.assert_array_equal(lvl_from_sym[:, mask], lvl_t[:, mask])
     assert (lvl_t[:, tail:] == 0.0).all()
+
+
+def test_rrc_taps_shipped_contract():
+    """The derived taps reproduce the shipped numeric contract
+    (reference filter.h:71, transcribed in spec/shipped_rrc.py) to within
+    1 ulp per tap — the bound rrc_taps() itself enforces at build time.
+    Drift here would silently break IQ compatibility on air."""
+    from atsc_tpu.spec.shipped_rrc import SHIPPED_RRC_TAPS
+    from atsc_tpu.tables.rrc import rrc_taps
+
+    mine = rrc_taps()
+    assert mine.dtype == np.float32 and mine.shape == (P.RRC_TAPS,)
+    tol = np.spacing(np.abs(SHIPPED_RRC_TAPS).astype(np.float32))
+    diff = np.abs(mine - SHIPPED_RRC_TAPS)
+    assert (diff <= tol).all(), diff.max()
+    # symmetry and the DC-gain contract (sum = 0.1) must hold exactly in
+    # float64 terms
+    np.testing.assert_array_equal(mine[: P.RRC_NTAPS],
+                                  mine[P.RRC_NTAPS - 1 :: -1])
+    assert abs(float(mine.sum()) - P.RRC_GAIN) < 1e-7

@@ -17,10 +17,10 @@ from atsc_tpu.tables.rrc import rrc_taps  # noqa: E402
 g = np.load("tests/golden/golden.npz")
 nfields = g["input"].shape[0]
 
-# 0) RRC taps vs the shipped contract (reference filter.h:71)
-shipped = np.array([
-    2.0014302208437584e-05, -4.354902193881571e-05, -4.177004029770615e-06, 5.1516170060494915e-05, -1.4889413250784855e-05, -5.355695975595154e-05, 3.5067623684881255e-05, 4.837794040213339e-05, -5.3716903494205326e-05, -3.537974043865688e-05, 6.790993211325258e-05, 1.4841340998827945e-05, -7.474127050954849e-05, 1.1962760254391469e-05, 7.16860595275648e-05, -4.273113881936297e-05, -5.6981254601851106e-05, 7.420157635351643e-05, 2.999735988851171e-05, -0.00010231780470348895, 8.43199813971296e-06, 0.00012249033898115158, -5.575247632805258e-05, -0.0001299353752983734, 0.00010752649541245773, 0.00012006719771306962, -0.0001573779300088063, -8.891266770660877e-05, 0.0001970411540241912, 3.35122604155913e-05, -0.00021649124391842633, 4.772863394464366e-05, 0.00020410622528288513, -0.00015477252600248903, -0.00014677346916869283, 0.00028579513309523463, 2.97915430564899e-05, -0.00043716293293982744, 0.00016369293734896928, 0.000603552907705307, -0.00045420980313792825, -0.0007782107568345964, 0.0008694980060681701, 0.0009533336269669235, -0.0014525431906804442, -0.001120551023632288, 0.002280974294990301, 0.001271468005143106, -0.003520243801176548, -0.001398230786435306, 0.005604704841971397, 0.001494067837484181, -0.010142557322978973, -0.001553765730932355, 0.03167630732059479, 0.051579732447862625, 0.03167630732059479, -0.001553765730932355, -0.010142557322978973, 0.001494067837484181, 0.005604704841971397, -0.001398230786435306, -0.003520243801176548, 0.001271468005143106, 0.002280974294990301, -0.001120551023632288, -0.0014525431906804442, 0.0009533336269669235, 0.0008694980060681701, -0.0007782107568345964, -0.00045420980313792825, 0.000603552907705307, 0.00016369293734896928, -0.00043716293293982744, 2.97915430564899e-05, 0.00028579513309523463, -0.00014677346916869283, -0.00015477252600248903, 0.00020410622528288513, 4.772863394464366e-05, -0.00021649124391842633, 3.35122604155913e-05, 0.0001970411540241912, -8.891266770660877e-05, -0.0001573779300088063, 0.00012006719771306962, 0.00010752649541245773, -0.0001299353752983734, -5.575247632805258e-05, 0.00012249033898115158, 8.43199813971296e-06, -0.00010231780470348895, 2.999735988851171e-05, 7.420157635351643e-05, -5.6981254601851106e-05, -4.273113881936297e-05, 7.16860595275648e-05, 1.1962760254391469e-05, -7.474127050954849e-05, 1.4841340998827945e-05, 6.790993211325258e-05, -3.537974043865688e-05, -5.3716903494205326e-05, 4.837794040213339e-05, 3.5067623684881255e-05, -5.355695975595154e-05, -1.4889413250784855e-05, 5.1516170060494915e-05, -4.177004029770615e-06, -4.354902193881571e-05, 2.0014302208437584e-05, 0.
-], dtype=np.float32)
+# 0) RRC taps vs the shipped contract (reference filter.h:71; the same
+# check also runs inside rrc_taps() itself and in test_stages.py)
+from atsc_tpu.spec.shipped_rrc import SHIPPED_RRC_TAPS as shipped  # noqa: E402
+
 mine = rrc_taps()
 err = np.abs(mine - shipped).max()
 rel = err / np.abs(shipped).max()
