@@ -18,7 +18,11 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "tsio.cpp")
-_SO = os.path.join(_DIR, "libtsio.so")
+# ATSC_TPU_TSIO_SO points the loader at an alternate build of the runtime
+# (e.g. the ASAN/TSAN-instrumented libraries `make sanitize` produces);
+# such a library is used as-is, never rebuilt here.
+_SO_OVERRIDE = os.environ.get("ATSC_TPU_TSIO_SO")
+_SO = _SO_OVERRIDE or os.path.join(_DIR, "libtsio.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _lib_lock = threading.Lock()
@@ -41,7 +45,11 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if _SO_OVERRIDE:
+            if not os.path.exists(_SO):
+                return None
+        elif (not os.path.exists(_SO)
+              or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
             if not _build():
                 return None
         lib = ctypes.CDLL(_SO)
