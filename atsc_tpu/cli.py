@@ -173,6 +173,7 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
         raise ValueError("--mux emits cf32 only")
     resampler = None
     out_sps = None  # output sample rate per emitted stream (Hz)
+    sdr_sps = None  # hardware clock for a soapy sink (un-ppm-stretched)
     if cfg.rate is not None or cfg.ppm:
         from fractions import Fraction
 
@@ -185,9 +186,19 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
             raise ValueError("--rate/--ppm emit cf32 only (quantized wire "
                              "formats are produced in-kernel at the "
                              "nominal rate)")
+        if cfg.channels > 1 and not cfg.mux:
+            # per-channel resampled streams emit a VARIABLE number of
+            # samples per field, so a channel-interleaved output would be
+            # unparseable (neither decode --rate nor the fixed per-field
+            # -c B layout can consume it)
+            raise ValueError("--rate/--ppm with --channels > 1 requires "
+                             "--mux (one wideband stream); separate "
+                             "resampled outputs need one encode run per "
+                             "channel")
         native = (Fraction(6_000_000 * cfg.channels) if cfg.mux
                   else SYMBOL_RATE_FRACTION)
-        target = Fraction(cfg.rate) if cfg.rate is not None else native
+        target_nominal = Fraction(cfg.rate) if cfg.rate is not None else native
+        target = target_nominal
         if cfg.ppm:
             # a DAC clocked ppm fast stretches the sample grid: emit
             # 1 + ppm/1e6 samples per nominal sample (decode --sro ppm
@@ -202,6 +213,11 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
             resampler = StreamResampler(
                 native / target, batch=1 if cfg.mux else cfg.channels)
         out_sps = float(target)
+        # the SDR must play ppm-stretched samples at the UN-stretched
+        # clock, or the emulated SRO cancels on air (the whole point of
+        # --ppm is controlled-SRO generation); only --rate changes the
+        # hardware clock
+        sdr_sps = float(target_nominal)
     sample_bytes = BYTES_PER_SAMPLE[cfg.out_format]
     per_stream = out_sps if out_sps is not None else (
         cfg.channels * 6e6 if cfg.mux else P.SAMPLE_RATE)
@@ -216,7 +232,7 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
         # the SDR clock with the resampled output rate.
         sink = SoapySdrSink(driver=driver, frequency_hz=cfg.frequency_hz,
                             gain_db=cfg.gain_db, stream_format=cfg.out_format,
-                            sample_rate=(out_sps if out_sps is not None
+                            sample_rate=(sdr_sps if out_sps is not None
                                          else (stream_rate if cfg.mux
                                                else None)),
                             bandwidth_hz=(cfg.channels * 6e6 if cfg.mux

@@ -161,11 +161,21 @@ class StreamResampler:
         """Complete state *including* the buffered input window — for
         resuming a stream whose input cannot be re-read from a seekable
         source (the transmit side: the input is generated IQ). All values
-        are ints or numpy arrays (npz-serializable)."""
-        return dict(self.state(), buf=self._buf.copy())
+        are ints or numpy arrays (npz-serializable). A post-flush save
+        carries flushed=1; load_full_state refuses it (the TAPS+2 zero
+        tail pad is baked into the buffer, so resuming would emit
+        spurious near-zero samples at the seam)."""
+        return dict(self.state(), buf=self._buf.copy(),
+                    flushed=int(self._flushed))
 
     @classmethod
     def load_full_state(cls, st: dict) -> "StreamResampler":
+        if int(st.get("flushed", 0)):
+            raise ValueError(
+                "resampler state was saved after the final flush; a "
+                "flushed stream cannot be resumed — re-encode from the "
+                "start (or checkpoint before EOF with --max-fields)"
+            )
         rs = cls.load_state({k: int(st[k]) for k in
                              ("num", "den", "out_next", "in_base", "batch")})
         rs._buf = np.asarray(st["buf"], np.float32)

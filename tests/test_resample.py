@@ -285,3 +285,42 @@ def test_cli_decode_sro_numeric_streams(tmp_path):
     got = np.fromfile(out, dtype=np.uint8)
     want = ts[1:1 + summary["fields_decoded"], 0].reshape(-1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_cli_encode_rate_multichannel_requires_mux():
+    """Per-channel resampled streams have variable per-field lengths; a
+    channel-interleaved layout would be silently unparseable, so the CLI
+    refuses --rate/--ppm with --channels > 1 unless --mux combines them
+    into one wideband stream."""
+    import pytest
+
+    from atsc_tpu.cli import run
+    from atsc_tpu.utils.config import EncoderConfig
+
+    with pytest.raises(ValueError, match="requires\\s+--mux"):
+        run(EncoderConfig(channels=2, rate=16e6), ["/dev/null"])
+    with pytest.raises(ValueError, match="requires\\s+--mux"):
+        run(EncoderConfig(channels=2, ppm=30.0), ["/dev/null"])
+
+
+def test_resampler_flushed_state_refuses_resume():
+    """full_state() after flush carries a flushed marker; load_full_state
+    refuses it — the zero tail pad baked into the buffer would otherwise
+    replay as spurious near-zero samples at the resume seam."""
+    from fractions import Fraction
+
+    import pytest
+
+    from atsc_tpu.ops.resample import StreamResampler
+
+    rs = StreamResampler(Fraction(10_762_238, 12_000_000), batch=1)
+    rs.push_planar(np.zeros((1, 2, 4096), np.float32))
+    mid = rs.full_state()
+    assert int(mid["flushed"]) == 0
+    StreamResampler.load_full_state(mid)  # mid-stream state resumes fine
+
+    rs.flush_planar()
+    post = rs.full_state()
+    assert int(post["flushed"]) == 1
+    with pytest.raises(ValueError, match="flush"):
+        StreamResampler.load_full_state(post)

@@ -94,6 +94,10 @@ def _install_fake_soapy(monkeypatch, samples: np.ndarray, mtu: int = 4096,
             self._vpos += got
             return _Result(got, t)
 
+        def writeStream(self, s, bufs, num):
+            calls["tx_samples"] = calls.get("tx_samples", 0) + num
+            return _Result(num)
+
         def deactivateStream(self, s):
             calls["deactivated"] = True
 
@@ -305,3 +309,36 @@ def test_cli_decode_live_flag_validation(monkeypatch, tmp_path):
         run_decode(parse("--checkpoint", str(tmp_path / "c"), "--resume"))
     with pytest.raises(ValueError, match="single-channel"):
         run_decode(parse("--mesh", "2x1", "-c", "2"))
+
+
+def test_cli_encode_soapy_ppm_keeps_nominal_clock(monkeypatch, tmp_path):
+    """--ppm stretches the sample stream but must NOT stretch the SDR
+    hardware clock, or the emulated SRO cancels on air. The device runs at
+    the nominal symbol rate while more-than-nominal samples are written."""
+    from fractions import Fraction
+
+    from atsc_tpu.cli import run
+    from atsc_tpu.ops.resample import SYMBOL_RATE_FRACTION
+    from atsc_tpu.utils.config import EncoderConfig
+
+    calls = _install_fake_soapy(monkeypatch, np.zeros((1, 2), np.float32))
+    ts_path = tmp_path / "in.ts"
+    rng = np.random.default_rng(21)
+    data = rng.integers(0, 256, size=P.FIELD_TS_BYTES, dtype=np.uint8)
+    data[:: 188] = 0x47
+    data.tofile(ts_path)
+
+    ppm = 400.0
+    run(EncoderConfig(sink="soapy:fake", ppm=ppm), [str(ts_path)],
+        max_fields=1)
+    # hardware clock: nominal, not 1+ppm/1e6 x nominal
+    assert calls["rate"] == float(SYMBOL_RATE_FRACTION)
+    # but the emitted stream IS stretched: more samples than one field
+    # (minus the flush cap's ~half-filter edge trim)
+    stretched = P.SYMBOLS_PER_FIELD * (1 + Fraction(ppm) / 10**6)
+    assert P.SYMBOLS_PER_FIELD < calls["tx_samples"] <= int(stretched)
+    # whereas --rate (an explicit master clock) DOES set the hardware rate
+    calls2 = _install_fake_soapy(monkeypatch, np.zeros((1, 2), np.float32))
+    run(EncoderConfig(sink="soapy:fake", rate=12_000_000), [str(ts_path)],
+        max_fields=1)
+    assert calls2["rate"] == 12e6
