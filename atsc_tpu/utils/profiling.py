@@ -15,13 +15,22 @@ from atsc_tpu import params as P
 
 @dataclass
 class ThroughputMeter:
-    """Tracks fields/samples throughput and real-time margin."""
+    """Tracks fields/samples throughput, real-time margin, and step-cadence
+    jitter (the gap between successive add_fields calls — one per encode
+    step in the CLI driver; a real-time deployment needs the max gap to
+    stay under the sink's buffered slack)."""
 
     t0: float = field(default_factory=time.perf_counter)
     fields: int = 0
     channels: int = 1
+    _last: float | None = None
+    _gaps: list = field(default_factory=list)
 
     def add_fields(self, n: int) -> None:
+        now = time.perf_counter()
+        if self._last is not None:
+            self._gaps.append(now - self._last)
+        self._last = now
         self.fields += n
 
     @property
@@ -42,13 +51,20 @@ class ThroughputMeter:
         return self.fields_per_sec / self.channels / P.FIELD_RATE
 
     def summary(self) -> dict:
-        return {
+        out = {
             "elapsed_s": round(self.elapsed, 3),
             "fields": self.fields,
             "fields_per_sec": round(self.fields_per_sec, 2),
             "samples_per_sec": round(self.samples_per_sec, 1),
             "realtime_factor_per_channel": round(self.realtime_factor, 2),
         }
+        if self._gaps:
+            g = sorted(self._gaps)
+            out["steps"] = len(g) + 1
+            out["step_ms_mean"] = round(sum(g) / len(g) * 1e3, 2)
+            out["step_ms_p99"] = round(g[int(len(g) * 0.99)] * 1e3, 2)
+            out["step_ms_max"] = round(g[-1] * 1e3, 2)
+        return out
 
 
 @contextlib.contextmanager

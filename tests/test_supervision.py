@@ -47,3 +47,20 @@ def test_state_corruption_detected_and_recovered(golden, tmp_path):
     want1 = np.asarray(ref.encode(golden["input"][1][None]))
     np.testing.assert_array_equal(iq0, want0)
     np.testing.assert_array_equal(iq1, want1)
+
+
+def test_throughput_meter_step_jitter():
+    """The meter reports step-cadence stats once >=2 add_fields calls
+    arrive (one gap); a single call reports none."""
+    from atsc_tpu.utils.profiling import ThroughputMeter
+
+    m = ThroughputMeter(channels=2)
+    m.add_fields(2)
+    assert "step_ms_max" not in m.summary()
+    for _ in range(9):
+        m.add_fields(2)
+    s = m.summary()
+    assert s["steps"] == 10
+    assert 0.0 <= s["step_ms_mean"] <= s["step_ms_max"]
+    assert s["step_ms_p99"] <= s["step_ms_max"]
+    assert s["fields"] == 20
