@@ -9,6 +9,16 @@ neighbor via `ppermute` (overlap-save). The last device synthesizes its
 halo locally from the field-sync padding constants — the same trick the
 reference uses to make whole fields independent (reference filter.h
 lookahead + field_sync.h padding copy, SURVEY.md §2.9).
+
+Note: this path deliberately does NOT use the fused Pallas back-half
+kernel (ops/pallas/offset_fir.py). The kernel's grid assumes whole
+261,248-sample fields in 128-sample blocks; a per-device sample block
+plus its 111-sample halo is neither 128-aligned nor field-shaped, and
+re-gridding the kernel per shard count would trade its main win (the
+chunk-resident oscillator) for nothing — at sample-shard scale the FIR
+is a small fraction of a field and XLA's fusion of the unfused ops is
+already fine. Use field_shard for throughput; this module is for
+minimum latency on one channel.
 """
 
 from __future__ import annotations
