@@ -10,8 +10,8 @@ way in (261,248 = 2041 x 128 exactly), and no slice/transpose pass on the
 way out (the (B, 2, 2040, 128) result IS the (B, 2, 261120) padded planar
 output, valid through sample 260,416).
 
-Per grid step (one 408-row output chunk of one channel) the banded FIR is
-four fp32 MXU matmuls on (408, 128)-row operands:
+Per grid step (one 680-row output chunk of one channel) the banded FIR is
+four fp32 MXU matmuls on (680, 128)-row operands:
 
     FIR_u[j] = U[j] @ W_lo + U[j+1] @ W_hi      (u = levels * osc_re)
     FIR_w[j] = W[j] @ W_lo + W[j+1] @ W_hi      (w = levels * osc_im)
@@ -50,17 +50,22 @@ from atsc_tpu.ops.rrc_filter import _band_matrices
 _BLK = 128
 _IN_BLKS = P.PADDED_SYMBOLS // _BLK   # 2041 (exact)
 _OUT_BLKS = P.PADDED_OUT // _BLK      # 2040 (261,120 outputs >= 260,416)
-_NCHUNK = 5
-_ROWS = _OUT_BLKS // _NCHUNK          # 408 rows (divisible by 8)
+# Chunk count: fewest chunks whose blocks still fit VMEM with Mosaic's
+# double buffering — fewer, larger output DMAs measured fastest (B=384
+# same-run sweep, tools/fir_probe.py: 3 chunks 8.62 ms, 5 chunks 8.77,
+# 15 chunks 9.79, 17 chunks 9.95; see PERF.md round-3 log).
+_NCHUNK = 3
+_ROWS = _OUT_BLKS // _NCHUNK          # 680 rows (divisible by 8)
 
 # Quantized (CS16/CS8) output geometry: int16 stores need 16-row-multiple
 # blocks and int8 stores 32-row multiples, and 2040 has no such divisor, so
-# the quantized grid rounds the output up to 2048 row-blocks (4 chunks x
-# 512 rows) and zero-pads the int8 input field by 8 blocks to feed the
+# the quantized grid rounds the output up to 2048 row-blocks (2 chunks x
+# 1024 rows — same fewest-chunks rule: 7.21 ms vs 7.35 at 4 chunks, cs8
+# B=384) and zero-pads the int8 input field by 8 blocks to feed the
 # (garbage, never-read) outputs past block 2040.
 _OUT_BLKS_Q = 2048
-_NCHUNK_Q = 4
-_ROWS_Q = _OUT_BLKS_Q // _NCHUNK_Q    # 512 rows (divisible by 32)
+_NCHUNK_Q = 2
+_ROWS_Q = _OUT_BLKS_Q // _NCHUNK_Q    # 1024 rows (divisible by 32)
 _IN_BLKS_Q = _OUT_BLKS_Q + 1          # 2049
 QUANT_FIELD_LEN = _IN_BLKS_Q * _BLK   # 262,272 (callers may pre-pad to this)
 
