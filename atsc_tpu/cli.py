@@ -241,8 +241,6 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
         sink = IqSink(cfg.sink, pace_bytes_per_sec=pace)
     meshed = cfg.n_time * cfg.n_ch > 1
     if meshed:
-        if cfg.out_format != "cf32":
-            raise ValueError("--mesh currently emits cf32 only")
         import jax
 
         from atsc_tpu.parallel.field_shard import ShardedEncoder
@@ -251,7 +249,7 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
         f_dev = max(1, cfg.fields_per_step // cfg.n_time)
         enc = ShardedEncoder(
             make_mesh(cfg.n_time, cfg.n_ch), batch=cfg.channels,
-            fields_per_device=f_dev,
+            fields_per_device=f_dev, out_format=cfg.out_format,
         )
         state = enc.init_state()
         t_total = enc.t_total

@@ -344,3 +344,22 @@ def test_cli_mesh_encode_matches_golden(golden, tmp_path):
     got2 = (iq2[..., 0] + 1j * iq2[..., 1]).astype(np.complex64)
     for ch in range(2):
         assert np.abs(got2[:, ch] - golden["iq"]).max() < 5e-6
+
+
+def test_cli_mesh_encode_quantized(golden, tmp_path):
+    """`--mesh` with `--format cs8`: the sharded encoder quantizes on
+    device; wire bytes match the single-device cs8 path exactly."""
+    from atsc_tpu.cli import main
+
+    ts_path = tmp_path / "in.ts"
+    ts_path.write_bytes(golden["input"].reshape(-1).tobytes())
+
+    ref = tmp_path / "seq.iq"
+    assert main([str(ts_path), "-o", str(ref), "--format", "cs8"]) == 0
+    out = tmp_path / "mesh.iq"
+    assert main([str(ts_path), "-o", str(out), "--mesh", "2x1",
+                 "--format", "cs8", "--fields-per-step", "4"]) == 0
+    a = np.fromfile(ref, np.int8)
+    b = np.fromfile(out, np.int8)
+    assert a.size == b.size == 4 * P.SYMBOLS_PER_FIELD * 2
+    np.testing.assert_array_equal(a, b)
