@@ -288,7 +288,8 @@ class ShardedEncoder:
 
 def dryrun(n_devices: int) -> None:
     """Compile + run one full multi-chip step on an n_devices mesh with
-    both mesh axes in use (time-block x channel sharding)."""
+    both mesh axes in use (time-block x channel sharding), in both the
+    cf32 and the quantized (cs8) output formats."""
     from atsc_tpu.parallel.mesh import make_mesh
 
     n_time = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
@@ -300,3 +301,10 @@ def dryrun(n_devices: int) -> None:
     state, iq = enc.step(state, ts)
     jax.block_until_ready(iq)
     assert iq.shape == (enc.t_total, n_ch, 2, P.PADDED_OUT)
+
+    enc8 = ShardedEncoder(mesh, batch=n_ch, fields_per_device=1,
+                          out_format="cs8")
+    state8 = enc8.init_state()
+    state8, iq8 = enc8.step(state8, ts)
+    jax.block_until_ready(iq8)
+    assert iq8.dtype == jnp.int8 and iq8.shape[-1] >= P.SYMBOLS_PER_FIELD
