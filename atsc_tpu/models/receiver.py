@@ -239,6 +239,54 @@ def _device_eq_step(soft: bool = False, dequant: float = 1.0,
     return jax.jit(_eq_step_fn(soft, dequant, profile))
 
 
+def _fused_eq_enabled(profile: str = "auto") -> bool:
+    """The fused Pallas derotate+WL-FIR+slice kernel implements the bf16
+    'fast' tier; it runs on TPU backends only (gate shared with the TX
+    kernel — ATSC_TPU_FUSED overrides). 'exact' stays on the XLA path
+    (fp32 HIGHEST is the golden-regression tier)."""
+    from atsc_tpu.models.encoder import _use_fused_offset_fir
+
+    if profile == "auto":
+        profile = DEFAULT_EQ_PROFILE
+    return profile == "fast" and _use_fused_offset_fir()
+
+
+def eq_window_bounds(profile: str = "auto") -> tuple[int, int]:
+    """(lo_offset, length) of the device equalizer's input window relative
+    to the field's first stream sample g0: request
+    stream[g0 + lo_offset, g0 + lo_offset + length) and the matching
+    oscillator span. Differs between the fused kernel (block-aligned
+    window starting at the FIR operand) and the XLA step."""
+    if _fused_eq_enabled(profile):
+        from atsc_tpu.ops.pallas.eq_fir import WIN_LEN
+
+        key = DEFAULT_EQ_PROFILE if profile == "auto" else profile
+        eq_k = EQ_PROFILES[key][0]
+        return -eq_k, WIN_LEN
+    return -_DEV_MARGIN, _N + 2 * _DEV_MARGIN
+
+
+@functools.lru_cache(maxsize=16)
+def device_eq_step(soft: bool = False, dequant: float = 1.0,
+                   profile: str = "auto"):
+    """The production jitted equalizer step for windows shaped per
+    eq_window_bounds(profile): (B, 2, length), (2, length) ->
+    (B, 260416) int8 symbols / float32 soft levels."""
+    if not _fused_eq_enabled(profile):
+        return _device_eq_step(soft, dequant, profile)
+    from atsc_tpu.ops.pallas.eq_fir import eq_fir_fused
+
+    key = DEFAULT_EQ_PROFILE if profile == "auto" else profile
+    eq_k = EQ_PROFILES[key][0]
+
+    @jax.jit
+    def step(win: jnp.ndarray, osc: jnp.ndarray) -> jnp.ndarray:
+        out = eq_fir_fused(win, osc, eq_k=eq_k, soft=soft, dequant=dequant)
+        return jax.lax.slice_in_dim(out, 0, _N, axis=-1)
+
+    return step
+
+
 def _osc_planar(lo: int, hi: int, first_field: int) -> np.ndarray:
     """(2, hi-lo) float32 planar oscillator for stream span [lo, hi)."""
     osc = _oscillator_for_span(lo, hi, first_field)
@@ -249,16 +297,20 @@ def _osc_planar(lo: int, hi: int, first_field: int) -> np.ndarray:
 
 def field_window(
     iq: np.ndarray, g0: int, first_field: int = 0, stream_offset: int = 0,
-    margin: int = _DEV_MARGIN,
+    margin: int = _DEV_MARGIN, length: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Assemble one field's planar IQ window + matching oscillator span.
 
-    Returns (win (B, 2, N + 2*margin) float32, osc (2, same) float32)
-    covering stream samples [g0 - margin, g0 + N + margin); context
-    missing from `iq` at either edge is zero-filled.
+    Returns (win (B, 2, L) float32, osc (2, L) float32) covering stream
+    samples [g0 - margin, g0 - margin + L) where L = length or
+    N + 2*margin; context missing from `iq` at either edge is
+    zero-filled. Pass margin/length from eq_window_bounds() to feed the
+    production device_eq_step (fused kernel windows are longer and
+    block-aligned).
     """
     iq = np.atleast_2d(iq)
-    lo, hi = g0 - margin, g0 + _N + margin
+    lo = g0 - margin
+    hi = lo + length if length is not None else g0 + _N + margin
     avail_lo = max(lo, stream_offset)
     avail_hi = min(hi, stream_offset + iq.shape[1])
     win = np.zeros((iq.shape[0], 2, hi - lo), np.float32)
@@ -369,8 +421,10 @@ def equalize_field_device(
     return is hard-sliced (B, 260416) int8 symbols (float32 soft levels
     when soft=True, for the Viterbi path).
     """
-    win_planar, osc_planar = field_window(iq, g0, first_field, stream_offset)
-    step = _device_eq_step(soft, profile=eq_profile)
+    lo_off, wlen = eq_window_bounds(eq_profile)
+    win_planar, osc_planar = field_window(
+        iq, g0, first_field, stream_offset, margin=-lo_off, length=wlen)
+    step = device_eq_step(soft, profile=eq_profile)
     return np.asarray(step(jnp.asarray(win_planar), jnp.asarray(osc_planar)))
 
 
@@ -866,22 +920,27 @@ class IqReceiver:
                 field = lev.astype(np.float32) if want_levels else (
                     slice_levels(lev)
                 )
-            else:
+            elif self._adaptive is not None:
                 win = self._stream.window(g0 - _DEV_MARGIN,
                                           g0 + _N + _DEV_MARGIN)
                 osc = _osc_planar(rel0 - _DEV_MARGIN, rel0 + _N + _DEV_MARGIN,
                                   self.first_field)
-                if self._adaptive is not None:
-                    parity = (self.first_field + self._next_field) % 2
-                    field = self._adaptive.process_field(
-                        win, osc, parity, soft=want_levels
-                    )
-                else:
-                    # stays a device array: the decoder's jitted step
-                    # consumes it in place (no D2H/H2D round trip)
-                    step = _device_eq_step(want_levels, self._dequant,
-                                           self.eq_profile)
-                    field = step(jnp.asarray(win), jnp.asarray(osc))
+                parity = (self.first_field + self._next_field) % 2
+                field = self._adaptive.process_field(
+                    win, osc, parity, soft=want_levels
+                )
+            else:
+                # window shape per the active step (fused Pallas kernel
+                # on TPU, XLA ops elsewhere); stays a device array: the
+                # decoder's jitted step consumes it in place (no D2H/H2D
+                # round trip)
+                lo_off, wlen = eq_window_bounds(self.eq_profile)
+                win = self._stream.window(g0 + lo_off, g0 + lo_off + wlen)
+                osc = _osc_planar(rel0 + lo_off, rel0 + lo_off + wlen,
+                                  self.first_field)
+                step = device_eq_step(want_levels, self._dequant,
+                                      self.eq_profile)
+                field = step(jnp.asarray(win), jnp.asarray(osc))
             if self.measure_mer:
                 sig, err = _mer_components_dev(jnp.asarray(field))
                 self._mer_sig += np.asarray(sig, np.float64)

@@ -82,7 +82,11 @@ def measure_rx(batch: int = 64, iters: int = 10) -> dict:
     host-link bandwidth (PERF.md's H2D trap) never enters the timing."""
     from atsc_tpu.models.decoder import Decoder
     from atsc_tpu.models.encoder import Encoder, iq_to_complex
-    from atsc_tpu.models.receiver import _device_eq_step, field_window
+    from atsc_tpu.models.receiver import (
+        device_eq_step,
+        eq_window_bounds,
+        field_window,
+    )
 
     rng = np.random.default_rng(3)
     ts = rng.integers(0, 256, size=(2, 1, P.FIELD_TS_BYTES), dtype=np.uint8)
@@ -92,12 +96,13 @@ def measure_rx(batch: int = 64, iters: int = 10) -> dict:
         [iq_to_complex(np.asarray(enc.encode(ts[k]))) for k in range(2)],
         axis=-1,
     )
-    win1, osc = field_window(iq, 0)           # (1, 2, W), (2, W)
+    lo_off, wlen = eq_window_bounds()     # fused kernel window on TPU
+    win1, osc = field_window(iq, 0, margin=-lo_off, length=wlen)
     win = jnp.tile(jnp.asarray(win1), (batch, 1, 1))
     oscj = jnp.asarray(osc)
     _barrier(win)
 
-    eq = _device_eq_step(False)
+    eq = device_eq_step(False)
     field = eq(win, oscj)
     _barrier(field)
     t0 = time.perf_counter()
