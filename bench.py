@@ -232,9 +232,14 @@ def main() -> None:
         if fps > best_fps:
             best_fps, best_desc = fps, (q_batch, fmt)
 
-    rx = _run_probe("rx_b64", lambda: measure_rx(64), errors)
-    if rx is not None:
-        extras["rx"] = rx
+    rx_rows = []
+    for rb in (64, 128, 256):
+        rx = _run_probe(f"rx_b{rb}", lambda b=rb: measure_rx(b), errors)
+        if rx is not None:
+            rx_rows.append(rx)
+    if rx_rows:
+        extras["rx"] = max(rx_rows, key=lambda r: r["fields_per_s"])
+        extras["rx_sweep"] = rx_rows
 
     if best_fps > 0.0:
         batch, fmt = best_desc
