@@ -198,7 +198,8 @@ class ShardedReceiver:
                  first_field: int = 0, eq_profile: str = "auto",
                  equalizer: str = "zf"):
         from atsc_tpu.models.receiver import (
-            _DEV_MARGIN, _eq_step_fn, DEFAULT_EQ_PROFILE, EQ_PROFILES,
+            _DEV_MARGIN, _eq_step_fn, _fused_eq_enabled, eq_window_bounds,
+            DEFAULT_EQ_PROFILE, EQ_PROFILES,
         )
 
         if equalizer not in ("zf", "adaptive", "adaptive-dd"):
@@ -209,14 +210,36 @@ class ShardedReceiver:
         self.n_ch = mesh.shape[CH_AXIS]
         self.t_total = self.n_time * fields_per_device
         assert batch % self.n_ch == 0
-        self.window = P.SYMBOLS_PER_FIELD + 2 * _DEV_MARGIN
+        #: public edge-context amount (decode_iq with_context contract)
         self._margin = _DEV_MARGIN
+        # internal equalizer-window geometry (may differ when the fused
+        # Pallas kernel is active — its window starts at the FIR operand
+        # and carries the kernel's block-aligned length)
+        self.window = P.SYMBOLS_PER_FIELD + 2 * _DEV_MARGIN
+        self._eq_margin = _DEV_MARGIN
         self._next_field = first_field       # oscillator epoch counter
         self.segments_corrected = 0
         self.segments_uncorrectable = 0
 
         if equalizer == "zf":
-            eq = _eq_step_fn(False, 1.0, eq_profile)
+            if _fused_eq_enabled(eq_profile):
+                # the fused Pallas kernel per field — the same per-device
+                # math as the sequential receiver's device_eq_step
+                from atsc_tpu.ops.pallas.eq_fir import eq_fir_fused
+
+                lo_off, wlen = eq_window_bounds(eq_profile)
+                self.window = wlen
+                self._eq_margin = -lo_off
+                resolved = (DEFAULT_EQ_PROFILE if eq_profile == "auto"
+                            else eq_profile)
+                eq_k = EQ_PROFILES[resolved][0]
+
+                def eq(win, osc):
+                    out = eq_fir_fused(win, osc, eq_k=eq_k)
+                    return jax.lax.slice_in_dim(
+                        out, 0, P.SYMBOLS_PER_FIELD, axis=-1)
+            else:
+                eq = _eq_step_fn(False, 1.0, eq_profile)
 
             def eq_fields(wins, oscs, start_parity):
                 return jax.vmap(eq)(wins, oscs)        # (F, b, N) int8
@@ -319,7 +342,8 @@ class ShardedReceiver:
             # oscillator epoch: this step begins at absolute stream field
             # _next_field; field_window's g0 is step-relative
             wins[f], oscs[f] = field_window(
-                iq, f * n, first_field=self._next_field, stream_offset=off
+                iq, f * n, first_field=self._next_field, stream_offset=off,
+                margin=self._eq_margin, length=self.window,
             )
         start_parity = jnp.int32(self._next_field % 2)
         self._next_field += self.t_total

@@ -267,3 +267,44 @@ def test_cli_decode_mesh_adaptive(tmp_path):
             [str(cap), "-o", str(out), "-c", "2", "--mesh", "2x2",
              "--equalizer", "adaptive", "--forgetting", "0.5"]
         ))
+
+
+def test_sharded_receiver_fused_eq(monkeypatch):
+    """ShardedReceiver with the fused Pallas equalizer active (interpret
+    mode on CPU — the branch a real TPU mesh executes): decoded TS must
+    equal the plain sharded receiver's."""
+    import functools
+
+    from atsc_tpu.models import receiver as rx_mod
+    from atsc_tpu.ops.pallas import eq_fir as mod
+    from atsc_tpu.parallel.rx_shard import ShardedReceiver
+    from tests.test_receiver import _encode_iq
+
+    n_time, n_ch, f_dev = 2, 1, 1
+    t_total = n_time * f_dev
+    batch = n_ch
+    rng = np.random.default_rng(73)
+    ts = _random_ts(rng, t_total, batch)
+    iq = _encode_iq(ts)
+    n = P.SYMBOLS_PER_FIELD
+    m = 384
+
+    mesh = make_mesh(n_time, n_ch)
+    plain = ShardedReceiver(mesh, batch=batch, fields_per_device=f_dev)
+    step = np.concatenate(
+        [np.zeros((batch, m), iq.dtype), iq, np.zeros((batch, m), iq.dtype)],
+        axis=1,
+    )
+    want_ts, want_err = plain.decode_iq(step, with_context=True)
+
+    monkeypatch.setenv("ATSC_TPU_FUSED", "1")
+    monkeypatch.setattr(
+        mod, "eq_fir_fused",
+        functools.partial(mod.eq_fir_fused, interpret=True))
+    fused = ShardedReceiver(mesh, batch=batch, fields_per_device=f_dev)
+    assert fused.window != plain.window      # fused geometry in effect
+    got_ts, got_err = fused.decode_iq(step, with_context=True)
+
+    np.testing.assert_array_equal(got_ts, want_ts)
+    np.testing.assert_array_equal(got_err, want_err)
+    np.testing.assert_array_equal(got_ts[1], ts[0])
