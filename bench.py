@@ -132,6 +132,64 @@ def measure_rx(batch: int = 64, iters: int = 10) -> dict:
     }
 
 
+def measure_rx_soft(batch: int = 64, iters: int = 10,
+                    chunks: int = 1) -> dict:
+    """Soft-decision receive cores: fused soft equalizer + Viterbi field
+    decoder (the noisy-capture ML path). chunks=1 is exact MLSE; at this
+    batch the ACS scan is already lane-saturated, so chunk-parallelism
+    does not pay (measured 284 ms at chunks=1 vs 297 ms at 24, B=64 —
+    chunking is a low-batch/latency lever)."""
+    from atsc_tpu.models.decoder import SoftDecoder
+    from atsc_tpu.models.encoder import Encoder, iq_to_complex
+    from atsc_tpu.models.receiver import (
+        device_eq_step,
+        eq_window_bounds,
+        field_window,
+    )
+
+    rng = np.random.default_rng(3)
+    ts = rng.integers(0, 256, size=(2, 1, P.FIELD_TS_BYTES), dtype=np.uint8)
+    ts[..., ::188] = 0x47
+    enc = Encoder(batch=1, donate=False)
+    iq = np.concatenate(
+        [iq_to_complex(np.asarray(enc.encode(ts[k]))) for k in range(2)],
+        axis=-1,
+    )
+    lo_off, wlen = eq_window_bounds()
+    win1, osc = field_window(iq, 0, margin=-lo_off, length=wlen)
+    win = jnp.tile(jnp.asarray(win1), (batch, 1, 1))
+    oscj = jnp.asarray(osc)
+    _barrier(win)
+
+    eq = device_eq_step(True)
+    levels = eq(win, oscj)
+    _barrier(levels)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        levels = eq(win, oscj)
+    _barrier(levels)
+    eq_dt = (time.perf_counter() - t0) / iters
+
+    dec = SoftDecoder(batch=batch, viterbi_chunks=chunks)
+    st, cw, syn = dec._step(dec._state, levels)
+    _barrier(syn)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, cw, syn = dec._step(dec._state, levels)
+    _barrier(syn)
+    dec_dt = (time.perf_counter() - t0) / iters
+
+    fps = batch / (eq_dt + dec_dt)
+    return {
+        "batch": batch,
+        "viterbi_chunks": chunks,
+        "eq_soft_ms": round(eq_dt * 1e3, 3),
+        "viterbi_ms": round(dec_dt * 1e3, 3),
+        "fields_per_s": round(fps, 1),
+        "realtime_channels": round(fps / FIELD_RATE, 1),
+    }
+
+
 def _tpu_alive(timeout_s: int = 240) -> bool:
     """Probe backend registration in a subprocess: a wedged device tunnel
     HANGS jax.devices() rather than failing (observed repeatedly), which
@@ -240,6 +298,10 @@ def main() -> None:
     if rx_rows:
         extras["rx"] = max(rx_rows, key=lambda r: r["fields_per_s"])
         extras["rx_sweep"] = rx_rows
+
+    rx_soft = _run_probe("rx_soft_b64", lambda: measure_rx_soft(64), errors)
+    if rx_soft is not None:
+        extras["rx_soft"] = rx_soft
 
     if best_fps > 0.0:
         batch, fmt = best_desc

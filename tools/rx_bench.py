@@ -68,14 +68,17 @@ def main() -> None:
          for k in range(args.fields)], axis=-1)
     iq = np.broadcast_to(iq1, (b, iq1.shape[1])).copy()
 
-    # -- probe 1: device equalizer step alone (one field window) --------
+    # -- probe 1: device equalizer step alone (one field window; the
+    #    production dispatch — fused Pallas kernel on TPU backends) ------
     from atsc_tpu.models.receiver import (
-        IqReceiver, _device_eq_step, field_window,
+        IqReceiver, _device_eq_step, device_eq_step, eq_window_bounds,
+        field_window,
     )
     soft = args.mode == "soft"
-    win, osc = field_window(iq, 0)
+    lo_off, wlen = eq_window_bounds(args.eq_profile)
+    win, osc = field_window(iq, 0, margin=-lo_off, length=wlen)
     winj, oscj = jnp.asarray(win), jnp.asarray(osc)
-    step = _device_eq_step(soft, profile=args.eq_profile)
+    step = device_eq_step(soft, profile=args.eq_profile)
     float(jnp.sum(step(winj, oscj).astype(jnp.float32)))  # compile+warm
     t0 = time.perf_counter()
     for _ in range(args.iters):
@@ -84,10 +87,13 @@ def main() -> None:
     _report(f"equalizer_step_{args.mode}_{args.eq_profile}", b,
             time.perf_counter() - t0, args.iters)
     if args.eq_profile == "auto":
-        # cross-check the fast tier against exact on-device: identical
-        # hard decisions expected on clean loopback signal
-        he = _device_eq_step(False, profile="exact")(winj, oscj)
-        hf = _device_eq_step(False, profile="fast")(winj, oscj)
+        # cross-check the production tier against exact on-device:
+        # identical hard decisions expected on clean loopback signal
+        wx, ox = field_window(iq, 0)
+        he = _device_eq_step(False, profile="exact")(
+            jnp.asarray(wx), jnp.asarray(ox))
+        hf = step(winj, oscj) if not soft else device_eq_step(
+            False, profile=args.eq_profile)(winj, oscj)
         mism = int(jnp.sum((he != hf).astype(jnp.int32)))
         print(json.dumps({"probe": "eq_fast_vs_exact_symbol_mismatches",
                           "batch": b, "count": mism}), flush=True)
