@@ -266,13 +266,28 @@ def eq_window_bounds(profile: str = "auto") -> tuple[int, int]:
     return -_DEV_MARGIN, _N + 2 * _DEV_MARGIN
 
 
-@functools.lru_cache(maxsize=16)
 def device_eq_step(soft: bool = False, dequant: float = 1.0,
                    profile: str = "auto"):
     """The production jitted equalizer step for windows shaped per
     eq_window_bounds(profile): (B, 2, length), (2, length) ->
-    (B, 260416) int8 symbols / float32 soft levels."""
-    if not _fused_eq_enabled(profile):
+    (B, 260416) int8 symbols / float32 soft levels.
+
+    The fused-kernel gate is part of the cache key, so toggling
+    ATSC_TPU_FUSED mid-process keeps this function and
+    eq_window_bounds() consistent."""
+    return _device_eq_step_impl(soft, dequant, profile,
+                                _fused_eq_enabled(profile))
+
+
+# kept for tests that need to drop interpret-mode steps after
+# monkeypatching the kernel itself
+device_eq_step.cache_clear = lambda: _device_eq_step_impl.cache_clear()
+
+
+@functools.lru_cache(maxsize=16)
+def _device_eq_step_impl(soft: bool, dequant: float, profile: str,
+                         fused: bool):
+    if not fused:
         return _device_eq_step(soft, dequant, profile)
     from atsc_tpu.ops.pallas.eq_fir import eq_fir_fused
 

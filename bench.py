@@ -209,9 +209,12 @@ def _tpu_alive(timeout_s: int = 240) -> bool:
 
 def _run_probe(name: str, fn, errors: list, timeout_s: int = 1200,
                retries: int = 1):
-    """Run one probe under a hang watchdog with `retries` retries.
-    Returns the probe's value or None; every failure (including the ones
-    that a retry recovered from) is appended to `errors` verbatim."""
+    """Run one probe under a hang watchdog with `retries` retries for
+    ordinary exceptions. A watchdog TIMEOUT is never retried (a wedged
+    tunnel does not heal between attempts — retrying would cost another
+    full timeout for nothing). Returns the probe's value or None; every
+    failure (including ones a retry recovered from) is appended to
+    `errors` verbatim."""
     import signal
 
     for attempt in range(retries + 1):
@@ -224,13 +227,15 @@ def _run_probe(name: str, fn, errors: list, timeout_s: int = 1200,
         signal.alarm(timeout_s)
         try:
             return fn()
-        except Exception:
+        except Exception as e:
             tail = traceback.format_exc().strip().splitlines()
             errors.append({
                 "probe": name,
                 "attempt": attempt,
                 "error": " | ".join(tail[-3:]),
             })
+            if isinstance(e, TimeoutError):
+                break
         finally:
             signal.alarm(0)
     return None
@@ -254,6 +259,21 @@ def main() -> None:
         print(json.dumps(result))
         return
 
+    dead = {"n": 0}  # consecutive fully-failed probes
+
+    def probe(name, fn):
+        """_run_probe with a chip-death short-circuit: after 2 probes in
+        a row fail outright, skip the rest (a wedged tunnel would
+        otherwise cost a full watchdog per remaining probe)."""
+        if dead["n"] >= 2:
+            errors.append({"probe": name,
+                           "error": "skipped: 2 consecutive probes failed "
+                                    "(device presumed unreachable)"})
+            return None
+        out = _run_probe(name, fn, errors)
+        dead["n"] = 0 if out is not None else dead["n"] + 1
+        return out
+
     best_fps = 0.0
     best_desc = None
     # cf32 at the known-good batches, then the cheaper wire formats at the
@@ -261,8 +281,8 @@ def main() -> None:
     # HBM-write traffic — expected to set the headline)
     cf32_results = {}
     for batch in (256, 384, 512):
-        fps = _run_probe(f"tx_cf32_b{batch}",
-                         lambda b=batch: measure_tx(b, "cf32"), errors)
+        fps = probe(f"tx_cf32_b{batch}",
+                    lambda b=batch: measure_tx(b, "cf32"))
         if fps is None:
             continue
         cf32_results[batch] = fps
@@ -277,8 +297,8 @@ def main() -> None:
 
     q_batch = max(cf32_results, key=cf32_results.get) if cf32_results else 384
     for fmt in ("cs16", "cs8"):
-        fps = _run_probe(f"tx_{fmt}_b{q_batch}",
-                         lambda f=fmt: measure_tx(q_batch, f), errors)
+        fps = probe(f"tx_{fmt}_b{q_batch}",
+                    lambda f=fmt: measure_tx(q_batch, f))
         if fps is None:
             continue
         row = {"batch": q_batch, "format": fmt,
@@ -292,14 +312,14 @@ def main() -> None:
 
     rx_rows = []
     for rb in (64, 128, 256):
-        rx = _run_probe(f"rx_b{rb}", lambda b=rb: measure_rx(b), errors)
+        rx = probe(f"rx_b{rb}", lambda b=rb: measure_rx(b))
         if rx is not None:
             rx_rows.append(rx)
     if rx_rows:
         extras["rx"] = max(rx_rows, key=lambda r: r["fields_per_s"])
         extras["rx_sweep"] = rx_rows
 
-    rx_soft = _run_probe("rx_soft_b64", lambda: measure_rx_soft(64), errors)
+    rx_soft = probe("rx_soft_b64", lambda: measure_rx_soft(64))
     if rx_soft is not None:
         extras["rx_soft"] = rx_soft
 

@@ -45,6 +45,7 @@ def dead(*a, **k):
     raise RuntimeError("chip exploded")
 bench.measure_tx = dead
 bench.measure_rx = dead
+bench.measure_rx_soft = dead
 bench.main()
 """
     import os
