@@ -74,19 +74,14 @@ def measure_tx(batch: int, out_format: str = "cf32",
     return batch / dt
 
 
-def measure_rx(batch: int = 64, iters: int = 10) -> dict:
-    """Receive-path device cores at `batch` channels: widely-used jitted
-    equalizer step + symbol-field decoder step, timed separately and
-    combined. Input windows are generated once at B=1 on the host and
-    tiled to B on the device — ~2 MB of H2D total, so the axon tunnel's
-    host-link bandwidth (PERF.md's H2D trap) never enters the timing."""
-    from atsc_tpu.models.decoder import Decoder
+def _rx_inputs(batch: int):
+    """Loopback equalizer inputs for the RX probes: a 2-field capture is
+    encoded at B=1 on the device, windowed per the production
+    eq_window_bounds contract, and tiled to `batch` ON the device —
+    ~2 MB of H2D total, so the axon tunnel's host-link bandwidth
+    (PERF.md's H2D trap) never enters the timing."""
     from atsc_tpu.models.encoder import Encoder, iq_to_complex
-    from atsc_tpu.models.receiver import (
-        device_eq_step,
-        eq_window_bounds,
-        field_window,
-    )
+    from atsc_tpu.models.receiver import eq_window_bounds, field_window
 
     rng = np.random.default_rng(3)
     ts = rng.integers(0, 256, size=(2, 1, P.FIELD_TS_BYTES), dtype=np.uint8)
@@ -101,7 +96,16 @@ def measure_rx(batch: int = 64, iters: int = 10) -> dict:
     win = jnp.tile(jnp.asarray(win1), (batch, 1, 1))
     oscj = jnp.asarray(osc)
     _barrier(win)
+    return win, oscj
 
+
+def measure_rx(batch: int = 64, iters: int = 10) -> dict:
+    """Receive-path device cores at `batch` channels: jitted equalizer
+    step + symbol-field decoder step, timed separately and combined."""
+    from atsc_tpu.models.decoder import Decoder
+    from atsc_tpu.models.receiver import device_eq_step
+
+    win, oscj = _rx_inputs(batch)
     eq = device_eq_step(False)
     field = eq(win, oscj)
     _barrier(field)
@@ -140,27 +144,9 @@ def measure_rx_soft(batch: int = 64, iters: int = 10,
     does not pay (measured 284 ms at chunks=1 vs 297 ms at 24, B=64 —
     chunking is a low-batch/latency lever)."""
     from atsc_tpu.models.decoder import SoftDecoder
-    from atsc_tpu.models.encoder import Encoder, iq_to_complex
-    from atsc_tpu.models.receiver import (
-        device_eq_step,
-        eq_window_bounds,
-        field_window,
-    )
+    from atsc_tpu.models.receiver import device_eq_step
 
-    rng = np.random.default_rng(3)
-    ts = rng.integers(0, 256, size=(2, 1, P.FIELD_TS_BYTES), dtype=np.uint8)
-    ts[..., ::188] = 0x47
-    enc = Encoder(batch=1, donate=False)
-    iq = np.concatenate(
-        [iq_to_complex(np.asarray(enc.encode(ts[k]))) for k in range(2)],
-        axis=-1,
-    )
-    lo_off, wlen = eq_window_bounds()
-    win1, osc = field_window(iq, 0, margin=-lo_off, length=wlen)
-    win = jnp.tile(jnp.asarray(win1), (batch, 1, 1))
-    oscj = jnp.asarray(osc)
-    _barrier(win)
-
+    win, oscj = _rx_inputs(batch)
     eq = device_eq_step(True)
     levels = eq(win, oscj)
     _barrier(levels)
