@@ -1406,8 +1406,114 @@ def run_decode(args) -> dict:
     return summary
 
 
+def build_analyze_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="atsc_tpu analyze",
+        description="Signal-quality triage of an 8VSB IQ capture without "
+                    "decoding: power, field alignment, carrier offset, "
+                    "sample-rate offset, MER (broadcast monitoring metric)",
+    )
+    ap.add_argument("input", help="IQ capture path or '-' (stdin); "
+                                  "single-channel at the symbol rate")
+    ap.add_argument("--format", dest="in_format", default="cf32",
+                    choices=("cf32", "cs16", "cs8"))
+    ap.add_argument("--fields", type=int, default=4,
+                    help="fields of capture to read (>= 3 enables the SRO "
+                         "estimate)")
+    ap.add_argument("--cfo-search", type=float, default=3000.0,
+                    help="one-sided carrier-offset search range (Hz)")
+    return ap
+
+
+def run_analyze(args) -> dict:
+    """Measure a capture the way a broadcast monitor would: estimate and
+    back out CFO, locate the field sync (PN511), estimate SRO from sync
+    drift, then equalize one aligned field and report its MER. Estimators
+    are the same ones `decode`'s conditioning front end uses, so the
+    report predicts which decode flags the capture needs."""
+    from atsc_tpu.models.receiver import (
+        equalize_field_device,
+        estimate_cfo,
+        estimate_sro,
+        find_field_sync_iq,
+        mer_db,
+        resample_stream,
+    )
+    from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
+
+    n = P.SYMBOLS_PER_FIELD
+    fmt = args.in_format
+    want = (args.fields * n + 2 * P.SYMBOLS_PER_SEGMENT
+            ) * BYTES_PER_SAMPLE[fmt]
+    if args.input == "-":
+        buf = sys.stdin.buffer.read(want)
+    else:
+        with open(args.input, "rb") as f:
+            buf = f.read(want)
+    iq = _wire_to_complex(buf, fmt)
+    if iq.size < n + P.SYMBOLS_PER_SEGMENT:
+        raise ValueError(
+            f"capture too short to analyze: {iq.size} samples "
+            f"(< one field + one segment)"
+        )
+    out: dict = {
+        "samples": int(iq.size),
+        "rms": round(float(np.sqrt(np.mean(np.abs(iq) ** 2))), 6),
+    }
+
+    # order matters: SRO scales every frequency, so the pilot-based CFO
+    # estimate taken on an off-rate capture is biased by pilot_Hz * ppm
+    # (~81 Hz at 30 ppm). Align (PN511 correlation is CFO-robust over its
+    # 47 us window) -> resample to nominal -> then measure the TRUE
+    # carrier offset.
+    off, parity = find_field_sync_iq(iq)
+    if iq.size - off >= int(2.2 * n):
+        rate = float(estimate_sro(iq[off:]))   # capture samples / nominal
+        sro_ppm = (rate - 1.0) * 1e6
+        out["sro_ppm"] = round(sro_ppm, 3)
+        # below 2 ppm the drift over the one analyzed field is < 1 sample
+        # — skip the resample rather than inject interpolator noise into
+        # the MER
+        if abs(sro_ppm) > 2.0:
+            iq = resample_stream(iq, rate)[0]
+
+    cfo = float(estimate_cfo(iq, search_hz=args.cfo_search))
+    out["cfo_hz"] = round(cfo, 2)
+    if abs(cfo) > 0.5:
+        iq = iq * np.exp(
+            -2j * np.pi * cfo / P.SAMPLE_RATE * np.arange(iq.size))
+
+    off, parity = find_field_sync_iq(iq)
+    out["align_offset"] = int(off)
+    out["align_parity"] = int(parity)
+
+    if iq.size - off >= n:
+        if off == 0 and parity == 0:
+            # epoch-aligned capture: the ZF inverse of the known TX chain
+            lev = equalize_field_device(iq[None], 0, soft=True)
+            out["mer_method"] = "zf"
+        else:
+            # mid-stream start: the oscillator epoch (not just parity) is
+            # unknown, so the ZF derotation is off by a fixed rotation;
+            # the sync-trained adaptive equalizer absorbs it
+            from atsc_tpu.models.receiver import field_window
+            from atsc_tpu.ops.adaptive_eq import AdaptiveEqualizer
+
+            win, osc = field_window(iq[None], off, first_field=parity)
+            lev = AdaptiveEqualizer(batch=1).process_field(
+                win, osc, parity, soft=True)
+            out["mer_method"] = "adaptive"
+        out["mer_db"] = round(float(mer_db(lev)[0]), 2)
+        out["decodable"] = bool(out["mer_db"] >= 15.2)
+    return out
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if argv[:1] == ["analyze"]:
+        print(json.dumps(run_analyze(
+            build_analyze_argparser().parse_args(argv[1:]))))
+        return 0
     if argv[:1] == ["decode"]:
         run_decode(build_decode_argparser().parse_args(argv[1:]))
         return 0

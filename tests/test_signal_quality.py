@@ -95,3 +95,59 @@ def test_burst_flags_device_matches_host():
     # ... and agree essentially everywhere (baseline subsampling may move
     # a run edge by a window or two on borderline hot windows)
     assert np.mean(host != dev) < 1e-3
+
+
+def test_cli_analyze_clean_capture(tmp_path):
+    """`analyze` on a clean epoch-aligned capture: zero offsets, high MER
+    via the ZF path, decodable verdict."""
+    from atsc_tpu.cli import build_analyze_argparser, run_analyze
+    from tests.test_decoder import _random_ts
+    from tests.test_receiver import _encode_iq
+
+    rng = np.random.default_rng(41)
+    ts = _random_ts(rng, 4, 1)
+    iq = _encode_iq(ts)[0]
+    path = tmp_path / "cap.iq"
+    np.stack([iq.real, iq.imag], axis=-1).astype(np.float32).tofile(path)
+
+    out = run_analyze(build_analyze_argparser().parse_args([str(path)]))
+    assert out["align_offset"] == 0 and out["align_parity"] == 0
+    assert abs(out["cfo_hz"]) < 5
+    assert abs(out.get("sro_ppm", 0.0)) < 2.0
+    assert out["mer_method"] == "zf"
+    assert out["mer_db"] > 30
+    assert out["decodable"]
+
+
+def test_cli_analyze_impaired_capture(tmp_path):
+    """`analyze` on a mid-stream capture with CFO, SRO and noise: the
+    estimators report the impairments and MER comes from the adaptive
+    path (unknown oscillator epoch)."""
+    from atsc_tpu.cli import build_analyze_argparser, run_analyze
+    from atsc_tpu.models.receiver import resample_stream
+    from tests.test_decoder import _random_ts
+    from tests.test_receiver import _encode_iq
+
+    rng = np.random.default_rng(43)
+    ts = _random_ts(rng, 5, 1)
+    iq = _encode_iq(ts)[0]
+    cut = 7_000                                  # mid-field start
+    y = iq[cut:] * np.exp(
+        2j * np.pi * 250.0 / P.SAMPLE_RATE * np.arange(iq.size - cut))
+    y = resample_stream(y, 1.0 / (1.0 + 30e-6))[0]     # 30 ppm fast
+    p = float(np.mean(np.abs(y) ** 2))
+    y = y + (rng.normal(size=y.size) + 1j * rng.normal(size=y.size)) \
+        * np.sqrt(p / 10 ** (28.0 / 10.0) / 2.0)       # 28 dB SNR
+    path = tmp_path / "cap.iq"
+    np.stack([y.real, y.imag], axis=-1).astype(np.complex64().real.dtype
+                                               ).tofile(path)
+
+    out = run_analyze(build_analyze_argparser().parse_args([str(path)]))
+    # CFO is measured after the SRO resample, so it is the true carrier
+    # offset (not biased by the SRO-scaled pilot shift)
+    assert abs(out["cfo_hz"] - 250.0) < 30
+    assert abs(out["sro_ppm"] - 30.0) < 3
+    assert out["align_offset"] > 0
+    assert out["mer_method"] == "adaptive"
+    assert out["mer_db"] > 20       # 28 dB SNR capture, equalized
+    assert out["decodable"]
