@@ -1413,7 +1413,9 @@ def build_analyze_argparser() -> argparse.ArgumentParser:
                     "decoding: power, field alignment, carrier offset, "
                     "sample-rate offset, MER (broadcast monitoring metric)",
     )
-    ap.add_argument("input", help="IQ capture path or '-' (stdin); "
+    ap.add_argument("input", help="IQ capture path, '-' (stdin), or "
+                                  "'soapy[:driver]' to grab a few fields "
+                                  "live off a SoapySDR receiver; "
                                   "single-channel at the symbol rate")
     ap.add_argument("--format", dest="in_format", default="cf32",
                     choices=("cf32", "cs16", "cs8"))
@@ -1422,6 +1424,10 @@ def build_analyze_argparser() -> argparse.ArgumentParser:
                          "estimate)")
     ap.add_argument("--cfo-search", type=float, default=3000.0,
                     help="one-sided carrier-offset search range (Hz)")
+    ap.add_argument("-d", "--driver", default="hackrf",
+                    help="SoapySDR driver for a live grab")
+    ap.add_argument("-f", "--frequency", type=float, default=473e6)
+    ap.add_argument("-g", "--gain", type=float, default=30.0)
     return ap
 
 
@@ -1445,11 +1451,12 @@ def run_analyze(args) -> dict:
     fmt = args.in_format
     want = (args.fields * n + 2 * P.SYMBOLS_PER_SEGMENT
             ) * BYTES_PER_SAMPLE[fmt]
-    if args.input == "-":
-        buf = sys.stdin.buffer.read(want)
-    else:
-        with open(args.input, "rb") as f:
-            buf = f.read(want)
+    fin = _open_capture(args, P.SAMPLE_RATE, 6_000_000.0)
+    try:
+        buf = fin.read(want)
+    finally:
+        if fin is not sys.stdin.buffer:
+            fin.close()
     iq = _wire_to_complex(buf, fmt)
     if iq.size < n + P.SYMBOLS_PER_SEGMENT:
         raise ValueError(

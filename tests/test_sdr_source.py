@@ -342,3 +342,28 @@ def test_cli_encode_soapy_ppm_keeps_nominal_clock(monkeypatch, tmp_path):
     run(EncoderConfig(sink="soapy:fake", rate=12_000_000), [str(ts_path)],
         max_fields=1)
     assert calls2["rate"] == 12e6
+
+
+def test_cli_analyze_live_capture(monkeypatch):
+    """`analyze soapy:fake` grabs a few fields off the (fake) SDR and
+    reports signal quality — the live station-triage workflow."""
+    from atsc_tpu.cli import build_analyze_argparser, run_analyze
+    from atsc_tpu.models.encoder import Encoder, iq_to_complex
+
+    rng = np.random.default_rng(23)
+    ts = rng.integers(0, 256, size=(5, 1, P.FIELD_TS_BYTES), dtype=np.uint8)
+    ts[..., :: 188] = 0x47
+    enc = Encoder(batch=1, donate=False)
+    iq = np.concatenate(
+        [iq_to_complex(np.asarray(enc.encode(ts[k]))) for k in range(5)],
+        axis=-1,
+    )[0]
+    samples = np.stack([iq.real, iq.imag], axis=-1).astype(np.float32)
+    calls = _install_fake_soapy(monkeypatch, samples, mtu=65_536)
+
+    out = run_analyze(build_analyze_argparser().parse_args(
+        ["soapy:fake", "--fields", "4"]))
+    assert calls["driver"] == "fake" and calls["format"] == "CF32"
+    assert calls["rate"] == P.SAMPLE_RATE
+    assert out["align_offset"] == 0 and out["mer_db"] > 30
+    assert out["decodable"]
