@@ -1424,6 +1424,10 @@ def build_analyze_argparser() -> argparse.ArgumentParser:
                          "estimate)")
     ap.add_argument("--cfo-search", type=float, default=3000.0,
                     help="one-sided carrier-offset search range (Hz)")
+    ap.add_argument("--demux", type=int, default=0, metavar="B",
+                    help="the capture is a B-slot FDM multiplex at "
+                         "B*6 MHz (encode --mux output / wideband SDR "
+                         "grab): demux and report every slot")
     ap.add_argument("-d", "--driver", default="hackrf",
                     help="SoapySDR driver for a live grab")
     ap.add_argument("-f", "--frequency", type=float, default=473e6)
@@ -1431,12 +1435,10 @@ def build_analyze_argparser() -> argparse.ArgumentParser:
     return ap
 
 
-def run_analyze(args) -> dict:
-    """Measure a capture the way a broadcast monitor would: estimate and
-    back out CFO, locate the field sync (PN511), estimate SRO from sync
-    drift, then equalize one aligned field and report its MER. Estimators
-    are the same ones `decode`'s conditioning front end uses, so the
-    report predicts which decode flags the capture needs."""
+def _analyze_iq(iq: np.ndarray, cfo_search: float,
+                force_adaptive: bool = False) -> dict:
+    """The per-channel metric core of `analyze`: (n,) complex baseband at
+    the symbol rate -> {rms, sro_ppm, cfo_hz, align, mer_db, ...}."""
     from atsc_tpu.models.receiver import (
         equalize_field_device,
         estimate_cfo,
@@ -1445,28 +1447,16 @@ def run_analyze(args) -> dict:
         mer_db,
         resample_stream,
     )
-    from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
 
     n = P.SYMBOLS_PER_FIELD
-    fmt = args.in_format
-    want = (args.fields * n + 2 * P.SYMBOLS_PER_SEGMENT
-            ) * BYTES_PER_SAMPLE[fmt]
-    fin = _open_capture(args, P.SAMPLE_RATE, 6_000_000.0)
-    try:
-        buf = fin.read(want)
-    finally:
-        if fin is not sys.stdin.buffer:
-            fin.close()
-    iq = _wire_to_complex(buf, fmt)
-    if iq.size < n + P.SYMBOLS_PER_SEGMENT:
-        raise ValueError(
-            f"capture too short to analyze: {iq.size} samples "
-            f"(< one field + one segment)"
-        )
     out: dict = {
         "samples": int(iq.size),
         "rms": round(float(np.sqrt(np.mean(np.abs(iq) ** 2))), 6),
     }
+    if iq.size < n + P.SYMBOLS_PER_SEGMENT:
+        out["error"] = (f"capture too short to analyze: {iq.size} samples "
+                        "(< one field + one segment)")
+        return out
 
     # order matters: SRO scales every frequency, so the pilot-based CFO
     # estimate taken on an off-rate capture is biased by pilot_Hz * ppm
@@ -1484,7 +1474,7 @@ def run_analyze(args) -> dict:
         if abs(sro_ppm) > 2.0:
             iq = resample_stream(iq, rate)[0]
 
-    cfo = float(estimate_cfo(iq, search_hz=args.cfo_search))
+    cfo = float(estimate_cfo(iq, search_hz=cfo_search))
     out["cfo_hz"] = round(cfo, 2)
     if abs(cfo) > 0.5:
         iq = iq * np.exp(
@@ -1495,14 +1485,15 @@ def run_analyze(args) -> dict:
     out["align_parity"] = int(parity)
 
     if iq.size - off >= n:
-        if off == 0 and parity == 0:
+        if off == 0 and parity == 0 and not force_adaptive:
             # epoch-aligned capture: the ZF inverse of the known TX chain
             lev = equalize_field_device(iq[None], 0, soft=True)
             out["mer_method"] = "zf"
         else:
-            # mid-stream start: the oscillator epoch (not just parity) is
-            # unknown, so the ZF derotation is off by a fixed rotation;
-            # the sync-trained adaptive equalizer absorbs it
+            # mid-stream start (unknown oscillator epoch = fixed rotation
+            # the ZF derotation cannot know) or a demuxed slot (the demux
+            # filter is a linear channel): the sync-trained adaptive
+            # equalizer absorbs both
             from atsc_tpu.models.receiver import field_window
             from atsc_tpu.ops.adaptive_eq import AdaptiveEqualizer
 
@@ -1512,6 +1503,61 @@ def run_analyze(args) -> dict:
             out["mer_method"] = "adaptive"
         out["mer_db"] = round(float(mer_db(lev)[0]), 2)
         out["decodable"] = bool(out["mer_db"] >= 15.2)
+    return out
+
+
+def run_analyze(args) -> dict:
+    """Measure a capture the way a broadcast monitor would: estimate and
+    back out CFO, locate the field sync (PN511), estimate SRO from sync
+    drift, then equalize one aligned field and report its MER. Estimators
+    are the same ones `decode`'s conditioning front end uses, so the
+    report predicts which decode flags the capture needs. With --demux B
+    the input is a B-slot FDM multiplex at B*6 MHz: it is demuxed and
+    every slot gets its own report (per-slot MER table — the headend
+    monitoring view)."""
+    from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
+
+    n = P.SYMBOLS_PER_FIELD
+    fmt = args.in_format
+    slots = int(getattr(args, "demux", 0) or 0)
+    if slots:
+        from atsc_tpu.ops.mux import FdmDemuxer
+
+        demux = FdmDemuxer(slots)
+        per_field_wb = int(np.ceil(n * demux.rate_hz / P.SAMPLE_RATE))
+        want = ((args.fields * per_field_wb + 8192)
+                * BYTES_PER_SAMPLE[fmt])
+        rate, bw = demux.rate_hz, slots * 6e6
+    else:
+        want = (args.fields * n + 2 * P.SYMBOLS_PER_SEGMENT
+                ) * BYTES_PER_SAMPLE[fmt]
+        rate, bw = P.SAMPLE_RATE, 6_000_000.0
+
+    fin = _open_capture(args, rate, bw)
+    try:
+        buf = fin.read(want)
+    finally:
+        if fin is not sys.stdin.buffer:
+            fin.close()
+    iq = _wire_to_complex(buf, fmt)
+
+    if not slots:
+        out = _analyze_iq(iq, args.cfo_search)
+        if "error" in out:
+            raise ValueError(out["error"])
+        return out
+
+    bb = np.concatenate([demux.push(iq), demux.flush()], axis=-1)
+    out = {
+        "multiplex_rate": rate,
+        "slots": slots,
+        "samples": int(iq.size),
+        "rms": round(float(np.sqrt(np.mean(np.abs(iq) ** 2))), 6),
+        "per_slot": [
+            _analyze_iq(bb[s], args.cfo_search, force_adaptive=True)
+            for s in range(slots)
+        ],
+    }
     return out
 
 

@@ -151,3 +151,32 @@ def test_cli_analyze_impaired_capture(tmp_path):
     assert out["mer_method"] == "adaptive"
     assert out["mer_db"] > 20       # 28 dB SNR capture, equalized
     assert out["decodable"]
+
+
+def test_cli_analyze_demux_per_slot(tmp_path):
+    """`analyze --demux B` on a wideband FDM multiplex: a per-slot MER
+    report (the headend monitoring view). All slots decodable, adaptive
+    MER (the demux filter is a linear channel)."""
+    from atsc_tpu.cli import build_analyze_argparser, run_analyze, run
+    from atsc_tpu.utils.config import EncoderConfig
+    from tests.test_decoder import _random_ts
+
+    b = 2
+    rng = np.random.default_rng(47)
+    ts = _random_ts(rng, 4, b)
+    tsp = []
+    for ch in range(b):
+        p = tmp_path / f"in{ch}.ts"
+        ts[:, ch].reshape(-1).tofile(p)
+        tsp.append(str(p))
+    cap = tmp_path / "wide.iq"
+    run(EncoderConfig(channels=b, mux=True, sink=str(cap)), tsp)
+
+    out = run_analyze(build_analyze_argparser().parse_args(
+        [str(cap), "--demux", str(b), "--fields", "3"]))
+    assert out["slots"] == b and out["multiplex_rate"] == b * 6e6
+    assert len(out["per_slot"]) == b
+    for s in out["per_slot"]:
+        assert s["mer_method"] == "adaptive"
+        assert s["mer_db"] > 20
+        assert s["decodable"]
