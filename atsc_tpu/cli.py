@@ -1428,6 +1428,11 @@ def build_analyze_argparser() -> argparse.ArgumentParser:
                     help="the capture is a B-slot FDM multiplex at "
                          "B*6 MHz (encode --mux output / wideband SDR "
                          "grab): demux and report every slot")
+    ap.add_argument("--rate", default=None, metavar="SPS",
+                    help="capture sample rate (e.g. 20e6 for a 20 MS/s "
+                         "SDR grab): stream-resampled down to the native "
+                         "band rate before analysis; for a live grab the "
+                         "SDR is clocked at this rate")
     ap.add_argument("-d", "--driver", default="hackrf",
                     help="SoapySDR driver for a live grab")
     ap.add_argument("-f", "--frequency", type=float, default=473e6)
@@ -1525,15 +1530,36 @@ def run_analyze(args) -> dict:
 
         demux = FdmDemuxer(slots)
         per_field_wb = int(np.ceil(n * demux.rate_hz / P.SAMPLE_RATE))
-        want = ((args.fields * per_field_wb + 8192)
-                * BYTES_PER_SAMPLE[fmt])
-        rate, bw = demux.rate_hz, slots * 6e6
+        want_samples = args.fields * per_field_wb + 8192
+        native, bw = demux.rate_hz, slots * 6e6
     else:
-        want = (args.fields * n + 2 * P.SYMBOLS_PER_SEGMENT
-                ) * BYTES_PER_SAMPLE[fmt]
-        rate, bw = P.SAMPLE_RATE, 6_000_000.0
+        want_samples = args.fields * n + 2 * P.SYMBOLS_PER_SEGMENT
+        native, bw = P.SAMPLE_RATE, 6_000_000.0
 
-    fin = _open_capture(args, rate, bw)
+    # --rate: the capture (file or live SDR clock) runs at an arbitrary
+    # rate; stream-resample it down to the native band rate first (the
+    # same adapter decode uses)
+    rate_frac = None
+    cap_sps = native
+    if getattr(args, "rate", None) is not None:
+        from fractions import Fraction
+
+        from atsc_tpu.ops.resample import SYMBOL_RATE_FRACTION
+
+        nat_frac = (Fraction(6_000_000 * slots) if slots
+                    else SYMBOL_RATE_FRACTION)
+        rate_frac = _parse_sps(args.rate) / nat_frac
+        if rate_frac < 1:
+            raise ValueError(
+                f"--rate {float(_parse_sps(args.rate)):.0f} is below the "
+                f"occupied band ({float(nat_frac):.0f} S/s minimum)")
+        cap_sps = float(_parse_sps(args.rate))
+
+    fin = _open_capture(args, cap_sps, bw)
+    if rate_frac is not None and rate_frac != 1:
+        fin = _ResampledCapture(fin, fmt, rate_frac)
+        fmt = "cf32"
+    want = want_samples * BYTES_PER_SAMPLE[fmt]
     try:
         buf = fin.read(want)
     finally:

@@ -180,3 +180,24 @@ def test_cli_analyze_demux_per_slot(tmp_path):
         assert s["mer_method"] == "adaptive"
         assert s["mer_db"] > 20
         assert s["decodable"]
+
+
+def test_cli_analyze_rate_capture(tmp_path):
+    """`analyze --rate 14e6` on a capture at a 14 MS/s SDR clock: the
+    stream resampler brings it to the symbol rate first; clean metrics."""
+    from atsc_tpu.cli import build_analyze_argparser, run_analyze, run
+    from atsc_tpu.utils.config import EncoderConfig
+    from tests.test_decoder import _random_ts
+
+    rng = np.random.default_rng(53)
+    ts = _random_ts(rng, 4, 1)
+    p = tmp_path / "in.ts"
+    ts[:, 0].reshape(-1).tofile(p)
+    cap = tmp_path / "cap14.iq"
+    run(EncoderConfig(sink=str(cap), rate=14e6), [str(p)])
+
+    out = run_analyze(build_analyze_argparser().parse_args(
+        [str(cap), "--rate", "14e6", "--fields", "3"]))
+    assert abs(out["cfo_hz"]) < 5
+    assert out["mer_db"] > 25
+    assert out["decodable"]
