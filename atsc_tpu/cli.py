@@ -1575,7 +1575,7 @@ def run_analyze(args) -> dict:
 
     bb = np.concatenate([demux.push(iq), demux.flush()], axis=-1)
     out = {
-        "multiplex_rate": rate,
+        "multiplex_rate": float(native),
         "slots": slots,
         "samples": int(iq.size),
         "rms": round(float(np.sqrt(np.mean(np.abs(iq) ** 2))), 6),
