@@ -1473,10 +1473,12 @@ def _analyze_iq(iq: np.ndarray, cfo_search: float,
         rate = float(estimate_sro(iq[off:]))   # capture samples / nominal
         sro_ppm = (rate - 1.0) * 1e6
         out["sro_ppm"] = round(sro_ppm, 3)
-        # below 2 ppm the drift over the one analyzed field is < 1 sample
-        # — skip the resample rather than inject interpolator noise into
-        # the MER
-        if abs(sro_ppm) > 2.0:
+        # short-capture accuracy is a few ppm (when a sync sits at the
+        # span edge, the sub-sample peak refinement is clipped), and a
+        # few ppm of drift over the one analyzed field is ~1 sample — so
+        # only correct clearly-real offsets; a spurious tiny resample
+        # would add its own bulk delay and interpolator noise to the MER
+        if abs(sro_ppm) > 5.0:
             iq = resample_stream(iq, rate)[0]
 
     cfo = float(estimate_cfo(iq, search_hz=cfo_search))
@@ -1490,24 +1492,39 @@ def _analyze_iq(iq: np.ndarray, cfo_search: float,
     out["align_parity"] = int(parity)
 
     if iq.size - off >= n:
-        if off == 0 and parity == 0 and not force_adaptive:
-            # epoch-aligned capture: the ZF inverse of the known TX chain
-            lev = equalize_field_device(iq[None], 0, soft=True)
-            out["mer_method"] = "zf"
-        else:
-            # mid-stream start (unknown oscillator epoch = fixed rotation
-            # the ZF derotation cannot know) or a demuxed slot (the demux
-            # filter is a linear channel): the sync-trained adaptive
-            # equalizer absorbs both
+        def _adaptive_mer() -> float:
+            # phase/epoch-agnostic: the sync-trained adaptive equalizer
+            # absorbs any fixed rotation or linear channel
             from atsc_tpu.models.receiver import field_window
             from atsc_tpu.ops.adaptive_eq import AdaptiveEqualizer
 
             win, osc = field_window(iq[None], off, first_field=parity)
             lev = AdaptiveEqualizer(batch=1).process_field(
                 win, osc, parity, soft=True)
-            out["mer_method"] = "adaptive"
-        out["mer_db"] = round(float(mer_db(lev)[0]), 2)
+            return float(mer_db(lev)[0])
+
+        mer = None
+        if off == 0 and parity == 0 and not force_adaptive:
+            # looks epoch-aligned: try the ZF inverse of the known TX
+            # chain (exact on true loopback). But off==0/parity==0 does
+            # NOT prove epoch alignment — a capture cut at a FRAME
+            # boundary has the same signature with the oscillator ~pi
+            # off — so a poor ZF MER falls back to the adaptive
+            # measurement rather than issuing a false not-decodable
+            # verdict.
+            lev = equalize_field_device(iq[None], 0, soft=True)
+            mer = float(mer_db(lev)[0])
+            out["mer_method"] = "zf"
+        if mer is None or mer < 20.0:
+            adaptive = _adaptive_mer()
+            if mer is None or adaptive > mer:
+                mer = adaptive
+                out["mer_method"] = "adaptive"
+        out["mer_db"] = round(mer, 2)
         out["decodable"] = bool(out["mer_db"] >= 15.2)
+    else:
+        out["note"] = ("capture too short after alignment for a MER "
+                       "field; raise --fields")
     return out
 
 
@@ -1530,30 +1547,34 @@ def run_analyze(args) -> dict:
 
         demux = FdmDemuxer(slots)
         per_field_wb = int(np.ceil(n * demux.rate_hz / P.SAMPLE_RATE))
-        want_samples = args.fields * per_field_wb + 8192
+        # +1 field of budget: the first sync can land up to a field in
+        # (mid-stream capture), and the SRO/MER gates need their spans
+        # AFTER the alignment offset
+        want_samples = (args.fields + 1) * per_field_wb + 8192
         native, bw = demux.rate_hz, slots * 6e6
     else:
-        want_samples = args.fields * n + 2 * P.SYMBOLS_PER_SEGMENT
+        want_samples = (args.fields + 1) * n + 2 * P.SYMBOLS_PER_SEGMENT
         native, bw = P.SAMPLE_RATE, 6_000_000.0
 
     # --rate: the capture (file or live SDR clock) runs at an arbitrary
-    # rate; stream-resample it down to the native band rate first (the
-    # same adapter decode uses)
+    # rate; stream-resample it to the native band rate first (the same
+    # adapter decode uses; rates below native upsample — fine as long as
+    # the occupied band is carried)
     rate_frac = None
     cap_sps = native
     if getattr(args, "rate", None) is not None:
         from fractions import Fraction
 
-        from atsc_tpu.ops.resample import SYMBOL_RATE_FRACTION
+        from atsc_tpu.ops.resample import capture_rate
 
-        nat_frac = (Fraction(6_000_000 * slots) if slots
-                    else SYMBOL_RATE_FRACTION)
-        rate_frac = _parse_sps(args.rate) / nat_frac
-        if rate_frac < 1:
+        sps = _parse_sps(args.rate)
+        band = 6_000_000 * max(slots, 1)
+        if sps < band:
             raise ValueError(
-                f"--rate {float(_parse_sps(args.rate)):.0f} is below the "
-                f"occupied band ({float(nat_frac):.0f} S/s minimum)")
-        cap_sps = float(_parse_sps(args.rate))
+                f"--rate {float(sps):.0f} cannot carry the occupied "
+                f"+-{band / 2e6:g} MHz band (needs >= {band / 1e6:g} MS/s)")
+        rate_frac = (sps / Fraction(band) if slots else capture_rate(sps))
+        cap_sps = float(sps)
 
     fin = _open_capture(args, cap_sps, bw)
     if rate_frac is not None and rate_frac != 1:

@@ -198,6 +198,57 @@ def test_cli_analyze_rate_capture(tmp_path):
 
     out = run_analyze(build_analyze_argparser().parse_args(
         [str(cap), "--rate", "14e6", "--fields", "3"]))
+    # the resampler's bulk delay clips the first sync, so a few ppm of
+    # edge-refinement bias in sro_ppm is expected (and not corrected)
+    assert abs(out.get("sro_ppm", 0.0)) < 5.0
     assert abs(out["cfo_hz"]) < 5
     assert out["mer_db"] > 25
     assert out["decodable"]
+
+
+def test_cli_analyze_frame_boundary_cut(tmp_path):
+    """A capture cut at a FRAME boundary (2 fields in) has off==0 and
+    parity==0 but a ~pi oscillator epoch offset: the ZF MER is garbage
+    and analyze must fall back to the adaptive measurement instead of
+    issuing a false not-decodable verdict."""
+    from atsc_tpu.cli import build_analyze_argparser, run_analyze
+    from tests.test_decoder import _random_ts
+    from tests.test_receiver import _encode_iq
+
+    rng = np.random.default_rng(59)
+    ts = _random_ts(rng, 6, 1)
+    iq = _encode_iq(ts)[0][2 * P.SYMBOLS_PER_FIELD :]   # drop one frame
+    path = tmp_path / "cap.iq"
+    np.stack([iq.real, iq.imag], axis=-1).astype(np.float32).tofile(path)
+
+    out = run_analyze(build_analyze_argparser().parse_args([str(path)]))
+    assert out["align_offset"] == 0 and out["align_parity"] == 0
+    assert out["mer_method"] == "adaptive"    # ZF rejected by fallback
+    assert out["mer_db"] > 25
+    assert out["decodable"]
+
+
+def test_cli_analyze_subnominal_rate(tmp_path):
+    """--rate below the symbol rate but above the 6 MHz occupied band
+    (e.g. a 10 MS/s Airspy grab) is valid — decode accepts it, so the
+    triage tool must too; genuinely-too-narrow rates are refused."""
+    import pytest
+
+    from atsc_tpu.cli import build_analyze_argparser, run_analyze, run
+    from atsc_tpu.utils.config import EncoderConfig
+    from tests.test_decoder import _random_ts
+
+    rng = np.random.default_rng(61)
+    ts = _random_ts(rng, 4, 1)
+    p = tmp_path / "in.ts"
+    ts[:, 0].reshape(-1).tofile(p)
+    cap = tmp_path / "cap10.iq"
+    run(EncoderConfig(sink=str(cap), rate=10e6), [str(p)])
+
+    out = run_analyze(build_analyze_argparser().parse_args(
+        [str(cap), "--rate", "10e6", "--fields", "3"]))
+    assert out["decodable"] and out["mer_db"] > 20
+
+    with pytest.raises(ValueError, match="occupied"):
+        run_analyze(build_analyze_argparser().parse_args(
+            [str(cap), "--rate", "5e6"]))
