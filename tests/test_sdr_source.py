@@ -351,11 +351,11 @@ def test_cli_analyze_live_capture(monkeypatch):
     from atsc_tpu.models.encoder import Encoder, iq_to_complex
 
     rng = np.random.default_rng(23)
-    ts = rng.integers(0, 256, size=(5, 1, P.FIELD_TS_BYTES), dtype=np.uint8)
+    ts = rng.integers(0, 256, size=(6, 1, P.FIELD_TS_BYTES), dtype=np.uint8)
     ts[..., :: 188] = 0x47
     enc = Encoder(batch=1, donate=False)
     iq = np.concatenate(
-        [iq_to_complex(np.asarray(enc.encode(ts[k]))) for k in range(5)],
+        [iq_to_complex(np.asarray(enc.encode(ts[k]))) for k in range(6)],
         axis=-1,
     )[0]
     samples = np.stack([iq.real, iq.imag], axis=-1).astype(np.float32)
