@@ -61,3 +61,35 @@ def test_cli_decode_full_gauntlet(tmp_path):
     got = np.fromfile(out, dtype=np.uint8)
     want = ts[1 : 1 + summary["fields_decoded"], 0].reshape(-1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_cli_analyze_on_gauntlet_capture(tmp_path):
+    """`analyze` triages the same everything-at-once capture: its
+    estimates must agree with decode's conditioning (it is the tool that
+    predicts which decode flags a capture needs)."""
+    from atsc_tpu.cli import build_analyze_argparser, run_analyze
+    from atsc_tpu.models.receiver import resample_stream
+
+    rng = np.random.default_rng(131)
+    ts = _random_ts(rng, 5, 1)
+    iq = _encode_iq(ts)[0]
+    y = np.convolve(iq, [0.85 * np.exp(0.7j), 0, 0.12 * np.exp(-1.1j), 0,
+                         0.05j])[: iq.size]
+    y = y * np.exp(2j * np.pi * 400.0 / P.SAMPLE_RATE * np.arange(y.size))
+    y = resample_stream(y, 1.0 / (1.0 + 25e-6))[0]
+    p_sig = float(np.mean(np.abs(y) ** 2))
+    sigma = np.sqrt(p_sig / 10 ** (24.0 / 10.0) / 2.0)
+    y = y + (rng.normal(size=y.size) + 1j * rng.normal(size=y.size)) * sigma
+    y = y[77_777:]
+
+    cap = tmp_path / "cap.iq"
+    np.stack([y.real, y.imag], axis=-1).astype(np.float32).tofile(cap)
+    out = run_analyze(build_analyze_argparser().parse_args([str(cap)]))
+    assert abs(out["sro_ppm"] - 25.0) < 3.0, out
+    # apparent CFO at this point includes the multipath/noise estimate
+    # error; analyze measures it after the SRO resample
+    assert abs(out["cfo_hz"] - 400.0) < 30.0, out
+    assert out["align_offset"] > 0
+    assert out["mer_method"] == "adaptive"
+    assert out["decodable"], out     # 24 dB multipath capture: adaptive
+    #                                  equalized MER well above threshold
