@@ -1525,6 +1525,21 @@ def _analyze_iq(iq: np.ndarray, cfo_search: float,
     else:
         out["note"] = ("capture too short after alignment for a MER "
                        "field; raise --fields")
+
+    # deliver on the promise: the decode flags this capture needs
+    flags = []
+    if abs(out.get("sro_ppm", 0.0)) > 5.0:
+        flags.append("--sro auto")
+    if abs(out.get("cfo_hz", 0.0)) > 5.0:
+        flags.append("--cfo auto")
+    if out.get("align_offset", 0) or out.get("align_parity", 0):
+        flags.append("--align auto")
+    if out.get("mer_method") == "adaptive" and "--align auto" not in flags:
+        flags.append("--equalizer adaptive")
+    mer = out.get("mer_db")
+    if mer is not None and mer < 20.0:
+        flags.append("--trellis viterbi")
+    out["decode_flags"] = " ".join(flags)
     return out
 
 

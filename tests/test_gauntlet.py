@@ -93,3 +93,5 @@ def test_cli_analyze_on_gauntlet_capture(tmp_path):
     assert out["mer_method"] == "adaptive"
     assert out["decodable"], out     # 24 dB multipath capture: adaptive
     #                                  equalized MER well above threshold
+    for f in ("--sro auto", "--cfo auto", "--align auto"):
+        assert f in out["decode_flags"], out

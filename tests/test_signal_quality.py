@@ -117,6 +117,7 @@ def test_cli_analyze_clean_capture(tmp_path):
     assert out["mer_method"] == "zf"
     assert out["mer_db"] > 30
     assert out["decodable"]
+    assert out["decode_flags"] == ""   # clean capture: no flags needed
 
 
 def test_cli_analyze_impaired_capture(tmp_path):
