@@ -297,7 +297,7 @@ def main() -> None:
             best_fps, best_desc = fps, (q_batch, fmt)
 
     rx_rows = []
-    for rb in (64, 128, 256):
+    for rb in (64, 128, 256, 512):
         rx = probe(f"rx_b{rb}", lambda b=rb: measure_rx(b))
         if rx is not None:
             rx_rows.append(rx)
