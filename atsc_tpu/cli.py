@@ -1415,13 +1415,16 @@ def build_analyze_argparser() -> argparse.ArgumentParser:
     )
     ap.add_argument("input", help="IQ capture path, '-' (stdin), or "
                                   "'soapy[:driver]' to grab a few fields "
-                                  "live off a SoapySDR receiver; "
-                                  "single-channel at the symbol rate")
+                                  "live off a SoapySDR receiver. One "
+                                  "channel at the symbol rate by default; "
+                                  "--demux/--rate cover wideband FDM "
+                                  "multiplexes and other SDR clocks")
     ap.add_argument("--format", dest="in_format", default="cf32",
                     choices=("cf32", "cs16", "cs8"))
     ap.add_argument("--fields", type=int, default=4,
-                    help="fields of capture to read (>= 3 enables the SRO "
-                         "estimate)")
+                    help="fields to analyze (>= 3 enables the SRO "
+                         "estimate); one extra field of alignment slack "
+                         "is read/grabbed on top")
     ap.add_argument("--cfo-search", type=float, default=3000.0,
                     help="one-sided carrier-offset search range (Hz)")
     ap.add_argument("--demux", type=int, default=0, metavar="B",
@@ -1441,9 +1444,16 @@ def build_analyze_argparser() -> argparse.ArgumentParser:
 
 
 def _analyze_iq(iq: np.ndarray, cfo_search: float,
-                force_adaptive: bool = False) -> dict:
+                force_adaptive: bool = False,
+                resampled: bool = False) -> dict:
     """The per-channel metric core of `analyze`: (n,) complex baseband at
-    the symbol rate -> {rms, sro_ppm, cfo_hz, align, mer_db, ...}."""
+    the symbol rate -> {rms, sro_ppm, cfo_hz, align, mer_db, ...}.
+
+    resampled: the samples already went through one rate conversion
+    (--rate / demux): small SRO readings are then within the
+    interpolator's phase-ripple noise and a second cascaded resample
+    costs more MER than the residual drift, so the auto-correction gate
+    is wider."""
     from atsc_tpu.models.receiver import (
         equalize_field_device,
         estimate_cfo,
@@ -1473,12 +1483,12 @@ def _analyze_iq(iq: np.ndarray, cfo_search: float,
         rate = float(estimate_sro(iq[off:]))   # capture samples / nominal
         sro_ppm = (rate - 1.0) * 1e6
         out["sro_ppm"] = round(sro_ppm, 3)
-        # short-capture accuracy is a few ppm (when a sync sits at the
-        # span edge, the sub-sample peak refinement is clipped), and a
-        # few ppm of drift over the one analyzed field is ~1 sample — so
-        # only correct clearly-real offsets; a spurious tiny resample
-        # would add its own bulk delay and interpolator noise to the MER
-        if abs(sro_ppm) > 5.0:
+        # correct anything beyond the ~1-sample-per-field drift level —
+        # EXCEPT on already-resampled inputs, where a few ppm is the
+        # interpolator's own phase-ripple noise and a second cascaded
+        # resample degrades the MER more than the residual drift
+        gate = 5.0 if resampled else 2.0
+        if abs(sro_ppm) > gate:
             iq = resample_stream(iq, rate)[0]
 
     cfo = float(estimate_cfo(iq, search_hz=cfo_search))
@@ -1527,8 +1537,10 @@ def _analyze_iq(iq: np.ndarray, cfo_search: float,
                        "field; raise --fields")
 
     # deliver on the promise: the decode flags this capture needs
+    # (capture-context flags — --rate/--demux — are prepended by
+    # run_analyze, which knows them)
     flags = []
-    if abs(out.get("sro_ppm", 0.0)) > 5.0:
+    if abs(out.get("sro_ppm", 0.0)) > (5.0 if resampled else 2.0):
         flags.append("--sro auto")
     if abs(out.get("cfo_hz", 0.0)) > 5.0:
         flags.append("--cfo auto")
@@ -1603,23 +1615,53 @@ def run_analyze(args) -> dict:
             fin.close()
     iq = _wire_to_complex(buf, fmt)
 
+    resampled = rate_frac is not None and rate_frac != 1
+    # capture-context flags the decoder definitionally needs for THIS
+    # capture, regardless of what the estimators find
+    ctx = []
+    if getattr(args, "rate", None) is not None:
+        ctx.append(f"--rate {args.rate}")
+
     if not slots:
-        out = _analyze_iq(iq, args.cfo_search)
+        out = _analyze_iq(iq, args.cfo_search, resampled=resampled)
         if "error" in out:
             raise ValueError(out["error"])
+        out["decode_flags"] = " ".join(ctx + ([out["decode_flags"]]
+                                              if out["decode_flags"] else []))
         return out
 
     bb = np.concatenate([demux.push(iq), demux.flush()], axis=-1)
+    if bb.shape[-1] < n + P.SYMBOLS_PER_SEGMENT:
+        raise ValueError(
+            f"capture too short to analyze: {bb.shape[-1]} demuxed "
+            "samples per slot (< one field + one segment)")
+    per_slot = [
+        _analyze_iq(bb[s], args.cfo_search, force_adaptive=True,
+                    resampled=True)
+        for s in range(slots)
+    ]
+    # decode --demux conditions the whole band, not per slot: it rejects
+    # --sro/--cfo/--equalizer, aligns off slot 0, and takes the clock via
+    # --rate — so the actionable advice is band-level
+    band = [f"--demux {slots}", *ctx]
+    if any(s.get("align_offset", 0) or s.get("align_parity", 0)
+           for s in per_slot):
+        band.append("--align auto")
     out = {
         "multiplex_rate": float(native),
         "slots": slots,
         "samples": int(iq.size),
         "rms": round(float(np.sqrt(np.mean(np.abs(iq) ** 2))), 6),
-        "per_slot": [
-            _analyze_iq(bb[s], args.cfo_search, force_adaptive=True)
-            for s in range(slots)
-        ],
+        "per_slot": per_slot,
+        "decode_flags": " ".join(band),
     }
+    for s in per_slot:   # per-slot flags are not actionable under --demux
+        s.pop("decode_flags", None)
+    if (getattr(args, "rate", None) is None
+            and any(abs(s.get("sro_ppm", 0.0)) > 5.0 for s in per_slot)):
+        out["note"] = ("slots report a sample-rate offset: the wideband "
+                       "clock is off — decode with --rate set to the "
+                       "capture's true sample rate")
     return out
 
 

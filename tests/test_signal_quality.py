@@ -177,10 +177,12 @@ def test_cli_analyze_demux_per_slot(tmp_path):
         [str(cap), "--demux", str(b), "--fields", "3"]))
     assert out["slots"] == b and out["multiplex_rate"] == b * 6e6
     assert len(out["per_slot"]) == b
+    assert out["decode_flags"] == f"--demux {b}"   # band-level advice
     for s in out["per_slot"]:
         assert s["mer_method"] == "adaptive"
         assert s["mer_db"] > 20
         assert s["decodable"]
+        assert "decode_flags" not in s   # not actionable under --demux
 
 
 def test_cli_analyze_rate_capture(tmp_path):
@@ -202,6 +204,8 @@ def test_cli_analyze_rate_capture(tmp_path):
     # the resampler's bulk delay clips the first sync, so a few ppm of
     # edge-refinement bias in sro_ppm is expected (and not corrected)
     assert abs(out.get("sro_ppm", 0.0)) < 5.0
+    assert out["decode_flags"].startswith("--rate 14e6")
+    assert "--sro" not in out["decode_flags"]   # interpolator noise, not SRO
     assert abs(out["cfo_hz"]) < 5
     assert out["mer_db"] > 25
     assert out["decodable"]
@@ -253,3 +257,26 @@ def test_cli_analyze_subnominal_rate(tmp_path):
     with pytest.raises(ValueError, match="occupied"):
         run_analyze(build_analyze_argparser().parse_args(
             [str(cap), "--rate", "5e6"]))
+
+
+def test_cli_analyze_small_genuine_sro(tmp_path):
+    """A genuine 4 ppm clock offset (ordinary TCXO error) must be
+    corrected — the old 5 ppm gate left a blind band where the MER
+    collapsed to ~15.7 and the advice omitted --sro auto."""
+    from atsc_tpu.cli import build_analyze_argparser, run_analyze
+    from atsc_tpu.models.receiver import resample_stream
+    from tests.test_decoder import _random_ts
+    from tests.test_receiver import _encode_iq
+
+    rng = np.random.default_rng(67)
+    ts = _random_ts(rng, 5, 1)
+    iq = _encode_iq(ts)[0]
+    y = resample_stream(iq, 1.0 / (1.0 + 4e-6))[0]     # 4 ppm fast
+    path = tmp_path / "cap.iq"
+    np.stack([y.real, y.imag], axis=-1).astype(np.float32).tofile(path)
+
+    out = run_analyze(build_analyze_argparser().parse_args([str(path)]))
+    assert abs(out["sro_ppm"] - 4.0) < 2.0
+    assert "--sro auto" in out["decode_flags"]
+    assert out["mer_db"] > 25, out      # corrected, not blind-banded
+    assert out["decodable"]
