@@ -240,15 +240,16 @@ def _device_eq_step(soft: bool = False, dequant: float = 1.0,
 
 
 def _fused_eq_enabled(profile: str = "auto") -> bool:
-    """The fused Pallas derotate+WL-FIR+slice kernel implements the bf16
-    'fast' tier; it runs on TPU backends only (gate shared with the TX
-    kernel — ATSC_TPU_FUSED overrides). 'exact' stays on the XLA path
-    (fp32 HIGHEST is the golden-regression tier)."""
+    """The fused Pallas derotate+WL-FIR+slice kernel implements both
+    tiers — bf16/DEFAULT arithmetic for 'fast', fp32/HIGHEST for
+    'exact' (within f32 rounding of the XLA path, 2e-6) — and runs on
+    TPU backends only (gate shared with the TX kernel; ATSC_TPU_FUSED
+    overrides)."""
     from atsc_tpu.models.encoder import _use_fused_offset_fir
 
     if profile == "auto":
         profile = DEFAULT_EQ_PROFILE
-    return profile == "fast" and _use_fused_offset_fir()
+    return profile in ("fast", "exact") and _use_fused_offset_fir()
 
 
 def eq_window_bounds(profile: str = "auto") -> tuple[int, int]:
@@ -293,10 +294,12 @@ def _device_eq_step_impl(soft: bool, dequant: float, profile: str,
 
     key = DEFAULT_EQ_PROFILE if profile == "auto" else profile
     eq_k = EQ_PROFILES[key][0]
+    exact = key == "exact"
 
     @jax.jit
     def step(win: jnp.ndarray, osc: jnp.ndarray) -> jnp.ndarray:
-        out = eq_fir_fused(win, osc, eq_k=eq_k, soft=soft, dequant=dequant)
+        out = eq_fir_fused(win, osc, eq_k=eq_k, soft=soft,
+                           dequant=dequant, exact=exact)
         return jax.lax.slice_in_dim(out, 0, _N, axis=-1)
 
     return step

@@ -61,9 +61,10 @@ def win_len(eq_k: int) -> int:
 
 
 @functools.lru_cache(maxsize=8)
-def _band_weights(eq_k: int) -> np.ndarray:
-    """(bands, 256, 128) bf16: per band s, rows 0:128 apply to the
-    derotated real plane, rows 128:256 to the imaginary plane."""
+def _band_weights(eq_k: int, dtype: str = "bfloat16") -> np.ndarray:
+    """(bands, 256, 128) per band s: rows 0:128 apply to the derotated
+    real plane, rows 128:256 to the imaginary plane. dtype 'bfloat16'
+    for the fast tier's DEFAULT arithmetic, 'float32' for exact."""
     from atsc_tpu.models.receiver import _wl_eq_taps
     from atsc_tpu.ops.rrc_filter import _band_matrices_for
 
@@ -74,11 +75,11 @@ def _band_weights(eq_k: int) -> np.ndarray:
     bi = _band_matrices_for(q_taps.tobytes(), q_taps.size)
     assert len(br) == bands_for(eq_k), (len(br), eq_k)
     w = np.stack([np.concatenate([r, i], axis=0) for r, i in zip(br, bi)])
-    return w.astype(jnp.bfloat16)
+    return w.astype(jnp.dtype(dtype))
 
 
 def _kernel(win_ref, whalo_ref, osc_ref, ohalo_ref, w_ref, out_ref, *,
-            rows, bands, inv_p2, soft):
+            rows, bands, inv_p2, soft, exact=False):
     f32 = jnp.float32
     lk = bands - 1
     wr = win_ref[0, 0].astype(f32)
@@ -95,14 +96,22 @@ def _kernel(win_ref, whalo_ref, osc_ref, ohalo_ref, w_ref, out_ref, *,
     # derotate by conj(osc), fold 1/P^2 (+ dequant): u = win * conj(osc)
     ur = jnp.concatenate([wr * cr + wi * ci, hre], axis=0) * s
     ui = jnp.concatenate([wi * cr - wr * ci, him], axis=0) * s
-    urb = ur.astype(jnp.bfloat16)
-    uib = ui.astype(jnp.bfloat16)
+    if exact:
+        # fp32 operands, HIGHEST (6-pass) matmuls: the exact tier's
+        # arithmetic, reproducing the XLA path to f32 rounding
+        urb, uib = ur, ui
+        prec = jax.lax.Precision.HIGHEST
+    else:
+        # bf16 operands / f32 accumulate: the fast tier's DEFAULT
+        urb = ur.astype(jnp.bfloat16)
+        uib = ui.astype(jnp.bfloat16)
+        prec = None
     lev = jnp.zeros((rows, _BLK), f32)
     for b_ in range(bands):
         a2 = jnp.concatenate(
             [jax.lax.slice_in_dim(urb, b_, b_ + rows, axis=0),
              jax.lax.slice_in_dim(uib, b_, b_ + rows, axis=0)], axis=1)
-        lev = lev + jnp.dot(a2, w_ref[b_],
+        lev = lev + jnp.dot(a2, w_ref[b_], precision=prec,
                             preferred_element_type=f32)
     if soft:
         out_ref[0] = lev
@@ -113,7 +122,8 @@ def _kernel(win_ref, whalo_ref, osc_ref, ohalo_ref, w_ref, out_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eq_k", "soft", "dequant", "interpret"))
+    jax.jit,
+    static_argnames=("eq_k", "soft", "dequant", "interpret", "exact"))
 def eq_fir_fused(
     win: jnp.ndarray,
     osc: jnp.ndarray,
@@ -121,6 +131,7 @@ def eq_fir_fused(
     soft: bool = False,
     dequant: float = 1.0,
     interpret: bool = False,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """win: (B, 2, win_len(eq_k)) planar window (float32 or cs16/cs8
     integer codes) covering stream span [g0 - eq_k, ...); osc: (2, same)
@@ -137,7 +148,8 @@ def eq_fir_fused(
     assert osc.shape[-1] == WIN_LEN, (osc.shape, WIN_LEN)
     in_blks = OUT_BLKS + _HALO_BLKS
     inv_p2 = float(dequant / (P.OSC_AMPLITUDE ** 2))
-    w = jnp.asarray(_band_weights(eq_k))
+    w = jnp.asarray(_band_weights(eq_k,
+                                  "float32" if exact else "bfloat16"))
 
     # the halo (lookahead) blocks [c*R + R, c*R + R + lk) are addressed by
     # a second tiling of the SAME arrays in _HALO_BLKS-row blocks (the
@@ -150,7 +162,8 @@ def eq_fir_fused(
     osc4 = osc.reshape(2, in_blks, _BLK)
 
     kernel = functools.partial(
-        _kernel, rows=_ROWS, bands=bands, inv_p2=inv_p2, soft=soft)
+        _kernel, rows=_ROWS, bands=bands, inv_p2=inv_p2, soft=soft,
+        exact=exact)
     out_dtype = jnp.float32 if soft else jnp.int8
     out = pl.pallas_call(
         kernel,

@@ -233,9 +233,10 @@ class ShardedReceiver:
                 resolved = (DEFAULT_EQ_PROFILE if eq_profile == "auto"
                             else eq_profile)
                 eq_k = EQ_PROFILES[resolved][0]
+                exact = resolved == "exact"
 
                 def eq(win, osc):
-                    out = eq_fir_fused(win, osc, eq_k=eq_k)
+                    out = eq_fir_fused(win, osc, eq_k=eq_k, exact=exact)
                     return jax.lax.slice_in_dim(
                         out, 0, P.SYMBOLS_PER_FIELD, axis=-1)
             else:

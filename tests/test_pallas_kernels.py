@@ -151,3 +151,29 @@ def test_iq_receiver_through_fused_eq(monkeypatch):
     assert len(got) == len(want) == 1
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[0], ts[0])
+
+
+def test_eq_fir_fused_exact_tier():
+    """exact=True (fp32 operands / HIGHEST matmuls, K=256) reproduces the
+    XLA 'exact' tier: identical hard symbols, soft levels to f32
+    rounding."""
+    from atsc_tpu.models.receiver import _device_eq_step, field_window
+    from atsc_tpu.ops.pallas.eq_fir import eq_fir_fused
+
+    iq, _ = _encode_two_fields()
+    win, osc = field_window(iq, 0)
+    want = np.asarray(_device_eq_step(False, profile="exact")(
+        jnp.asarray(win), jnp.asarray(osc)))
+    want_soft = np.asarray(_device_eq_step(True, profile="exact")(
+        jnp.asarray(win), jnp.asarray(osc)))
+
+    fwin, fosc = _fused_eq_window(iq, eq_k=256)
+    got = np.asarray(eq_fir_fused(
+        jnp.asarray(fwin), jnp.asarray(fosc), eq_k=256, exact=True,
+        interpret=True))
+    n = P.SYMBOLS_PER_FIELD
+    np.testing.assert_array_equal(got[:, :n], want[:, :n])
+    gs = np.asarray(eq_fir_fused(
+        jnp.asarray(fwin), jnp.asarray(fosc), eq_k=256, soft=True,
+        exact=True, interpret=True))
+    assert np.abs(gs[:, :n] - want_soft[:, :n]).max() < 1e-5
