@@ -45,7 +45,8 @@ _ROWS = OUT_BLKS // _NCHUNK        # 1024
 _HALO_BLKS = 8                     # halo tile rows (Mosaic 8-sublane min)
 
 #: required window length for any supported K (the 8-block tail covers
-#: the largest lookahead, K <= 448; unused tail rows may be zero)
+#: the largest lookahead: bands-1 = 2K/128 <= 8, i.e. K <= 512; unused
+#: tail rows may be zero)
 WIN_LEN = (OUT_BLKS + _HALO_BLKS) * _BLK     # 263,168
 
 
@@ -144,6 +145,9 @@ def eq_fir_fused(
 
     b = win.shape[0]
     bands = bands_for(eq_k)
+    assert bands - 1 <= _HALO_BLKS, (
+        f"eq_k={eq_k} needs {bands - 1} lookahead blocks; the halo tiling "
+        f"covers {_HALO_BLKS} (K <= {_HALO_BLKS * _BLK // 2})")
     assert win.shape[-1] == WIN_LEN, (win.shape, WIN_LEN)
     assert osc.shape[-1] == WIN_LEN, (osc.shape, WIN_LEN)
     in_blks = OUT_BLKS + _HALO_BLKS

@@ -59,10 +59,15 @@ class ThroughputMeter:
             "realtime_factor_per_channel": round(self.realtime_factor, 2),
         }
         if self._gaps:
+            import math
+
             g = sorted(self._gaps)
             out["steps"] = len(g) + 1
             out["step_ms_mean"] = round(sum(g) / len(g) * 1e3, 2)
-            out["step_ms_p99"] = round(g[int(len(g) * 0.99)] * 1e3, 2)
+            # nearest-rank p99 (ceil(0.99*n)-th order statistic); for
+            # n < 100 this is simply the max, which is what it says
+            p99 = g[min(len(g) - 1, math.ceil(0.99 * len(g)) - 1)]
+            out["step_ms_p99"] = round(p99 * 1e3, 2)
             out["step_ms_max"] = round(g[-1] * 1e3, 2)
         return out
 
