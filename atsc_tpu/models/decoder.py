@@ -34,7 +34,11 @@ from atsc_tpu.ops.decode import (
     propagate_erasure_flags,
     trellis_decode_field,
 )
-from atsc_tpu.ops.rs_decode import correct_segment_np, syndrome_field
+from atsc_tpu.ops.rs_decode import (
+    correct_segment_np,
+    rs_correct_field_jit,
+    syndrome_field,
+)
 
 
 class DecoderState(NamedTuple):
@@ -169,20 +173,35 @@ class Decoder:
         n_errors = np.zeros((self.batch, P.DATA_SEGMENTS), dtype=np.int32)
         dirty = np.asarray(jnp.any(syn != 0, axis=-1))  # (B, 312) bool
         if dirty.any():
-            cw = np.array(codewords)  # mutable host copy
-            for b, seg in zip(*np.nonzero(dirty)):
-                era = ()
-                if cw_flags is not None:
+            # errors-only correction for ALL segments in one device
+            # dispatch (rs_correct_field: batched inversionless BM +
+            # bit-matmul Chien/Forney) — a threshold-SNR field with most
+            # segments dirty costs the same as one dirty segment
+            orig = codewords
+            codewords, n_dev = rs_correct_field_jit(codewords, syn)
+            n_errors = np.asarray(n_dev)
+            # erasure-flagged segments keep the erasures-first host tier
+            # (Sugiyama: 2*errors + erasures <= 20 beats errors <= 10 on
+            # bursts); these are rare, localized events
+            flagged = None
+            if cw_flags is not None:
+                flagged = dirty & cw_flags.any(axis=-1)
+            if flagged is not None and flagged.any():
+                cw = np.array(codewords)
+                orig_np = np.asarray(orig)
+                for b, seg in zip(*np.nonzero(flagged)):
                     era = tuple(np.nonzero(cw_flags[b, seg])[0].tolist())
-                cw[b, seg], n = correct_segment_np(cw[b, seg], erasures=era)
-                n_errors[b, seg] = n
-                if n > 0:
-                    self.segments_corrected += 1
-                    if len(era) > 0:
-                        self.segments_erasure_assisted += 1
-                elif n < 0:
-                    self.segments_uncorrectable += 1
-            codewords = jnp.asarray(cw)
+                    cw[b, seg], n = correct_segment_np(
+                        orig_np[b, seg], erasures=era
+                    )
+                    n_errors[b, seg] = n
+                codewords = jnp.asarray(cw)
+            self.segments_corrected += int((n_errors > 0).sum())
+            self.segments_uncorrectable += int((n_errors < 0).sum())
+            if flagged is not None:
+                self.segments_erasure_assisted += int(
+                    ((n_errors > 0) & flagged).sum()
+                )
         ts = np.asarray(self._derand(codewords))
         return ts, n_errors
 

@@ -41,7 +41,7 @@ from atsc_tpu.ops.decode import (
     enc_major_to_round_major,
     trellis_decode_field,
 )
-from atsc_tpu.ops.rs_decode import correct_segment_np, syndrome_field
+from atsc_tpu.ops.rs_decode import rs_correct_field_jit, syndrome_field
 from atsc_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
 
 
@@ -92,23 +92,22 @@ def _local_step(state: DecoderState, fields: jnp.ndarray):
 
 
 def _correct_and_derand(obj, derand, codewords, syn):
-    """Shared host-side fixup: RS-correct dirty segments (updating obj's
-    segments_corrected/segments_uncorrectable counters), de-randomize,
-    and reshape to TS fields. codewords (T, B, 312, 207); syn (T, B,
-    312, 20). Returns (ts (T, B, 58656) uint8, n_errors (T, B, 312))."""
+    """Shared fixup: RS-correct dirty segments in one device dispatch
+    (ops.rs_decode.rs_correct_field — batched inversionless BM +
+    bit-matmul Chien/Forney, updating obj's segments_corrected/
+    segments_uncorrectable counters), de-randomize, and reshape to TS
+    fields. codewords (T, B, 312, 207); syn (T, B, 312, 20). Returns
+    (ts (T, B, 58656) uint8, n_errors (T, B, 312))."""
     t, b = codewords.shape[:2]
     n_errors = np.zeros((t, b, P.DATA_SEGMENTS), dtype=np.int32)
     dirty = np.asarray(jnp.any(syn != 0, axis=-1))
     if dirty.any():
-        cw = np.array(codewords)
-        for k, ch, seg in zip(*np.nonzero(dirty)):
-            cw[k, ch, seg], nerr = correct_segment_np(cw[k, ch, seg])
-            n_errors[k, ch, seg] = nerr
-            if nerr > 0:
-                obj.segments_corrected += 1
-            elif nerr < 0:
-                obj.segments_uncorrectable += 1
-        codewords = jnp.asarray(cw)
+        codewords, n_dev = rs_correct_field_jit(
+            jnp.asarray(codewords), jnp.asarray(syn)
+        )
+        n_errors = np.asarray(n_dev)
+        obj.segments_corrected += int((n_errors > 0).sum())
+        obj.segments_uncorrectable += int((n_errors < 0).sum())
     flat = codewords.reshape(t * b, P.DATA_SEGMENTS, P.SEGMENT_FEC_BYTES)
     ts = np.asarray(derand(flat)).reshape(t, b, P.FIELD_TS_BYTES)
     return ts, n_errors

@@ -8,6 +8,7 @@ from atsc_tpu import params as P
 from atsc_tpu.ops.rs_decode import (
     correct_segment_np,
     decode_field_np,
+    rs_correct_field_jit,
     syndrome_field,
     syndromes_np,
 )
@@ -106,6 +107,49 @@ def test_decode_field(clean_field):
     fixed, nerr = decode_field_np(bad)
     np.testing.assert_array_equal(fixed, clean_field)
     assert nerr[0] == 1 and nerr[100] == 1 and nerr[1:100].sum() == 0
+
+
+def test_device_corrector_matches_host_oracle(clean_field):
+    """rs_correct_field (batched inversionless BM + bit-matmul Chien/
+    Forney on device) must agree with correct_segment_np on every
+    segment: corrected bytes AND the n/-1 verdict, across clean
+    segments, correctable counts 1..10, and uncorrectable 11..14."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(123)
+    bad = clean_field.copy()
+    n_true = rng.integers(0, 15, P.DATA_SEGMENTS)
+    for seg in range(P.DATA_SEGMENTS):
+        pos = rng.choice(P.SEGMENT_FEC_BYTES, size=n_true[seg],
+                         replace=False)
+        for p in pos:
+            bad[seg, p] ^= rng.integers(1, 256)
+    batch = jnp.asarray(bad[None])
+    syn = syndrome_field(batch)
+    out, n = rs_correct_field_jit(batch, syn)
+    out = np.asarray(out)[0]
+    n = np.asarray(n)[0]
+    for seg in range(P.DATA_SEGMENTS):
+        want_cw, want_n = correct_segment_np(bad[seg])
+        assert n[seg] == want_n, (seg, n_true[seg], n[seg], want_n)
+        np.testing.assert_array_equal(out[seg], want_cw,
+                                      err_msg=f"segment {seg}")
+    # correctable segments recovered the truth; clean passed through
+    for seg in range(P.DATA_SEGMENTS):
+        if n_true[seg] <= 10:
+            np.testing.assert_array_equal(out[seg], clean_field[seg])
+
+
+def test_device_corrector_leading_batch_dims(clean_field):
+    """(T, B, 312, 207) leading shapes (the ShardedDecoder layout)."""
+    import jax.numpy as jnp
+
+    bad = np.broadcast_to(clean_field, (2, 3) + clean_field.shape).copy()
+    bad[1, 2, 7, 50] ^= 0xA5
+    syn = syndrome_field(jnp.asarray(bad))
+    out, n = rs_correct_field_jit(jnp.asarray(bad), syn)
+    assert np.asarray(n).sum() == 1 and np.asarray(n)[1, 2, 7] == 1
+    np.testing.assert_array_equal(np.asarray(out)[1, 2], clean_field)
 
 
 def test_errors_and_erasures_fuzz(clean_field):
