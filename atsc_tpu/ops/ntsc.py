@@ -130,14 +130,20 @@ def init_pr_metrics(batch: int) -> jnp.ndarray:
     return m.at[..., 0].set(0.0)
 
 
-def _pr_acs_step(metrics: jnp.ndarray, xs):
-    """metrics (B, 12[, C], 16); xs = (y (B, 12[, C]), reset (12[, C],),
+def _pr_acs_update(metrics: jnp.ndarray, xs):
+    """One raw PR add-compare-select (no re-normalization).
+    metrics (B, 12[, C], 16); xs = (y (B, 12[, C]), reset (12[, C],),
     const (12[, C],)) — broadcast-generic so the chunked driver can add
     a chunk axis."""
     y, reset, const = xs
-    lv, _, pred_idx, prev_lev = _pr_tables()
-    m_pred = jnp.take(metrics, jnp.asarray(pred_idx).reshape(-1), axis=-1)
-    m_pred = m_pred.reshape(*metrics.shape[:-1], 16, 4)  # (B, 12[, C], 16, 4)
+    lv, s_pred, pred_idx, prev_lev = _pr_tables()
+    # m_pred[..., u', h] = metrics[..., s_pred[u']*4 + h], built from 16
+    # static row slices of the (4, 4)-factored metrics — tiny dynamic
+    # gathers (jnp.take) serialize on TPU (see ops.viterbi._acs_update)
+    mr = metrics.reshape(*metrics.shape[:-1], 4, 4)      # [s, h]
+    m_pred = jnp.stack(
+        [mr[..., int(s_pred[u]), :] for u in range(16)], axis=-2
+    )                                                    # (B, 12[, C], 16, 4)
     # delayed-reference level: the predecessor-state symbol, or the known
     # segment-sync constant at reset steps (same for all 4 hypotheses)
     prev_term = jnp.where(
@@ -148,42 +154,79 @@ def _pr_acs_step(metrics: jnp.ndarray, xs):
     cand = m_pred + bm
     h_prev = jnp.argmin(cand, axis=-1)
     new_m = jnp.min(cand, axis=-1)
-    new_m = new_m - jnp.min(new_m, axis=-1, keepdims=True)
     return new_m, h_prev.astype(jnp.int8)
 
 
+def _pr_acs_step(metrics: jnp.ndarray, xs):
+    """One PR add-compare-select step with per-step re-normalization."""
+    new_m, dec = _pr_acs_update(metrics, xs)
+    new_m = new_m - jnp.min(new_m, axis=-1, keepdims=True)
+    return new_m, dec
+
+
+def _pr_acs_scan(metrics: jnp.ndarray, xs, unroll: int):
+    """Forward PR ACS with `unroll` steps per scan body (the same
+    scan-step-overhead amortization as ops.viterbi._acs_scan)."""
+    t = xs[0].shape[0]
+    if unroll <= 1 or t % unroll:
+        return jax.lax.scan(_pr_acs_step, metrics, xs)
+    xs_u = tuple(x.reshape(t // unroll, unroll, *x.shape[1:]) for x in xs)
+
+    def body(m, xk):
+        decs = []
+        for i in range(unroll):
+            m, d = _pr_acs_update(m, tuple(x[i] for x in xk))
+            decs.append(d)
+        m = m - jnp.min(m, axis=-1, keepdims=True)
+        return m, jnp.stack(decs)
+
+    new_m, decs = jax.lax.scan(body, metrics, xs_u)
+    return new_m, decs.reshape(t, *decs.shape[2:])
+
+
 def _pr_traceback_step(state: jnp.ndarray, dec: jnp.ndarray):
-    """state (B, 12) int32 combined state; dec (B, 12, 16) int8."""
-    lv, s_pred, _, _ = _pr_tables()
+    """state (B, 12) int32 combined state; dec (B, 12, 16) int8.
+
+    Gather-free: the 16-wide dynamic row pick is a compare/select chain
+    and s_pred[state] is computed arithmetically (s_pred[u] =
+    _PRED0[u>>2] ^ (u&1), and _PRED0[s] = 2*(s&1) + (s>>1))."""
     h = state & 3
     x1 = h & 1
     z2 = h >> 1
-    h_prev = jnp.take_along_axis(
-        dec.astype(jnp.int32), state[..., None], axis=-1
-    )[..., 0]
-    pred = jnp.asarray(s_pred)[state] * 4 + h_prev
+    deci = dec.astype(jnp.int32)
+    h_prev = deci[..., 0]
+    for u in range(1, 16):
+        h_prev = jnp.where(state == u, deci[..., u], h_prev)
+    s2 = state >> 2
+    pred_s = (2 * (s2 & 1) + (s2 >> 1)) ^ x1
+    pred = pred_s * 4 + h_prev
     return pred, (x1, z2)
 
 
 def viterbi_pr_bits(
     y: jnp.ndarray, metrics: jnp.ndarray, n_chunks: int = 1,
-    warmup: int = 128,
+    warmup: int = 128, unroll: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """MLSE over one field of combed observations.
 
     y: (B, 12, 21528) float32 encoder-major comb outputs; metrics:
     (B, 12, 16) carried combined-state path metrics.
     Returns (x1, z2 (B, 12, 21528) int32, new metrics).
+    unroll: ACS/traceback steps per scan body (ops.viterbi.UNROLL).
     n_chunks > 1: chunk-parallel near-MLSE (ops.viterbi.viterbi_bits).
     """
+    from atsc_tpu.ops.viterbi import UNROLL, _traceback_scan
+
+    if unroll is None:
+        unroll = UNROLL
     reset, const = _pr_reset_tables()
     if n_chunks <= 1:
         obs_t = jnp.moveaxis(y, -1, 0)                     # (T, B, 12)
         xs = (obs_t, jnp.asarray(reset), jnp.asarray(const))
-        new_metrics, decs = jax.lax.scan(_pr_acs_step, metrics, xs)
+        new_metrics, decs = _pr_acs_scan(metrics, xs, unroll)
         start = jnp.argmin(new_metrics, axis=-1).astype(jnp.int32)
-        _, (x1_t, z2_t) = jax.lax.scan(_pr_traceback_step, start, decs,
-                                       reverse=True)
+        x1_t, z2_t = _traceback_scan(start, decs, unroll,
+                                     step=_pr_traceback_step)
         return (
             jnp.moveaxis(x1_t, 0, -1),
             jnp.moveaxis(z2_t, 0, -1),

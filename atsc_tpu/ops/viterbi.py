@@ -64,34 +64,111 @@ def init_metrics(batch: int) -> jnp.ndarray:
     return m.at[..., 0].set(0.0)
 
 
-def _acs_step(metrics: jnp.ndarray, obs: jnp.ndarray):
-    """One add-compare-select step. metrics (B, 12, 4); obs (B, 12)."""
+def _acs_update(metrics: jnp.ndarray, obs: jnp.ndarray):
+    """One raw add-compare-select (no re-normalization).
+    metrics (B, 12, 4); obs (B, 12).
+
+    Written gather-free: the predecessor permutations _PRED0/_PRED1 are
+    realized as a 2x2 minor transpose + flip, and the [0,1,0,1] branch
+    broadcast as a concat — tiny dynamic gathers (fancy indexing /
+    take_along_axis) lower to serialized gather ops on TPU and measured
+    ~10 us per ACS step; the static relayouts are ~100x cheaper."""
     d = (obs[..., None] - jnp.asarray(_constellation())) ** 2  # (B,12,8)
     # parallel-branch (Z2) resolution: pmin[x1, b], zc[x1, b]
     lo = d[..., :4].reshape(*d.shape[:-1], 2, 2)     # Z2=0: [x1, b]
     hi = d[..., 4:].reshape(*d.shape[:-1], 2, 2)     # Z2=1
     zc = hi < lo
-    pmin = jnp.where(zc, hi, lo)                     # (B,12,2,2)
-    b_of = jnp.asarray(_B_OF)
-    m0 = metrics[..., jnp.asarray(_PRED0)] + pmin[..., 0, :][..., b_of]
-    m1 = metrics[..., jnp.asarray(_PRED1)] + pmin[..., 1, :][..., b_of]
+    pmin = jnp.minimum(hi, lo)                       # (B,12,2,2)
+    p0 = pmin[..., 0, :]                             # (B,12,2)  X1=0
+    p1 = pmin[..., 1, :]                             #           X1=1
+    # metrics[..., _PRED0]: s'=2a+b <- pred 2b+a is the (2,2) transpose;
+    # _PRED1 = _PRED0 ^ 1 is the same with the a-axis flipped
+    mr = metrics.reshape(*metrics.shape[:-1], 2, 2)
+    mt = jnp.swapaxes(mr, -1, -2)
+    m_p0 = mt.reshape(metrics.shape)
+    m_p1 = jnp.flip(mt, axis=-2).reshape(metrics.shape)
+    m0 = m_p0 + jnp.concatenate([p0, p0], axis=-1)   # == p0[..., _B_OF]
+    m1 = m_p1 + jnp.concatenate([p1, p1], axis=-1)
     x1 = m1 < m0
-    new_m = jnp.where(x1, m1, m0)
-    new_m = new_m - jnp.min(new_m, axis=-1, keepdims=True)
-    z2 = jnp.where(x1, zc[..., 1, :][..., b_of], zc[..., 0, :][..., b_of])
+    new_m = jnp.minimum(m0, m1)
+    zc0 = zc[..., 0, :]
+    zc1 = zc[..., 1, :]
+    z2 = jnp.where(x1, jnp.concatenate([zc1, zc1], axis=-1),
+                   jnp.concatenate([zc0, zc0], axis=-1))
     dec = (x1.astype(jnp.int8) | (z2.astype(jnp.int8) << 1))
     return new_m, dec
 
 
+def _acs_step(metrics: jnp.ndarray, obs: jnp.ndarray):
+    """One add-compare-select step with per-step re-normalization."""
+    new_m, dec = _acs_update(metrics, obs)
+    new_m = new_m - jnp.min(new_m, axis=-1, keepdims=True)
+    return new_m, dec
+
+
+def _acs_scan(metrics: jnp.ndarray, obs_t: jnp.ndarray, unroll: int):
+    """Forward ACS over obs_t (T, B, 12) with `unroll` trellis steps per
+    scan body. A per-symbol `lax.scan` pays ~13 us of loop overhead per
+    step for a few KB of VPU work (21,528 steps = the old 283 ms/field
+    soft floor, PERF.md); unrolling amortizes that overhead over k real
+    ACS updates. Metrics re-normalize once per body — branch metrics are
+    O(100), so f32 headroom covers any practical unroll. Returns
+    (new_metrics, decs (T, B, 12, 4) int8)."""
+    t = obs_t.shape[0]
+    if unroll <= 1 or t % unroll:
+        return jax.lax.scan(_acs_step, metrics, obs_t)
+    obs_u = obs_t.reshape(t // unroll, unroll, *obs_t.shape[1:])
+
+    def body(m, obs_k):
+        decs = []
+        for i in range(unroll):
+            m, d = _acs_update(m, obs_k[i])
+            decs.append(d)
+        m = m - jnp.min(m, axis=-1, keepdims=True)
+        return m, jnp.stack(decs)
+
+    new_m, decs = jax.lax.scan(body, metrics, obs_u)
+    return new_m, decs.reshape(t, *decs.shape[2:])
+
+
 def _traceback_step(state: jnp.ndarray, dec: jnp.ndarray):
-    """state (B, 12) int32 current trellis state; dec (B, 12, 4) int8."""
-    bits = jnp.take_along_axis(
-        dec.astype(jnp.int32), state[..., None], axis=-1
-    )[..., 0]
+    """state (B, 12) int32 current trellis state; dec (B, 12, 4) int8.
+
+    The 4-wide dynamic row pick is a compare/select chain, not
+    take_along_axis (same TPU tiny-gather trap as _acs_update)."""
+    deci = dec.astype(jnp.int32)
+    bits = deci[..., 0]
+    for s in range(1, 4):
+        bits = jnp.where(state == s, deci[..., s], bits)
     x1 = bits & 1
     z2 = (bits >> 1) & 1
     pred = 2 * (state & 1) + ((state >> 1) ^ x1)
     return pred, (x1, z2)
+
+
+def _traceback_scan(start: jnp.ndarray, decs: jnp.ndarray, unroll: int,
+                    step=_traceback_step):
+    """Reverse traceback over decs (T, B, 12, S), `unroll` steps per
+    scan body (same per-step-overhead amortization as _acs_scan).
+    `step` is the per-symbol traceback (4-state or the 16-state PR one).
+    Returns (x1 (T, B, 12), z2 (T, B, 12))."""
+    t = decs.shape[0]
+    if unroll <= 1 or t % unroll:
+        _, bits = jax.lax.scan(step, start, decs, reverse=True)
+        return bits
+    decs_u = decs.reshape(t // unroll, unroll, *decs.shape[1:])
+
+    def body(state, dec_k):
+        outs = []
+        for i in range(unroll - 1, -1, -1):
+            state, bits = step(state, dec_k[i])
+            outs.append(bits)
+        outs = outs[::-1]                      # forward order in-block
+        return state, (jnp.stack([o[0] for o in outs]),
+                       jnp.stack([o[1] for o in outs]))
+
+    _, (x1, z2) = jax.lax.scan(body, start, decs_u, reverse=True)
+    return (x1.reshape(t, *x1.shape[2:]), z2.reshape(t, *z2.shape[2:]))
 
 
 def _chunk_plan(t: int, n_chunks: int, warmup: int):
@@ -141,9 +218,14 @@ def _chunked_mlse(step, traceback, obs_xs, metrics,
     return tuple(out), final[:, :, -1, :]
 
 
+#: default ACS/traceback steps per scan body — measured sweet spot on
+#: the v5e (scan-step overhead amortization; see PERF.md round-4 notes)
+UNROLL = 24
+
+
 def viterbi_bits(
     levels: jnp.ndarray, metrics: jnp.ndarray, n_chunks: int = 1,
-    warmup: int = 128,
+    warmup: int = 128, unroll: int = UNROLL,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """MLSE over one field of soft levels.
 
@@ -152,22 +234,24 @@ def viterbi_bits(
     Returns (x1 (B, 12, 21528) int32, z2 (B, 12, 21528) int32,
     new metrics (B, 12, 4)).
 
+    unroll: ACS/traceback steps per scan body (exact MLSE either way —
+    only the scan-loop overhead changes; see _acs_scan).
+
     n_chunks > 1 trades exact MLSE for ~n_chunks-times less sequential
-    scan depth (the TPU bottleneck — the per-step work is tiny): chunks
-    decode independently, vectorized over a chunk axis, each warmed up
-    on `warmup` symbols of left context (~4x the survivor-merge depth)
-    before its kept region. Chunk 0 keeps the carried metrics, so the
-    field head and the cross-field state stay exact; interior chunk
-    seams converge to the MLSE path within the warmup whp, and RS
-    absorbs the rare disagreement.
+    scan depth (chunks decode independently, vectorized over a chunk
+    axis, each warmed up on `warmup` symbols of left context — ~4x the
+    survivor-merge depth — before its kept region). Chunk 0 keeps the
+    carried metrics, so the field head and the cross-field state stay
+    exact; interior chunk seams converge to the MLSE path within the
+    warmup whp, and RS absorbs the rare disagreement. With the unrolled
+    scan the exact path is fast enough that chunking is a latency lever
+    for tiny batches, not a throughput one.
     """
     if n_chunks <= 1:
         obs_t = jnp.moveaxis(levels, -1, 0)          # (T, B, 12)
-        new_metrics, decs = jax.lax.scan(_acs_step, metrics, obs_t)
+        new_metrics, decs = _acs_scan(metrics, obs_t, unroll)
         start = jnp.argmin(new_metrics, axis=-1).astype(jnp.int32)
-        _, (x1_t, z2_t) = jax.lax.scan(
-            _traceback_step, start, decs, reverse=True
-        )
+        x1_t, z2_t = _traceback_scan(start, decs, unroll)
         return (
             jnp.moveaxis(x1_t, 0, -1),
             jnp.moveaxis(z2_t, 0, -1),
@@ -196,7 +280,7 @@ def pack_trellis_bytes(x2: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
 
 def viterbi_decode_field(
     levels: jnp.ndarray, z2_prev: jnp.ndarray, metrics: jnp.ndarray,
-    n_chunks: int = 1,
+    n_chunks: int = 1, unroll: int = UNROLL,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Soft-decision twin of ops.decode.trellis_decode_field.
 
@@ -205,7 +289,8 @@ def viterbi_decode_field(
     metrics. Returns (bytes (B, 12, 5382) uint8, new z2_prev, new
     metrics). n_chunks > 1: chunk-parallel near-MLSE (see viterbi_bits).
     """
-    x1, z2, new_metrics = viterbi_bits(levels, metrics, n_chunks)
+    x1, z2, new_metrics = viterbi_bits(levels, metrics, n_chunks,
+                                       unroll=unroll)
     z2_shifted = jnp.concatenate([z2_prev[..., None], z2[..., :-1]], axis=-1)
     x2 = z2 ^ z2_shifted
     return pack_trellis_bytes(x2, x1), z2[..., -1], new_metrics
