@@ -23,11 +23,27 @@ from atsc_tpu.models.encoder import EncoderState
 
 _FIELDS = EncoderState._fields
 
+#: bump when the on-disk layout changes incompatibly (leaf set, leaf
+#: meaning, or metadata keys); loaders refuse any other version loudly
+CHECKPOINT_VERSION = 1
+
+
+def _check_version(z, path: str, kind: str) -> None:
+    ver = int(z["__version__"]) if "__version__" in z.files else 0
+    if ver != CHECKPOINT_VERSION:
+        raise ValueError(
+            f"{kind} checkpoint {path!r} has format version {ver}, but "
+            f"this build reads version {CHECKPOINT_VERSION} — it was "
+            "written by an incompatible build; re-run without --resume "
+            "(version 0 = pre-versioning checkpoint)"
+        )
+
 
 def save_state(path: str, state: EncoderState, fields_encoded: int = 0,
                mux_carry: np.ndarray | None = None,
                resample_state: dict | None = None) -> None:
     arrays = {name: np.asarray(getattr(state, name)) for name in _FIELDS}
+    arrays["__version__"] = np.asarray(CHECKPOINT_VERSION, dtype=np.int64)
     arrays["__fields_encoded__"] = np.asarray(fields_encoded, dtype=np.int64)
     if mux_carry is not None:  # FdmMuxer.get_state() of an encode --mux run
         arrays["__mux_carry__"] = np.asarray(mux_carry)
@@ -39,8 +55,33 @@ def save_state(path: str, state: EncoderState, fields_encoded: int = 0,
 
 
 def load_state(path: str) -> tuple[EncoderState, int]:
+    """Restore an encoder checkpoint; fails loudly (never misloads) when
+    the file was written by an incompatible build: version stamp first,
+    then every state leaf checked against the shape/dtype this build's
+    init_state would produce (catches a reshaped EncoderState whose file
+    happens to still load)."""
+    from atsc_tpu.models.encoder import init_state
+
     z = np.load(path)
+    _check_version(z, path, "encoder")
+    missing = [n for n in _FIELDS if n not in z.files]
+    if missing:
+        raise ValueError(
+            f"encoder checkpoint {path!r} lacks state leaves {missing} — "
+            "written by an incompatible build"
+        )
     state = EncoderState(**{name: jax.numpy.asarray(z[name]) for name in _FIELDS})
+    batch = int(np.asarray(z[_FIELDS[0]]).shape[0])
+    ref = init_state(batch)
+    for name in _FIELDS:
+        want, got = getattr(ref, name), getattr(state, name)
+        if tuple(want.shape) != tuple(got.shape) or want.dtype != got.dtype:
+            raise ValueError(
+                f"encoder checkpoint {path!r} leaf {name!r} is "
+                f"{tuple(got.shape)}/{got.dtype} but this build expects "
+                f"{tuple(want.shape)}/{want.dtype} — the state layout "
+                "changed; cannot resume"
+            )
     return state, int(z["__fields_encoded__"])
 
 
@@ -83,6 +124,7 @@ def save_receiver(path: str, rx, extra: dict | None = None,
     arrays = {
         "extra_json": np.asarray(json.dumps(extra or {})),
         "__kind__": np.asarray("iq_receiver"),
+        "__version__": np.asarray(CHECKPOINT_VERSION, dtype=np.int64),
         "config": np.asarray(
             [str(getattr(rx, k)) for k in _RX_CONFIG], dtype=np.str_
         ),
@@ -132,6 +174,7 @@ def load_receiver(path: str):
 
     z = np.load(path)
     assert str(z["__kind__"]) == "iq_receiver", "not a receiver checkpoint"
+    _check_version(z, path, "receiver")
     cfg = dict(zip(_RX_CONFIG, (str(s) for s in z["config"])))
     extra = json.loads(str(z["extra_json"])) if "extra_json" in z else {}
     rx = IqReceiver(
