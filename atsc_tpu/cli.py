@@ -254,7 +254,16 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
         state = enc.init_state()
         t_total = enc.t_total
     else:
-        enc = Encoder(batch=cfg.channels, out_format=cfg.out_format)
+        # quantized formats going straight to a byte sink use the packed
+        # wire layout (one (I,Q) pair per int lane, interleaved by the
+        # fused kernel itself) — the host's planar->interleaved pass
+        # (PERF.md "Host boundary": 187 ms/step at B=384) disappears.
+        # mux/resample paths need planar component math, and the SDR sink
+        # needs typed planar buffers, so those stay planar.
+        wire_out = (cfg.out_format in ("cs16", "cs8")
+                    and out_sps is None and isinstance(sink, IqSink))
+        enc = Encoder(batch=cfg.channels, out_format=cfg.out_format,
+                      wire=wire_out)
         t_total = cfg.fields_per_step
     muxer = None
     if cfg.mux:
@@ -269,13 +278,17 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
         _write_planar(sink, chunk[None])
 
     def emit_field(arr: np.ndarray) -> None:
-        """One encoded field per channel, planar (B, 2, >= 260,416)."""
+        """One encoded field per channel: planar (B, 2, >= 260,416), or
+        packed wire lanes (B, >= 260,416) on the wire_out path."""
         if muxer is not None:
             emit_mux_chunk(muxer.push(arr[:, :, : P.SYMBOLS_PER_FIELD]))
         elif resampler is not None:
             _write_planar(sink, resampler.push_planar(
                 np.ascontiguousarray(arr[:, :, : P.SYMBOLS_PER_FIELD],
                                      dtype=np.float32)))
+        elif arr.ndim == 2:
+            # kernel-interleaved wire lanes: verbatim bytes, no host pass
+            sink.write_wire(arr, P.SYMBOLS_PER_FIELD)
         elif isinstance(sink, IqSink):
             # planar handoff: native sink interleaves off the GIL
             sink.write_planar(arr, P.SYMBOLS_PER_FIELD)

@@ -85,7 +85,8 @@ def init_state(batch: int, field_index: int = 0) -> EncoderState:
 
 
 def encode_field(
-    state: EncoderState, ts: jnp.ndarray, out_format: str = "cf32"
+    state: EncoderState, ts: jnp.ndarray, out_format: str = "cf32",
+    wire: bool = False,
 ) -> tuple[EncoderState, jnp.ndarray]:
     """One field for B channels: (B, 58656) TS bytes -> (B, 2, 260480)
     planar float32 IQ, valid through sample 260,416 (use iq_interleave /
@@ -94,7 +95,12 @@ def encode_field(
     out_format 'cs16'/'cs8' instead emits int16/int8 IQ codes (scaled by
     ops.quantize.quantize_scale) straight from the device — the SDR wire
     formats, at 1/2 / 1/4 the HBM write traffic of CF32 (must be static
-    under jit)."""
+    under jit).
+
+    wire=True (quantized formats only): (B, >=260416) packed lanes (one
+    little-endian (I, Q) pair each — int16 for cs8, int32 for cs16)
+    whose bytes per channel ARE the interleaved SDR wire stream; the
+    host writes them verbatim (no planar->interleaved pass)."""
     rand = randomize_field(ts)
     rs = rs_encode_field(rand)
     rs_flat = rs.reshape(rs.shape[0], -1)
@@ -120,7 +126,8 @@ def encode_field(
         field, new_saved = assemble_field_structured(
             symbols, state.parity, state.saved, pad_to=pad_to
         )
-        iq = offset_fir_fused(field, state.phasor, out_format=out_format)
+        iq = offset_fir_fused(field, state.phasor, out_format=out_format,
+                              wire=wire)
         next_phasor = advance_phasor(state.phasor)
     else:
         field, new_saved = assemble_field_structured(
@@ -131,9 +138,13 @@ def encode_field(
         )
         iq = rrc_filter_field(iq_padded)
         if out_format != "cf32":
-            from atsc_tpu.ops.quantize import quantize_iq
+            from atsc_tpu.ops.quantize import pack_wire, quantize_iq
 
             iq = quantize_iq(iq, out_format)
+            if wire:
+                iq = pack_wire(iq, out_format)
+        elif wire:
+            raise ValueError("wire layout applies to cs16/cs8 only")
 
     new_state = EncoderState(
         prev_rs=rs_flat,
@@ -162,14 +173,15 @@ class Encoder:
     single-process API, analog of reference atsc.h's atsc_encoder)."""
 
     def __init__(self, batch: int = 1, field_index: int = 0, donate: bool = True,
-                 out_format: str = "cf32"):
+                 out_format: str = "cf32", wire: bool = False):
         self.batch = batch
         self.out_format = out_format
+        self.wire = wire            # packed wire-layout output (cs16/cs8)
         self._state = init_state(batch, field_index)
         donate_args = (0,) if donate else ()
         self._step = jax.jit(
             encode_field, donate_argnums=donate_args,
-            static_argnames=("out_format",),
+            static_argnames=("out_format", "wire"),
         )
         self._scan = jax.jit(
             encode_fields, donate_argnums=donate_args,
@@ -186,9 +198,11 @@ class Encoder:
 
     def encode(self, ts: np.ndarray) -> jax.Array:
         """(B, 58656) uint8 -> (B, 2, >=260416) planar IQ for one field
-        (valid through sample 260,416; dtype per out_format)."""
+        (valid through sample 260,416; dtype per out_format), or
+        (B, >=260416) packed wire lanes when wire=True."""
         self._state, iq = self._step(
-            self._state, jnp.asarray(ts), out_format=self.out_format
+            self._state, jnp.asarray(ts), out_format=self.out_format,
+            wire=self.wire,
         )
         return iq
 

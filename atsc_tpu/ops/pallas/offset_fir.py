@@ -84,7 +84,8 @@ def _osc_blocked(nblks: int = _IN_BLKS) -> np.ndarray:
 
 
 def _kernel(phasor_ref, fa_ref, fb_ref, osc_a_ref, osc_b_ref,
-            wlo_ref, whi_ref, out_ref, *, qscale=None, qmax=None):
+            wlo_ref, whi_ref, out_ref, *, qscale=None, qmax=None,
+            wire=None):
     # fa/fb: int8 field rows [cR, cR+R) and [cR+1, cR+R+1) of this channel
     # (view B is the one-row-shifted stream for the FIR's +128-sample
     # lookahead operand); osc_a/osc_b: matching oscillator rows, resident
@@ -120,16 +121,36 @@ def _kernel(phasor_ref, fa_ref, fb_ref, osc_a_ref, osc_b_ref,
         lim = jnp.float32(qmax)
         out_i = jnp.clip(jnp.round(out_i * s), -lim, lim)
         out_q = jnp.clip(jnp.round(out_q * s), -lim, lim)
-    out_ref[0, 0, :, :] = out_i.astype(out_ref.dtype)
-    out_ref[0, 1, :, :] = out_q.astype(out_ref.dtype)
+    if wire is not None:
+        # SDR wire layout straight from the kernel: each (I, Q) code
+        # pair packed into ONE little-endian int lane, so the written
+        # array's bytes ARE the interleaved wire stream — the host's
+        # planar->interleaved pass (187 ms/step at B=384, PERF.md)
+        # disappears. cs8: 2 bytes in an int16; cs16: 4 in an int32.
+        ii = out_i.astype(jnp.int32)
+        qq = out_q.astype(jnp.int32)
+        if wire == "cs8":
+            packed = (ii & 0xFF) | ((qq & 0xFF) << 8)
+            # re-sign to int16 range before the narrowing cast (int32 ->
+            # int16 conversion of out-of-range values is not defined as
+            # a wrap on every backend)
+            packed = packed - ((packed & 0x8000) << 1)
+        else:
+            packed = (ii & 0xFFFF) | (qq << 16)
+        out_ref[0] = packed.astype(out_ref.dtype)
+    else:
+        out_ref[0, 0, :, :] = out_i.astype(out_ref.dtype)
+        out_ref[0, 1, :, :] = out_q.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "out_format"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "out_format", "wire"))
 def offset_fir_fused(
     field: jnp.ndarray,
     phasor: jnp.ndarray,
     interpret: bool = False,
     out_format: str = "cf32",
+    wire: bool = False,
 ) -> jnp.ndarray:
     """field: (B, 261248) int8 symbol values; phasor: (B, 2) float32.
 
@@ -138,9 +159,18 @@ def offset_fir_fused(
     quantized in-kernel to int16/int8 codes at ops.quantize.quantize_scale,
     shape (B, 2, 262144). Either way samples [0, 260416) are the field's
     valid output.
+
+    wire=True (quantized formats only): each (I, Q) pair is packed into
+    one little-endian lane in-kernel — (B, 262144) int16 (cs8) / int32
+    (cs16) whose raw bytes per channel ARE the interleaved SDR wire
+    stream (reference atsc_encoder.cpp:89's interleaved contract), so
+    the host writes them verbatim with no transpose pass.
     """
     b = field.shape[0]
     if out_format == "cf32":
+        if wire:
+            raise ValueError("wire layout applies to cs16/cs8 only "
+                             "(cf32 stays planar; see iq_interleave)")
         in_blks, out_blks = _IN_BLKS, _OUT_BLKS
         nchunk, rows = _NCHUNK, _ROWS
         out_dtype = jnp.float32
@@ -148,11 +178,15 @@ def offset_fir_fused(
     elif out_format in ("cs16", "cs8"):
         in_blks, out_blks = _IN_BLKS_Q, _OUT_BLKS_Q
         nchunk, rows = _NCHUNK_Q, _ROWS_Q
-        out_dtype = jnp.int16 if out_format == "cs16" else jnp.int8
+        if wire:
+            out_dtype = jnp.int32 if out_format == "cs16" else jnp.int16
+        else:
+            out_dtype = jnp.int16 if out_format == "cs16" else jnp.int8
         kernel = functools.partial(
             _kernel,
             qscale=quantize_scale(out_format),
             qmax=QMAX[out_format],
+            wire=out_format if wire else None,
         )
         if field.shape[1] < in_blks * _BLK:  # caller can pre-pad for free
             field = jnp.pad(
@@ -168,6 +202,14 @@ def offset_fir_fused(
     osc_b = osc[:, 1 : out_blks + 1]
     w_lo, w_hi = _band_matrices()
 
+    if wire:
+        out_specs = pl.BlockSpec((1, rows, _BLK), lambda c, bb: (bb, c, 0))
+        out_shape = jax.ShapeDtypeStruct((b, out_blks, _BLK), out_dtype)
+    else:
+        out_specs = pl.BlockSpec(
+            (1, 2, rows, _BLK), lambda c, bb: (bb, 0, c, 0)
+        )
+        out_shape = jax.ShapeDtypeStruct((b, 2, out_blks, _BLK), out_dtype)
     out = pl.pallas_call(
         kernel,
         grid=(nchunk, b),
@@ -182,11 +224,11 @@ def offset_fir_fused(
             pl.BlockSpec((_BLK, _BLK), lambda c, bb: (0, 0)),
             pl.BlockSpec((_BLK, _BLK), lambda c, bb: (0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 2, rows, _BLK), lambda c, bb: (bb, 0, c, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, 2, out_blks, _BLK), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(phasor, fa, fb, osc_a, osc_b, jnp.asarray(w_lo), jnp.asarray(w_hi))
 
+    if wire:
+        return out.reshape(b, out_blks * _BLK)
     return out.reshape(b, 2, out_blks * _BLK)

@@ -64,3 +64,32 @@ def quantize_iq(iq: jnp.ndarray, fmt: str) -> jnp.ndarray:
 def dequantize_iq(iq: np.ndarray, fmt: str) -> np.ndarray:
     """Integer codes -> float32 IQ (host-side, for tests/analysis)."""
     return np.asarray(iq, dtype=np.float32) / np.float32(quantize_scale(fmt))
+
+
+#: packed-lane dtype of the wire layout (one (I, Q) pair per lane)
+WIRE_DTYPE = {"cs16": jnp.int32, "cs8": jnp.int16}
+
+
+def pack_wire(iq: jnp.ndarray, fmt: str) -> jnp.ndarray:
+    """Planar integer codes (..., 2, N) -> packed wire lanes (..., N):
+    int16 per cs8 pair / int32 per cs16 pair, little-endian bytes equal
+    to the interleaved (I, Q) wire stream. The XLA twin of the fused
+    kernel's wire=True path (ops/pallas/offset_fir.py) — byte-identical,
+    used on CPU backends and as the test oracle."""
+    ii = iq[..., 0, :].astype(jnp.int32)
+    qq = iq[..., 1, :].astype(jnp.int32)
+    if fmt == "cs8":
+        p = (ii & 0xFF) | ((qq & 0xFF) << 8)
+        p = p - ((p & 0x8000) << 1)          # re-sign for the int16 cast
+        return p.astype(jnp.int16)
+    if fmt == "cs16":
+        return (ii & 0xFFFF) | (qq << 16)
+    raise ValueError(f"wire layout applies to cs16/cs8 only, not {fmt!r}")
+
+
+def unpack_wire(packed: np.ndarray, fmt: str) -> np.ndarray:
+    """Packed wire lanes (..., N) -> planar codes (..., 2, N) (host-side
+    inverse of pack_wire, for tests)."""
+    raw = np.ascontiguousarray(packed)
+    pair = raw.view(np.dtype(DTYPE[fmt])).reshape(*raw.shape, 2)
+    return np.moveaxis(pair, -1, -2)

@@ -422,6 +422,18 @@ class IqSink:
             np.ascontiguousarray(np.moveaxis(data[..., :n_valid], -2, -1))
         )
 
+    def write_wire(self, arr: np.ndarray, n_valid: int) -> None:
+        """Packed wire lanes (B, stride>=n_valid) — one little-endian
+        (I, Q) pair per lane, as emitted by the fused kernel's wire=True
+        path — written verbatim, channel by channel. Each row slice is
+        already contiguous wire bytes, so no interleave pass runs at all
+        (vs write_planar's native 3-memory-pass transpose)."""
+        a = np.asarray(arr)
+        if a.ndim == 1:
+            a = a[None]
+        for b in range(a.shape[0]):
+            self.write(a[b, :n_valid])
+
     def bytes_written(self) -> int:
         if self._h is not None:
             return int(self._lib.iq_sink_bytes(self._h))

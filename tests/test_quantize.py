@@ -70,6 +70,72 @@ def test_quantized_encode_end_to_end(golden, fmt):
     assert err < 0.75 * lsb + 5e-6, (err, lsb)
 
 
+@pytest.mark.parametrize("fmt", ["cs16", "cs8"])
+def test_kernel_wire_layout_matches_planar_bytes(golden, fmt):
+    """wire=True: the kernel packs each (I, Q) pair into one LE lane —
+    its raw bytes must equal the interleaved bytes of the planar path
+    (the contract that lets the host write the array verbatim)."""
+    from atsc_tpu.ops.quantize import pack_wire, unpack_wire
+
+    levels = golden["sync"][:2].real.astype(np.float32)
+    sym = jnp.asarray(_symbols_from_levels(levels))
+    phasor = jnp.asarray([[1.0, 0.0], [0.6, -0.8]], jnp.float32)
+
+    planar = np.asarray(
+        offset_fir_fused(sym, phasor, interpret=True, out_format=fmt)
+    )
+    wirearr = np.asarray(
+        offset_fir_fused(sym, phasor, interpret=True, out_format=fmt,
+                         wire=True)
+    )
+    assert wirearr.dtype == (np.int32 if fmt == "cs16" else np.int16)
+    n = P.SYMBOLS_PER_FIELD
+    want_bytes = iq_interleave(planar).tobytes()
+    got_bytes = np.ascontiguousarray(wirearr[:, :n]).tobytes()
+    assert got_bytes == want_bytes
+    # pack/unpack oracles agree with the kernel
+    np.testing.assert_array_equal(
+        np.asarray(pack_wire(jnp.asarray(planar), fmt)), wirearr
+    )
+    np.testing.assert_array_equal(
+        unpack_wire(wirearr[:, :n], fmt), planar[..., :n]
+    )
+
+
+@pytest.mark.parametrize("fmt", ["cs8"])
+def test_encoder_wire_path_bytes_identical(golden, fmt):
+    """Encoder(wire=True) output bytes == planar Encoder + host
+    interleave, through the full pipeline (XLA fallback on CPU)."""
+    ts = golden["input"][:1]
+    planar_enc = Encoder(batch=1, out_format=fmt, donate=False)
+    wire_enc = Encoder(batch=1, out_format=fmt, wire=True, donate=False)
+    planar = np.asarray(planar_enc.encode(ts))
+    wirearr = np.asarray(wire_enc.encode(ts))
+    n = P.SYMBOLS_PER_FIELD
+    assert iq_interleave(planar).tobytes() == \
+        np.ascontiguousarray(wirearr[:, :n]).tobytes()
+
+
+def test_cli_wire_output_matches_planar(golden, tmp_path):
+    """encode --format cs8 writes byte-identical files through the wire
+    fast path (IqSink) and the generic planar path (mux/resample sinks
+    force planar; this pins the two encode outputs to each other)."""
+    from atsc_tpu.cli import main
+
+    ts_path = tmp_path / "in.ts"
+    golden["input"][:2].tofile(ts_path)
+    out_wire = tmp_path / "wire.iq"
+    main(["encode", str(ts_path), "-o", str(out_wire), "--format", "cs8"])
+    # reference bytes from the planar encoder + host interleave
+    enc = Encoder(batch=1, out_format="cs8", donate=False)
+    want = b"".join(
+        iq_interleave(np.asarray(enc.encode(golden["input"][k:k + 1])))
+        .tobytes()
+        for k in range(2)
+    )
+    assert out_wire.read_bytes() == want
+
+
 def test_quantize_roundtrip_codes():
     rng = np.random.default_rng(7)
     x = rng.uniform(-iq_peak(), iq_peak(), size=(4, 256)).astype(np.float32)
