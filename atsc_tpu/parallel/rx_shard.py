@@ -18,9 +18,14 @@ encoder's, because nothing recurses through *decoded* data:
 So the device step is embarrassingly parallel plus two O(1) ppermutes,
 and its outputs (pre-correction codewords + syndromes) equal the
 sequential models/decoder.py decode_field chain exactly. Reed-Solomon
-correction of dirty segments stays host-side (as in Decoder.decode):
-clean segments never leave the device path, and error correction is a
-sparse, data-dependent fixup that would waste MXU time if run densely.
+correction of dirty segments runs as one follow-up device dispatch
+(ops.rs_decode.rs_correct_field, as in Decoder.decode); clean fields
+skip even that.
+
+The soft (Viterbi) tier shards too: see _local_step_soft — path
+metrics are the one state component that recurses through decoded
+data, handled with a warmup ring-permute at shard seams (the
+chunked-MLSE argument).
 """
 
 from __future__ import annotations
@@ -91,6 +96,87 @@ def _local_step(state: DecoderState, fields: jnp.ndarray):
     return new_state, codewords, syn
 
 
+def _local_step_soft(state, fields: jnp.ndarray, warmup: int = 128):
+    """Soft (maximum-likelihood trellis) twin of _local_step.
+
+    fields: (F, b, >=260416) float32 soft levels; state is a
+    SoftDecoderState (adds the (b, 12, 4) carried Viterbi path metrics).
+
+    Cross-shard metric seam: path metrics recurse through the WHOLE
+    symbol stream, so an exact sharded ACS would serialize the time
+    axis. Instead each non-first shard warms flat metrics on the last
+    `warmup` observations of its left neighbor's stream (one extra
+    O(warmup) ring permute of b*12*warmup floats) — the chunked-Viterbi
+    argument (ops/viterbi.py): survivors merge within ~32 symbols whp,
+    so kept decisions equal the MLSE path at any decodable SNR and RS
+    absorbs the rare seam disagreement. Shard 0 keeps the carried
+    metrics, so the stream head and the cross-step state stay exact.
+    """
+    from atsc_tpu.models.decoder import SoftDecoderState
+    from atsc_tpu.ops.viterbi import (
+        _acs_scan,
+        pack_trellis_bytes,
+        viterbi_bits,
+    )
+
+    f_dev, b = fields.shape[:2]
+    t_idx = jax.lax.axis_index(TIME_AXIS)
+    n_time = jax.lax.axis_size(TIME_AXIS)
+    ring = [(t, (t + 1) % n_time) for t in range(n_time)]
+
+    soft = jax.vmap(decommutate_field)(fields.astype(jnp.float32))
+    # (F, b, 12, 21528)
+
+    # ---- shard-seam metric warmup -----------------------------------
+    tail_obs = jax.lax.ppermute(
+        soft[-1][..., -warmup:], TIME_AXIS, ring)          # (b, 12, W)
+    m_flat = jnp.zeros((b, P.TRELLIS_ENCODERS, 4), jnp.float32)
+    m_warm, _ = _acs_scan(m_flat, jnp.moveaxis(tail_obs, -1, 0), 16)
+    metrics = jnp.where(t_idx == 0, state.metrics, m_warm)
+
+    # ---- local sequential MLSE over this shard's F fields -----------
+    x1s, z2s = [], []
+    for f in range(f_dev):
+        x1_f, z2_f, metrics = viterbi_bits(soft[f], metrics)
+        x1s.append(x1_f)
+        z2s.append(z2_f)
+    x1 = jnp.stack(x1s)
+    z2 = jnp.stack(z2s)                                    # (F, b, 12, T)
+
+    # ---- precoder inverse: z2 tails ride the same ring as _local_step
+    z2_tails = z2[..., -1]                                 # (F, b, 12)
+    tail_from_left = jax.lax.ppermute(z2_tails[-1], TIME_AXIS, ring)
+    incoming_z2 = jnp.where(t_idx == 0, state.z2_prev, tail_from_left)
+    z2_prev = jnp.concatenate([incoming_z2[None], z2_tails[:-1]], axis=0)
+
+    def pack(x1_f, z2_f, z2p):
+        z2_shift = jnp.concatenate([z2p[..., None], z2_f[..., :-1]],
+                                   axis=-1)
+        return pack_trellis_bytes(z2_f ^ z2_shift, x1_f)
+
+    bytes_enc = jax.vmap(pack)(x1, z2, z2_prev)
+    cur_il = jax.vmap(enc_major_to_round_major)(bytes_enc)
+
+    il_from_left = jax.lax.ppermute(cur_il[-1], TIME_AXIS, ring)
+    incoming_il = jnp.where(t_idx == 0, state.prev_il, il_from_left)
+    prev_il = jnp.concatenate([incoming_il[None], cur_il[:-1]], axis=0)
+    rs = jax.vmap(deinterleave_field)(cur_il, prev_il)
+
+    codewords = rs.reshape(f_dev, b, P.DATA_SEGMENTS, P.SEGMENT_FEC_BYTES)
+    syn = jax.vmap(syndrome_field)(codewords)
+    is_last_u8 = (t_idx == n_time - 1).astype(jnp.uint8)
+    new_state = SoftDecoderState(
+        prev_il=jax.lax.psum(cur_il[-1] * is_last_u8, TIME_AXIS),
+        z2_prev=jax.lax.psum(
+            z2_tails[-1] * is_last_u8.astype(jnp.int32), TIME_AXIS
+        ),
+        metrics=jax.lax.psum(
+            metrics * is_last_u8.astype(jnp.float32), TIME_AXIS
+        ),
+    )
+    return new_state, codewords, syn
+
+
 def _correct_and_derand(obj, derand, codewords, syn):
     """Shared fixup: RS-correct dirty segments in one device dispatch
     (ops.rs_decode.rs_correct_field — batched inversionless BM +
@@ -113,6 +199,29 @@ def _correct_and_derand(obj, derand, codewords, syn):
     return ts, n_errors
 
 
+def _trellis_plumbing(trellis: str, batch: int):
+    """(state PartitionSpec tree, initial state, shard_map body) for a
+    trellis tier: 'hard' = DecoderState + _local_step, 'soft' =
+    SoftDecoderState (+ metrics leaf) + _local_step_soft."""
+    if trellis == "soft":
+        from atsc_tpu.models.decoder import (
+            SoftDecoderState,
+            init_soft_decoder_state,
+        )
+
+        spec = SoftDecoderState(
+            prev_il=PSpec(CH_AXIS, None),
+            z2_prev=PSpec(CH_AXIS, None),
+            metrics=PSpec(CH_AXIS, None, None),
+        )
+        return spec, init_soft_decoder_state(batch), _local_step_soft
+    spec = DecoderState(
+        prev_il=PSpec(CH_AXIS, None),
+        z2_prev=PSpec(CH_AXIS, None),
+    )
+    return spec, init_decoder_state(batch), _local_step
+
+
 class ShardedDecoder:
     """Multi-device symbol-field decoder over a ("time", "ch") mesh.
 
@@ -123,10 +232,14 @@ class ShardedDecoder:
     encoder's virtual pre-start field — drop it).
     """
 
-    def __init__(self, mesh: Mesh, batch: int, fields_per_device: int = 1):
+    def __init__(self, mesh: Mesh, batch: int, fields_per_device: int = 1,
+                 trellis: str = "hard"):
+        if trellis not in ("hard", "soft"):
+            raise ValueError(f"unknown trellis mode {trellis!r}")
         self.mesh = mesh
         self.batch = batch
         self.f_dev = fields_per_device
+        self.trellis = trellis
         self.n_time = mesh.shape[TIME_AXIS]
         self.n_ch = mesh.shape[CH_AXIS]
         self.t_total = self.n_time * fields_per_device
@@ -134,15 +247,12 @@ class ShardedDecoder:
         self.segments_corrected = 0
         self.segments_uncorrectable = 0
 
-        state_spec = DecoderState(
-            prev_il=PSpec(CH_AXIS, None),
-            z2_prev=PSpec(CH_AXIS, None),
-        )
+        state_spec, init_state, step_fn = _trellis_plumbing(trellis, batch)
         fields_spec = PSpec(TIME_AXIS, CH_AXIS, None)
         cw_spec = PSpec(TIME_AXIS, CH_AXIS, None, None)
 
         mapped = jax.shard_map(
-            _local_step,
+            step_fn,
             mesh=mesh,
             in_specs=(state_spec, fields_spec),
             out_specs=(state_spec, cw_spec, cw_spec),
@@ -155,16 +265,15 @@ class ShardedDecoder:
             is_leaf=lambda x: isinstance(x, PSpec),
         )
         self.fields_sharding = NamedSharding(mesh, fields_spec)
-        self._state = jax.device_put(
-            init_decoder_state(batch), self.state_sharding
-        )
+        self._state = jax.device_put(init_state, self.state_sharding)
 
     @property
     def state(self) -> DecoderState:
         return self._state
 
     def decode(self, fields: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(T, B, >=260416) int8 received fields k..k+T-1 ->
+        """(T, B, >=260416) received fields k..k+T-1 (int8 sliced
+        symbols for trellis='hard', float32 soft levels for 'soft') ->
         (ts (T, B, 58656) uint8 of fields k-1..k+T-2,
         n_errors (T, B, 312) int32; -1 marks uncorrectable segments)."""
         fields = jax.device_put(jnp.asarray(fields), self.fields_sharding)
@@ -195,7 +304,8 @@ class ShardedReceiver:
 
     def __init__(self, mesh: Mesh, batch: int, fields_per_device: int = 1,
                  first_field: int = 0, eq_profile: str = "auto",
-                 equalizer: str = "zf"):
+                 equalizer: str = "zf", trellis: str = "hard",
+                 wire_format: str = "cf32"):
         from atsc_tpu.models.receiver import (
             _DEV_MARGIN, _eq_step_fn, _fused_eq_enabled, eq_window_bounds,
             DEFAULT_EQ_PROFILE, EQ_PROFILES,
@@ -203,6 +313,24 @@ class ShardedReceiver:
 
         if equalizer not in ("zf", "adaptive", "adaptive-dd"):
             raise ValueError(f"unknown equalizer {equalizer!r}")
+        if trellis not in ("hard", "soft"):
+            raise ValueError(f"unknown trellis mode {trellis!r}")
+        if wire_format not in ("cf32", "cs16", "cs8"):
+            raise ValueError(f"unknown wire format {wire_format!r}")
+        if equalizer != "zf" and (trellis == "soft"
+                                  or wire_format != "cf32"):
+            raise ValueError("soft trellis / quantized windows shard "
+                             "with the zf equalizer (the adaptive tiers "
+                             "stay hard-symbol, cf32 — use the "
+                             "sequential IqReceiver for those combos)")
+        self.trellis = trellis
+        self.wire_format = wire_format
+        dequant = 1.0
+        if wire_format != "cf32":
+            from atsc_tpu.ops.quantize import quantize_scale
+
+            dequant = 1.0 / quantize_scale(wire_format)
+        soft = trellis == "soft"
         self.mesh = mesh
         self.batch = batch
         self.n_time = mesh.shape[TIME_AXIS]
@@ -235,11 +363,12 @@ class ShardedReceiver:
                 exact = resolved == "exact"
 
                 def eq(win, osc):
-                    out = eq_fir_fused(win, osc, eq_k=eq_k, exact=exact)
+                    out = eq_fir_fused(win, osc, eq_k=eq_k, exact=exact,
+                                       soft=soft, dequant=dequant)
                     return jax.lax.slice_in_dim(
                         out, 0, P.SYMBOLS_PER_FIELD, axis=-1)
             else:
-                eq = _eq_step_fn(False, 1.0, eq_profile)
+                eq = _eq_step_fn(soft, dequant, eq_profile)
 
             def eq_fields(wins, oscs, start_parity):
                 return jax.vmap(eq)(wins, oscs)        # (F, b, N) int8
@@ -286,14 +415,13 @@ class ShardedReceiver:
                         + jnp.arange(f_dev)) % 2
                 return jax.vmap(eq_one)(wins, oscs, pars)
 
-        def body(state, wins, oscs, start_parity):
-            # wins (F, b, 2, W) float32; oscs (F, 2, W) float32
-            fields = eq_fields(wins, oscs, start_parity)
-            return _local_step(state, fields)
+        state_spec, init_state, step_fn = _trellis_plumbing(trellis, batch)
 
-        state_spec = DecoderState(
-            prev_il=PSpec(CH_AXIS, None), z2_prev=PSpec(CH_AXIS, None)
-        )
+        def body(state, wins, oscs, start_parity):
+            # wins (F, b, 2, W) float32 (or integer codes); oscs float32
+            fields = eq_fields(wins, oscs, start_parity)
+            return step_fn(state, fields)
+
         win_spec = PSpec(TIME_AXIS, CH_AXIS, None, None)
         osc_spec = PSpec(TIME_AXIS, None, None)
         cw_spec = PSpec(TIME_AXIS, CH_AXIS, None, None)
@@ -311,9 +439,7 @@ class ShardedReceiver:
         )
         self._win_sharding = NamedSharding(mesh, win_spec)
         self._osc_sharding = NamedSharding(mesh, osc_spec)
-        self._state = jax.device_put(
-            init_decoder_state(batch), self.state_sharding
-        )
+        self._state = jax.device_put(init_state, self.state_sharding)
 
     def decode_iq(
         self, iq: np.ndarray, with_context: bool = False
@@ -328,6 +454,9 @@ class ShardedReceiver:
         n_errors (T, B, 312)) with the usual one-field output latency."""
         from atsc_tpu.models.receiver import field_window
 
+        if self.wire_format != "cf32":
+            raise ValueError("this receiver consumes integer wire codes "
+                             "— use decode_codes()")
         iq = np.atleast_2d(iq)
         n = P.SYMBOLS_PER_FIELD
         off = -self._margin if with_context else 0
@@ -354,14 +483,54 @@ class ShardedReceiver:
         )
         return self._correct(codewords, syn)
 
+    def decode_codes(self, codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Quantized twin of decode_iq for wire_format='cs16'/'cs8':
+        codes (B, T*260416, 2) int16/int8 interleaved (I, Q) wire
+        samples, uploaded VERBATIM — the dequantization scale is folded
+        into the equalizer's derotation constant on-device, exactly like
+        the sequential IqReceiver's push_codes path. Edge context beyond
+        the T fields is zero-filled (RS absorbs the boundary symbols).
+        Returns (ts (T, B, 58656), n_errors (T, B, 312))."""
+        from atsc_tpu.models.receiver import _osc_planar
+
+        if self.wire_format == "cf32":
+            raise ValueError("decode_codes needs wire_format='cs16'/'cs8'")
+        codes = np.asarray(codes)
+        if codes.ndim == 2:
+            codes = codes[None]
+        n = P.SYMBOLS_PER_FIELD
+        assert codes.shape[1] == self.t_total * n, (
+            f"want exactly {self.t_total} fields of code samples")
+        b = codes.shape[0]
+        wins = np.zeros((self.t_total, b, 2, self.window), codes.dtype)
+        oscs = np.empty((self.t_total, 2, self.window), np.float32)
+        for f in range(self.t_total):
+            lo = f * n - self._eq_margin
+            hi = lo + self.window
+            a_lo, a_hi = max(lo, 0), min(hi, codes.shape[1])
+            if a_hi > a_lo:
+                src = codes[:, a_lo:a_hi]
+                wins[f, :, 0, a_lo - lo : a_hi - lo] = src[..., 0]
+                wins[f, :, 1, a_lo - lo : a_hi - lo] = src[..., 1]
+            oscs[f] = _osc_planar(lo, hi, self._next_field)
+        start_parity = jnp.int32(self._next_field % 2)
+        self._next_field += self.t_total
+        wj = jax.device_put(jnp.asarray(wins), self._win_sharding)
+        oj = jax.device_put(jnp.asarray(oscs), self._osc_sharding)
+        self._state, codewords, syn = self._step(
+            self._state, wj, oj, start_parity
+        )
+        return self._correct(codewords, syn)
+
     def _correct(self, codewords, syn) -> tuple[np.ndarray, np.ndarray]:
         return _correct_and_derand(self, self._derand, codewords, syn)
 
 
 def dryrun(n_devices: int) -> None:
     """Compile + run one full multi-chip decode step on an n_devices mesh
-    with both axes in use (time-block x channel sharding), for both the
-    symbol-field decoder and the IQ-in receive chain."""
+    with both axes in use (time-block x channel sharding), covering the
+    symbol-field decoder (hard + soft/Viterbi tiers) and the IQ-in
+    receive chain (zf, adaptive, soft trellis, quantized cs8 windows)."""
     from atsc_tpu.parallel.mesh import make_mesh
 
     n_time = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
@@ -373,6 +542,13 @@ def dryrun(n_devices: int) -> None:
     )
     ts, nerr = dec.decode(fields)
     assert ts.shape == (dec.t_total, n_ch, P.FIELD_TS_BYTES)
+    dec_soft = ShardedDecoder(mesh, batch=n_ch, fields_per_device=1,
+                              trellis="soft")
+    levels = np.zeros(
+        (dec_soft.t_total, n_ch, P.SYMBOLS_PER_FIELD), dtype=np.float32
+    )
+    ts, nerr = dec_soft.decode(levels)
+    assert ts.shape == (dec_soft.t_total, n_ch, P.FIELD_TS_BYTES)
     rx = ShardedReceiver(mesh, batch=n_ch, fields_per_device=1)
     iq = np.zeros((n_ch, rx.t_total * P.SYMBOLS_PER_FIELD), np.complex64)
     ts, nerr = rx.decode_iq(iq)
@@ -381,3 +557,12 @@ def dryrun(n_devices: int) -> None:
                           equalizer="adaptive")
     ts, nerr = rxa.decode_iq(iq)
     assert ts.shape == (rxa.t_total, n_ch, P.FIELD_TS_BYTES)
+    rxs = ShardedReceiver(mesh, batch=n_ch, fields_per_device=1,
+                          trellis="soft")
+    ts, nerr = rxs.decode_iq(iq)
+    assert ts.shape == (rxs.t_total, n_ch, P.FIELD_TS_BYTES)
+    rxq = ShardedReceiver(mesh, batch=n_ch, fields_per_device=1,
+                          wire_format="cs8")
+    codes = np.zeros((n_ch, rxq.t_total * P.SYMBOLS_PER_FIELD, 2), np.int8)
+    ts, nerr = rxq.decode_codes(codes)
+    assert ts.shape == (rxq.t_total, n_ch, P.FIELD_TS_BYTES)

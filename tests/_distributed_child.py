@@ -4,10 +4,10 @@ Run as: python _distributed_child.py <process_id> <coordinator_port>
 
 Joins a 2-process jax.distributed runtime (CPU backend, 2 virtual devices
 per process -> 4 global devices), builds the global ("time", "ch") mesh,
-runs ONE ShardedEncoder step over it, and checks this process's
-addressable output/state shards against the sequential encoder — the real
-multi-host execution path of parallel/distributed.py, scaled down to one
-machine.
+runs ONE ShardedEncoder step AND one ShardedDecoder step over it, and
+checks this process's addressable output/state shards against the
+sequential encoder/decoder — the real multi-host execution path of
+parallel/distributed.py (both directions), scaled down to one machine.
 """
 
 import os
@@ -83,6 +83,41 @@ for shard in iq.addressable_shards:
 for name in EncoderState._fields:
     leaf_g = getattr(state_g, name)
     leaf_s = np.asarray(getattr(seq_state, name))
+    for shard in leaf_g.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(shard.data), leaf_s[shard.index])
+
+# ---- one sharded DECODE step over the same global mesh ---------------------
+from atsc_tpu.models.decoder import (  # noqa: E402
+    Decoder,
+    DecoderState,
+    init_decoder_state,
+)
+from atsc_tpu.parallel.rx_shard import ShardedDecoder  # noqa: E402
+from tests.test_decoder import _encode_symbol_fields  # noqa: E402
+
+fields = _encode_symbol_fields(ts)      # (2, batch, >=260416) int8
+dec = ShardedDecoder(mesh, batch=batch, fields_per_device=1)
+dstate_g = put_global(init_decoder_state(batch), dec.state_sharding)
+fields_g = put_global(fields, dec.fields_sharding)
+dstate_g, cw_g, syn_g = dec._step(dstate_g, fields_g)
+jax.block_until_ready(syn_g)
+
+seq = Decoder(batch=batch)
+seq_cw, seq_syn = [], []
+for k in range(2):
+    seq._state, scw, ssyn = seq._step(seq._state, jnp.asarray(fields[k]))
+    seq_cw.append(np.asarray(scw))
+    seq_syn.append(np.asarray(ssyn))
+seq_cw = np.stack(seq_cw)
+seq_syn = np.stack(seq_syn)
+
+for shard in cw_g.addressable_shards:
+    np.testing.assert_array_equal(np.asarray(shard.data), seq_cw[shard.index])
+for shard in syn_g.addressable_shards:
+    np.testing.assert_array_equal(np.asarray(shard.data), seq_syn[shard.index])
+for name in DecoderState._fields:
+    leaf_g = getattr(dstate_g, name)
+    leaf_s = np.asarray(getattr(seq._state, name))
     for shard in leaf_g.addressable_shards:
         np.testing.assert_array_equal(np.asarray(shard.data), leaf_s[shard.index])
 

@@ -269,6 +269,98 @@ def test_cli_decode_mesh_adaptive(tmp_path):
         ))
 
 
+def test_sharded_soft_receiver_decodes_noisy():
+    """ShardedReceiver(trellis='soft') on an AWGN capture: the sharded
+    ML tier (warmup ring-permute at metric seams) must recover the exact
+    TS and agree with the sequential soft IqReceiver after RS."""
+    from atsc_tpu.models.receiver import IqReceiver
+    from atsc_tpu.parallel.rx_shard import ShardedReceiver
+    from tests.test_receiver import _encode_iq
+
+    rng = np.random.default_rng(101)
+    t, b = 4, 2
+    ts = _random_ts(rng, t, b)
+    iq = _encode_iq(ts)
+    sig_p = np.mean(np.abs(iq) ** 2)
+    snr = 16.0
+    noise = (rng.normal(size=iq.shape) + 1j * rng.normal(size=iq.shape))
+    iq = (iq + noise * np.sqrt(sig_p / 10 ** (snr / 10) / 2)).astype(
+        np.complex64
+    )
+
+    rx = ShardedReceiver(make_mesh(2, 2), batch=b, fields_per_device=2,
+                         trellis="soft")
+    got_ts, got_err = rx.decode_iq(iq)
+    assert (got_err >= 0).all()
+    for k in range(1, t):
+        np.testing.assert_array_equal(got_ts[k], ts[k - 1])
+
+    seq = IqReceiver(batch=b, trellis="soft")
+    want = seq.push(iq) + seq.flush()
+    for k in range(1, t):
+        np.testing.assert_array_equal(got_ts[k], want[k - 1][0])
+
+
+def test_sharded_soft_decoder_equals_sequential_soft():
+    """Symbol-domain ShardedDecoder(trellis='soft') on clean soft levels
+    equals the sequential SoftDecoder byte-exactly (clean data: warmup
+    seams converge to the same MLSE path)."""
+    from atsc_tpu.models.decoder import SoftDecoder
+    from atsc_tpu.ops.assemble import field_levels
+    import jax.numpy as jnp
+
+    n_time, n_ch, f_dev = 2, 2, 1
+    t_total = n_time * f_dev
+    batch = n_ch
+    rng = np.random.default_rng(103)
+    ts = _random_ts(rng, t_total, batch)
+    fields = _encode_symbol_fields(ts)
+    levels = np.asarray(
+        field_levels(jnp.asarray(fields.reshape(-1, fields.shape[-1])))
+    ).reshape(fields.shape).astype(np.float32)
+
+    dec = ShardedDecoder(make_mesh(n_time, n_ch), batch=batch,
+                         fields_per_device=f_dev, trellis="soft")
+    got_ts, nerr = dec.decode(levels)
+    assert (nerr == 0).all()
+
+    seq = SoftDecoder(batch=batch)
+    for k in range(t_total):
+        seq_ts, _ = seq.decode(levels[k])
+        np.testing.assert_array_equal(got_ts[k], seq_ts)
+    for k in range(1, t_total):
+        np.testing.assert_array_equal(got_ts[k], ts[k - 1])
+
+
+def test_sharded_quantized_windows_match_sequential():
+    """ShardedReceiver(wire_format='cs8').decode_codes on raw integer
+    wire samples equals the sequential IqReceiver's push_codes path and
+    recovers the exact TS."""
+    from atsc_tpu.models.receiver import IqReceiver
+    from atsc_tpu.ops.quantize import quantize_scale
+    from atsc_tpu.parallel.rx_shard import ShardedReceiver
+    from tests.test_receiver import _encode_iq
+
+    rng = np.random.default_rng(107)
+    t, b = 2, 2
+    ts = _random_ts(rng, t, b)
+    iq = _encode_iq(ts)
+    s = quantize_scale("cs8")
+    codes = np.clip(
+        np.rint(np.stack([iq.real, iq.imag], axis=-1) * s), -127, 127
+    ).astype(np.int8)
+
+    rx = ShardedReceiver(make_mesh(2, 1), batch=b, fields_per_device=1,
+                         wire_format="cs8")
+    got_ts, got_err = rx.decode_codes(codes)
+    assert (got_err >= 0).all()
+    np.testing.assert_array_equal(got_ts[1], ts[0])
+
+    seq = IqReceiver(batch=b, wire_format="cs8")
+    want = seq.push_codes(codes) + seq.flush()
+    np.testing.assert_array_equal(got_ts[1], want[0][0])
+
+
 def test_sharded_receiver_fused_eq(monkeypatch):
     """ShardedReceiver with the fused Pallas equalizer active (interpret
     mode on CPU — the branch a real TPU mesh executes): decoded TS must
