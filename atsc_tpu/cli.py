@@ -760,8 +760,7 @@ def run_decode_mesh(args) -> dict:
     from atsc_tpu.parallel.rx_shard import ShardedReceiver
 
     for flag, default in (("align", "none"), ("cfo", "0"), ("sro", "0"),
-                          ("rate", None),
-                          ("trellis", "hard"), ("forgetting", 1.0),
+                          ("rate", None), ("forgetting", 1.0),
                           ("ntsc", "off"), ("erasures", "off"),
                           ("resync", "off"), ("checkpoint", None)):
         if getattr(args, flag) != default:
@@ -783,11 +782,15 @@ def run_decode_mesh(args) -> dict:
     b = args.channels
     n = P.SYMBOLS_PER_FIELD
     margin = _DEV_MARGIN  # decode_iq asserts width == t*N + 2*_DEV_MARGIN
+    if args.trellis == "viterbi" and args.equalizer != "zf":
+        raise ValueError("--mesh --trellis viterbi shards with the zf "
+                         "equalizer only")
     rx = ShardedReceiver(
         make_mesh(n_time, n_ch), batch=b,
         fields_per_device=max(1, args.fields_per_step // n_time),
         first_field=args.first_field, eq_profile=args.eq_profile,
         equalizer=args.equalizer,
+        trellis="soft" if args.trellis == "viterbi" else "hard",
     )
     t = rx.t_total
     fmt = args.in_format
@@ -1486,6 +1489,21 @@ def _analyze_iq(iq: np.ndarray, cfo_search: float,
                         "(< one field + one segment)")
         return out
 
+    # impulse blanking (standard monitor front end): a strong noise
+    # burst otherwise CAPTURES the estimators — the PN511 correlator
+    # peaks on the burst (false alignment), and SRO/CFO follow it. The
+    # 8VSB envelope is Rayleigh (median = 1.177 sigma), so 4x the median
+    # is ~4.7 sigma: clean samples essentially never trip it. Blanked
+    # spans slice terribly, which is exactly right — the burst detector
+    # below still flags them and the MER still reflects the hit; only
+    # the sync/rate/carrier estimators stop seeing the impulse energy.
+    amp = np.abs(iq)
+    hot = amp > 4.0 * float(np.median(amp))
+    n_hot = int(hot.sum())
+    if n_hot:
+        out["blanked_samples"] = n_hot
+        iq = np.where(hot, 0, iq)
+
     # order matters: SRO scales every frequency, so the pilot-based CFO
     # estimate taken on an off-rate capture is biased by pilot_Hz * ppm
     # (~81 Hz at 30 ppm). Align (PN511 correlation is CFO-robust over its
@@ -1515,6 +1533,8 @@ def _analyze_iq(iq: np.ndarray, cfo_search: float,
     out["align_parity"] = int(parity)
 
     if iq.size - off >= n:
+        levs: dict = {}  # method -> equalized levels (burst triage below)
+
         def _adaptive_mer() -> float:
             # phase/epoch-agnostic: the sync-trained adaptive equalizer
             # absorbs any fixed rotation or linear channel
@@ -1524,6 +1544,7 @@ def _analyze_iq(iq: np.ndarray, cfo_search: float,
             win, osc = field_window(iq[None], off, first_field=parity)
             lev = AdaptiveEqualizer(batch=1).process_field(
                 win, osc, parity, soft=True)
+            levs["adaptive"] = np.asarray(lev)
             return float(mer_db(lev)[0])
 
         mer = None
@@ -1536,6 +1557,7 @@ def _analyze_iq(iq: np.ndarray, cfo_search: float,
             # measurement rather than issuing a false not-decodable
             # verdict.
             lev = equalize_field_device(iq[None], 0, soft=True)
+            levs["zf"] = np.asarray(lev)
             mer = float(mer_db(lev)[0])
             out["mer_method"] = "zf"
         if mer is None or mer < 20.0:
@@ -1545,6 +1567,27 @@ def _analyze_iq(iq: np.ndarray, cfo_search: float,
                 out["mer_method"] = "adaptive"
         out["mer_db"] = round(mer, 2)
         out["decodable"] = bool(out["mer_db"] >= 15.2)
+
+        # impulse-noise triage on the measured field: heavy-tailed
+        # windowed slicer residuals mark gated/burst events, which the
+        # RS erasure tier (2*errors + erasures <= 20) recovers far past
+        # the errors-only budget — a LOW MER with bursts present is an
+        # erasure problem, not (only) a white-noise one, so the soft-
+        # trellis gate below uses the burst-excluded MER
+        from atsc_tpu.ops.erasures import burst_erasure_flags
+
+        lev_used = levs[out["mer_method"]]
+        bflags = burst_erasure_flags(lev_used)[:, :n]
+        n_burst = int(bflags.sum())
+        out["burst_symbols"] = n_burst
+        if n_burst:
+            clean = lev_used[:, :n].copy()
+            sliced = np.clip(
+                np.rint((clean - P.PILOT_OFFSET + 7.0) / 2.0), 0, 7
+            ) * 2.0 - 7.0 + P.PILOT_OFFSET
+            mask = bflags.astype(bool)
+            clean[mask] = sliced[mask]       # zero the burst residuals
+            out["mer_clean_db"] = round(float(mer_db(clean)[0]), 2)
     else:
         out["note"] = ("capture too short after alignment for a MER "
                        "field; raise --fields")
@@ -1561,7 +1604,16 @@ def _analyze_iq(iq: np.ndarray, cfo_search: float,
         flags.append("--align auto")
     if out.get("mer_method") == "adaptive" and "--align auto" not in flags:
         flags.append("--equalizer adaptive")
-    mer = out.get("mer_db")
+    # >= 192 flagged symbols = at least one real windowed burst event
+    # (the detector dilates each event to ~3 windows); single-window
+    # flickers on borderline captures stay below this
+    if out.get("burst_symbols", 0) >= 192:
+        flags.append("--erasures burst")
+    # soft-trellis gate: with bursts present, judge the WHITE-noise
+    # margin from the burst-excluded MER (bursts go to the erasure tier;
+    # advising viterbi off burst-depressed MER would cost throughput for
+    # nothing on an otherwise-clean capture)
+    mer = out.get("mer_clean_db", out.get("mer_db"))
     if mer is not None and mer < 20.0:
         flags.append("--trellis viterbi")
     out["decode_flags"] = " ".join(flags)

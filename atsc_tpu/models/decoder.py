@@ -179,7 +179,7 @@ class Decoder:
             # segments dirty costs the same as one dirty segment
             orig = codewords
             codewords, n_dev = rs_correct_field_jit(codewords, syn)
-            n_errors = np.asarray(n_dev)
+            n_errors = np.array(n_dev)  # writable: erasure loop edits it
             # erasure-flagged segments keep the erasures-first host tier
             # (Sugiyama: 2*errors + erasures <= 20 beats errors <= 10 on
             # bursts); these are rare, localized events

@@ -63,6 +63,52 @@ def test_cli_decode_full_gauntlet(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_cli_analyze_burst_advice_enables_decode(tmp_path):
+    """Advice-to-outcome contract for the burst tier: on a clean capture
+    with one strong impulse burst, analyze must advise `--erasures
+    burst` and NOT `--trellis viterbi` (the burst-excluded MER is high —
+    white noise is not the problem), the unadvised decode must leave
+    uncorrectable segments, and decoding with exactly the advised flag
+    set must recover the exact TS."""
+    from atsc_tpu.cli import (
+        build_analyze_argparser,
+        build_decode_argparser,
+        run_analyze,
+        run_decode,
+    )
+
+    rng = np.random.default_rng(137)
+    ts = _random_ts(rng, 4, 1)
+    iq = _encode_iq(ts)[0].copy()
+    s0 = 40_000                       # inside the measured field's data
+    iq[s0 : s0 + 3000] += (
+        rng.normal(size=3000) + 1j * rng.normal(size=3000)
+    ) * 6.0
+    cap = tmp_path / "cap.iq"
+    np.stack([iq.real, iq.imag], axis=-1).astype(np.float32).tofile(cap)
+
+    rep = run_analyze(build_analyze_argparser().parse_args([str(cap)]))
+    assert rep["burst_symbols"] >= 192, rep
+    assert "--erasures burst" in rep["decode_flags"], rep
+    assert "--trellis viterbi" not in rep["decode_flags"], rep
+    assert rep["mer_clean_db"] > 20.0, rep   # burst-excluded air is clean
+
+    out_plain = tmp_path / "plain.ts"
+    s_plain = run_decode(build_decode_argparser().parse_args(
+        [str(cap), "-o", str(out_plain), "--stats"]
+    ))
+    assert s_plain["segments_uncorrectable"] > 0, s_plain
+
+    out_adv = tmp_path / "adv.ts"
+    argv = ([str(cap), "-o", str(out_adv), "--stats"]
+            + rep["decode_flags"].split())
+    s_adv = run_decode(build_decode_argparser().parse_args(argv))
+    assert s_adv["segments_uncorrectable"] == 0, s_adv
+    got = np.fromfile(out_adv, dtype=np.uint8)
+    want = ts[: s_adv["fields_decoded"], 0].reshape(-1)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_cli_analyze_on_gauntlet_capture(tmp_path):
     """`analyze` triages the same everything-at-once capture: its
     estimates must agree with decode's conditioning (it is the tool that

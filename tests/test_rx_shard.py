@@ -171,6 +171,37 @@ def test_cli_decode_mesh(tmp_path):
         np.testing.assert_array_equal(got[k], ts[k])
 
 
+def test_cli_decode_mesh_viterbi(tmp_path):
+    """`decode --mesh TxC --trellis viterbi`: the sharded soft-decision
+    tier through the CLI on an AWGN capture — exact TS out where the
+    impairment would cost the hard tier corrections."""
+    from atsc_tpu.cli import build_decode_argparser, run_decode
+    from tests.test_receiver import _encode_iq
+
+    rng = np.random.default_rng(149)
+    ts = _random_ts(rng, 4, 2)
+    iq = _encode_iq(ts)
+    sig_p = np.mean(np.abs(iq) ** 2)
+    noise = rng.normal(size=iq.shape) + 1j * rng.normal(size=iq.shape)
+    iq = iq + noise * np.sqrt(sig_p / 10 ** (16.0 / 10.0) / 2.0)
+    cap = tmp_path / "cap.iq"
+    flat = iq.reshape(2, 4, P.SYMBOLS_PER_FIELD).transpose(1, 0, 2).reshape(-1)
+    cap.write_bytes(
+        np.stack([flat.real, flat.imag], -1).astype(np.float32).tobytes()
+    )
+    out = tmp_path / "out.ts"
+    s = run_decode(build_decode_argparser().parse_args(
+        [str(cap), "-o", str(out), "-c", "2", "--mesh", "2x2",
+         "--fields-per-step", "2", "--trellis", "viterbi", "--stats"]
+    ))
+    assert s["segments_uncorrectable"] == 0, s
+    got = np.frombuffer(out.read_bytes(), np.uint8).reshape(
+        -1, 2, P.FIELD_TS_BYTES
+    )
+    for k in range(got.shape[0]):
+        np.testing.assert_array_equal(got[k], ts[k])
+
+
 def test_cli_decode_per_channel_outputs(tmp_path):
     """`-o 'slot{ch}.ts'` splits the decode into one TS file per
     channel — byte-identical to de-interleaving the single-output form."""
