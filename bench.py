@@ -74,25 +74,28 @@ def measure_tx(batch: int, out_format: str = "cf32",
     return batch / dt
 
 
-def _rx_inputs(batch: int):
-    """Loopback equalizer inputs for the RX probes: a 2-field capture is
-    encoded at B=1 on the device, windowed per the production
-    eq_window_bounds contract, and tiled to `batch` ON the device —
-    ~2 MB of H2D total, so the axon tunnel's host-link bandwidth
-    (PERF.md's H2D trap) never enters the timing."""
+def _rx_inputs(batch: int, field_idx: int = 0, n_fields: int = 2):
+    """Loopback equalizer inputs for the RX probes: an n-field capture is
+    encoded at B=1 on the device, field `field_idx` windowed per the
+    production eq_window_bounds contract, and tiled to `batch` ON the
+    device — ~2 MB of H2D total, so the axon tunnel's host-link
+    bandwidth (PERF.md's H2D trap) never enters the timing."""
     from atsc_tpu.models.encoder import Encoder, iq_to_complex
     from atsc_tpu.models.receiver import eq_window_bounds, field_window
 
     rng = np.random.default_rng(3)
-    ts = rng.integers(0, 256, size=(2, 1, P.FIELD_TS_BYTES), dtype=np.uint8)
+    ts = rng.integers(0, 256,
+                      size=(n_fields, 1, P.FIELD_TS_BYTES), dtype=np.uint8)
     ts[..., ::188] = 0x47
     enc = Encoder(batch=1, donate=False)
     iq = np.concatenate(
-        [iq_to_complex(np.asarray(enc.encode(ts[k]))) for k in range(2)],
+        [iq_to_complex(np.asarray(enc.encode(ts[k])))
+         for k in range(n_fields)],
         axis=-1,
     )
     lo_off, wlen = eq_window_bounds()     # fused kernel window on TPU
-    win1, osc = field_window(iq, 0, margin=-lo_off, length=wlen)
+    win1, osc = field_window(iq, field_idx * P.SYMBOLS_PER_FIELD,
+                             margin=-lo_off, length=wlen)
     win = jnp.tile(jnp.asarray(win1), (batch, 1, 1))
     oscj = jnp.asarray(osc)
     _barrier(win)
@@ -136,13 +139,75 @@ def measure_rx(batch: int = 64, iters: int = 10) -> dict:
     }
 
 
+def measure_rx_noisy(batch: int = 256, iters: int = 10,
+                     snr_db: float = 20.0) -> dict:
+    """Threshold-SNR receive: hard path with the RS corrector FIRING on
+    most segments (VERDICT r3 weak #1 — clean-capture numbers silently
+    skipped correction when it was a serial host loop; it is now one
+    device dispatch, ops.rs_decode.rs_correct_field, so this probe times
+    eq + decode + correction end-to-end on AWGN-impaired loopback).
+
+    20 dB is the HARD tier's threshold region (measured: most segments
+    dirty with 1-10 byte errors; at 16 dB hard slicing is hopeless —
+    the quoted 15.2 dB 8VSB threshold belongs to the soft/Viterbi
+    tier). Timing is SNR-independent anyway: the corrector's cost is
+    fixed-shape."""
+    from atsc_tpu.models.decoder import Decoder
+    from atsc_tpu.models.receiver import device_eq_step
+    from atsc_tpu.ops.rs_decode import rs_correct_field_jit
+
+    # steady state, not cold start: the decoder's FIRST output is the
+    # pre-start virtual field, which concentrates a whole channel's
+    # noise damage into its tail segments (every byte protected by the
+    # zeroed interleaver history except the late, high-delay ones) —
+    # timing that field reports artificial uncorrectables. Prime the
+    # carried state on field 0, then time field 1.
+    win0, osc0 = _rx_inputs(batch, field_idx=0)
+    win1, osc1 = _rx_inputs(batch, field_idx=1)
+    key0, key1 = jax.random.split(jax.random.PRNGKey(0))
+    sig_pow = float(jnp.mean(win1.astype(jnp.float32) ** 2))
+    sigma = float(np.sqrt(sig_pow / 10 ** (snr_db / 10)))
+    win0 = win0 + sigma * jax.random.normal(key0, win0.shape, jnp.float32)
+    win1 = win1 + sigma * jax.random.normal(key1, win1.shape, jnp.float32)
+    eq = device_eq_step(False)
+    dec = Decoder(batch=batch)
+    dec._state, _, _ = dec._step(dec._state, eq(win0, osc0))
+
+    def step():
+        field = eq(win1, osc1)
+        _, cw, syn = dec._step(dec._state, field)
+        cw2, nerr = rs_correct_field_jit(cw, syn)
+        return syn, nerr
+
+    syn, nerr = step()
+    _barrier(nerr)
+    dirty = np.asarray(jnp.any(syn != 0, axis=-1))
+    nerr_h = np.asarray(nerr)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        syn, nerr = step()
+    _barrier(nerr)
+    dt = (time.perf_counter() - t0) / iters
+    fps = batch / dt
+    return {
+        "batch": batch,
+        "snr_db": snr_db,
+        "step_ms": round(dt * 1e3, 3),
+        "dirty_segment_pct": round(100.0 * dirty.mean(), 1),
+        "corrected_segments_per_step": int((nerr_h > 0).sum()),
+        "uncorrectable_segments_per_step": int((nerr_h < 0).sum()),
+        "fields_per_s": round(fps, 1),
+        "realtime_channels": round(fps / FIELD_RATE, 1),
+    }
+
+
 def measure_rx_soft(batch: int = 64, iters: int = 10,
                     chunks: int = 1) -> dict:
     """Soft-decision receive cores: fused soft equalizer + Viterbi field
-    decoder (the noisy-capture ML path). chunks=1 is exact MLSE; at this
-    batch the ACS scan is already lane-saturated, so chunk-parallelism
-    does not pay (measured 284 ms at chunks=1 vs 297 ms at 24, B=64 —
-    chunking is a low-batch/latency lever)."""
+    decoder (the noisy-capture ML path). chunks=1 is exact MLSE — with
+    the gather-free unrolled ACS scan (ops/viterbi.py round 4) the exact
+    path runs ~13x faster than round 3, so chunking stays a latency
+    lever only."""
     from atsc_tpu.models.decoder import SoftDecoder
     from atsc_tpu.models.receiver import device_eq_step
 
@@ -305,9 +370,18 @@ def main() -> None:
         extras["rx"] = max(rx_rows, key=lambda r: r["fields_per_s"])
         extras["rx_sweep"] = rx_rows
 
-    rx_soft = probe("rx_soft_b64", lambda: measure_rx_soft(64))
-    if rx_soft is not None:
-        extras["rx_soft"] = rx_soft
+    rx_noisy = probe("rx_noisy_b256", lambda: measure_rx_noisy(256))
+    if rx_noisy is not None:
+        extras["rx_noisy"] = rx_noisy
+
+    soft_rows = []
+    for sb in (64, 256):
+        row = probe(f"rx_soft_b{sb}", lambda b=sb: measure_rx_soft(b))
+        if row is not None:
+            soft_rows.append(row)
+    if soft_rows:
+        extras["rx_soft"] = max(soft_rows, key=lambda r: r["fields_per_s"])
+        extras["rx_soft_sweep"] = soft_rows
 
     if best_fps > 0.0:
         batch, fmt = best_desc

@@ -46,6 +46,7 @@ def dead(*a, **k):
 bench.measure_tx = dead
 bench.measure_rx = dead
 bench.measure_rx_soft = dead
+bench.measure_rx_noisy = dead
 bench.main()
 """
     import os
