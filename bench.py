@@ -375,7 +375,7 @@ def main() -> None:
         extras["rx_noisy"] = rx_noisy
 
     soft_rows = []
-    for sb in (64, 256):
+    for sb in (64, 256, 512):
         row = probe(f"rx_soft_b{sb}", lambda b=sb: measure_rx_soft(b))
         if row is not None:
             soft_rows.append(row)
