@@ -1497,8 +1497,16 @@ def _analyze_iq(iq: np.ndarray, cfo_search: float,
     # spans slice terribly, which is exactly right — the burst detector
     # below still flags them and the MER still reflects the hit; only
     # the sync/rate/carrier estimators stop seeing the impulse energy.
+    # Robustness: gap-filled captures (SoapySdrSource zero-fills
+    # overflows) can be mostly exact zeros, which would collapse a
+    # plain median to 0 and blank the whole signal — take the median
+    # over NON-zero samples and floor it at a fraction of the overall
+    # RMS so a degenerate baseline can never blank everything.
     amp = np.abs(iq)
-    hot = amp > 4.0 * float(np.median(amp))
+    nz = amp[amp > 0]
+    base = max(float(np.median(nz)) if nz.size else 0.0,
+               0.25 * out["rms"])
+    hot = amp > 4.0 * base if base > 0 else np.zeros(amp.shape, bool)
     n_hot = int(hot.sum())
     if n_hot:
         out["blanked_samples"] = n_hot
@@ -1607,13 +1615,19 @@ def _analyze_iq(iq: np.ndarray, cfo_search: float,
     # >= 192 flagged symbols = at least one real windowed burst event
     # (the detector dilates each event to ~3 windows); single-window
     # flickers on borderline captures stay below this
-    if out.get("burst_symbols", 0) >= 192:
+    burst_advised = out.get("burst_symbols", 0) >= 192
+    if burst_advised:
         flags.append("--erasures burst")
-    # soft-trellis gate: with bursts present, judge the WHITE-noise
-    # margin from the burst-excluded MER (bursts go to the erasure tier;
-    # advising viterbi off burst-depressed MER would cost throughput for
-    # nothing on an otherwise-clean capture)
-    mer = out.get("mer_clean_db", out.get("mer_db"))
+    # soft-trellis gate: when the erasure tier IS advised, judge the
+    # white-noise margin from the burst-excluded MER (bursts go to the
+    # erasure tier; advising viterbi off burst-depressed MER would cost
+    # throughput for nothing on an otherwise-clean capture). Sub-
+    # threshold flickers keep the plain MER — they are part of the
+    # white-noise picture the soft tier exists for.
+    mer = (out.get("mer_clean_db") if burst_advised
+           else out.get("mer_db"))
+    if mer is None:
+        mer = out.get("mer_db")
     if mer is not None and mer < 20.0:
         flags.append("--trellis viterbi")
     out["decode_flags"] = " ".join(flags)

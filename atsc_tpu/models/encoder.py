@@ -159,12 +159,14 @@ def encode_field(
 
 
 def encode_fields(
-    state: EncoderState, ts_fields: jnp.ndarray, out_format: str = "cf32"
+    state: EncoderState, ts_fields: jnp.ndarray, out_format: str = "cf32",
+    wire: bool = False,
 ) -> tuple[EncoderState, jnp.ndarray]:
-    """Scan over T fields: (T, B, 58656) -> (T, B, 2, 260480) float32."""
+    """Scan over T fields: (T, B, 58656) -> (T, B, 2, 260480) float32
+    (or (T, B, >=260416) packed wire lanes with wire=True)."""
     import functools
 
-    step = functools.partial(encode_field, out_format=out_format)
+    step = functools.partial(encode_field, out_format=out_format, wire=wire)
     return jax.lax.scan(step, state, ts_fields)
 
 
@@ -185,7 +187,7 @@ class Encoder:
         )
         self._scan = jax.jit(
             encode_fields, donate_argnums=donate_args,
-            static_argnames=("out_format",),
+            static_argnames=("out_format", "wire"),
         )
 
     @property
@@ -207,9 +209,11 @@ class Encoder:
         return iq
 
     def encode_many(self, ts_fields: np.ndarray) -> jax.Array:
-        """(T, B, 58656) -> (T, B, 2, >=260416) planar IQ."""
+        """(T, B, 58656) -> (T, B, 2, >=260416) planar IQ, or
+        (T, B, >=260416) packed wire lanes when wire=True."""
         self._state, iq = self._scan(
-            self._state, jnp.asarray(ts_fields), out_format=self.out_format
+            self._state, jnp.asarray(ts_fields), out_format=self.out_format,
+            wire=self.wire,
         )
         return iq
 

@@ -371,7 +371,8 @@ class ShardedReceiver:
                 eq = _eq_step_fn(soft, dequant, eq_profile)
 
             def eq_fields(wins, oscs, start_parity):
-                return jax.vmap(eq)(wins, oscs)        # (F, b, N) int8
+                # (F, b, N): int8 symbols (hard) / float32 levels (soft)
+                return jax.vmap(eq)(wins, oscs)
         else:
             from atsc_tpu.ops.adaptive_eq import (
                 EQ_DIM, _training_set, dd_refine_and_equalize, rls_update,

@@ -72,7 +72,8 @@ def load_state(path: str) -> tuple[EncoderState, int]:
         )
     state = EncoderState(**{name: jax.numpy.asarray(z[name]) for name in _FIELDS})
     batch = int(np.asarray(z[_FIELDS[0]]).shape[0])
-    ref = init_state(batch)
+    # abstract shapes only — no device allocation on the resume path
+    ref = jax.eval_shape(lambda: init_state(batch))
     for name in _FIELDS:
         want, got = getattr(ref, name), getattr(state, name)
         if tuple(want.shape) != tuple(got.shape) or want.dtype != got.dtype:

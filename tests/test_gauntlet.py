@@ -109,6 +109,27 @@ def test_cli_analyze_burst_advice_enables_decode(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_cli_analyze_gap_filled_capture(tmp_path):
+    """A capture that is largely zero-filled (the SDR source zero-fills
+    overflow gaps) must not trip the impulse blanker into blanking the
+    signal itself (the median over a mostly-zero envelope is ~0; the
+    blanker uses the non-zero median + an RMS floor instead)."""
+    from atsc_tpu.cli import build_analyze_argparser, run_analyze
+
+    rng = np.random.default_rng(151)
+    ts = _random_ts(rng, 3, 1)
+    iq = _encode_iq(ts)[0]
+    y = np.concatenate([np.zeros(N, np.complex64), iq])  # leading gap
+    cap = tmp_path / "cap.iq"
+    np.stack([y.real, y.imag], axis=-1).astype(np.float32).tofile(cap)
+    rep = run_analyze(build_analyze_argparser().parse_args([str(cap)]))
+    assert rep.get("blanked_samples", 0) < 1000, rep
+    # +-1: the correlator may lock one sample early at the synthetic
+    # zero/signal edge; the equalizer absorbs that as a delay tap
+    assert abs(rep["align_offset"] - N) <= 1, rep
+    assert rep["decodable"], rep
+
+
 def test_cli_analyze_on_gauntlet_capture(tmp_path):
     """`analyze` triages the same everything-at-once capture: its
     estimates must agree with decode's conditioning (it is the tool that

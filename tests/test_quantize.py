@@ -105,7 +105,8 @@ def test_kernel_wire_layout_matches_planar_bytes(golden, fmt):
 @pytest.mark.parametrize("fmt", ["cs8"])
 def test_encoder_wire_path_bytes_identical(golden, fmt):
     """Encoder(wire=True) output bytes == planar Encoder + host
-    interleave, through the full pipeline (XLA fallback on CPU)."""
+    interleave, through the full pipeline (XLA fallback on CPU) — for
+    both encode() and the scanned encode_many()."""
     ts = golden["input"][:1]
     planar_enc = Encoder(batch=1, out_format=fmt, donate=False)
     wire_enc = Encoder(batch=1, out_format=fmt, wire=True, donate=False)
@@ -114,6 +115,14 @@ def test_encoder_wire_path_bytes_identical(golden, fmt):
     n = P.SYMBOLS_PER_FIELD
     assert iq_interleave(planar).tobytes() == \
         np.ascontiguousarray(wirearr[:, :n]).tobytes()
+
+    many_p = Encoder(batch=1, out_format=fmt, donate=False)
+    many_w = Encoder(batch=1, out_format=fmt, wire=True, donate=False)
+    pl = np.asarray(many_p.encode_many(golden["input"][:2, None, :]))
+    wi = np.asarray(many_w.encode_many(golden["input"][:2, None, :]))
+    assert wi.ndim == 3  # (T, B, N) packed lanes, not planar
+    assert iq_interleave(pl).tobytes() == \
+        np.ascontiguousarray(wi[..., :n]).tobytes()
 
 
 def test_cli_wire_output_matches_planar(golden, tmp_path):
