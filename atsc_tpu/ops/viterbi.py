@@ -219,7 +219,11 @@ def _chunked_mlse(step, traceback, obs_xs, metrics,
 
 
 #: default ACS/traceback steps per scan body — measured sweet spot on
-#: the v5e (scan-step overhead amortization; see PERF.md round-4 notes)
+#: the v5e (scan-step overhead amortization; see PERF.md round-4 notes).
+#: A "lane-major" (4, B*12) re-layout of the whole scan was tried and
+#: REJECTED (PERF.md round-4 log): slower at every batch and OOM at
+#: B=512 — the entry/exit transposes force pathological downstream
+#: layouts, while XLA already lays the batch-major scan out well.
 UNROLL = 24
 
 
