@@ -89,21 +89,26 @@ def trellis_decode_field(
     encoder's zeroed initial state).
     Returns (bytes (B, 12, 5382) uint8, new z2_prev (B, 12) int32).
     """
-    s = symbols.astype(jnp.int32)
+    # uint8 end-to-end: the bit algebra never exceeds a byte (the packed
+    # byte is exact mod 256), and 8-bit planes quarter the HBM traffic
+    # of the int32 formulation — measured 11.75 -> 5.15 ms at B=512 on
+    # the v5e, bit-identical (PERF.md round-4 log)
+    s = symbols.astype(jnp.uint8)
     z2 = (s >> 2) & 1
     x1 = (s >> 1) & 1                          # z1 = X1 verbatim
     z2_shifted = jnp.concatenate(
-        [z2_prev[..., None], z2[..., :-1]], axis=-1
+        [z2_prev.astype(jnp.uint8)[..., None], z2[..., :-1]], axis=-1
     )
     x2 = z2 ^ z2_shifted                       # differential decode
     b = s.shape[0]
     x2p = x2.reshape(b, P.TRELLIS_ENCODERS, _NB, 4)
     x1p = x1.reshape(b, P.TRELLIS_ENCODERS, _NB, 4)
     # MSB-first bit pairs: pair p occupies bits (7-2p, 6-2p)
-    weights2 = jnp.asarray([128, 32, 8, 2], dtype=jnp.int32)
-    weights1 = jnp.asarray([64, 16, 4, 1], dtype=jnp.int32)
-    bytes_ = jnp.sum(x2p * weights2 + x1p * weights1, axis=-1)
-    return bytes_.astype(jnp.uint8), z2[..., -1]
+    weights2 = jnp.asarray([128, 32, 8, 2], dtype=jnp.uint8)
+    weights1 = jnp.asarray([64, 16, 4, 1], dtype=jnp.uint8)
+    bytes_ = jnp.sum(x2p * weights2 + x1p * weights1, axis=-1,
+                     dtype=jnp.uint8)
+    return bytes_, (z2[..., -1]).astype(jnp.int32)
 
 
 def enc_major_to_round_major(bytes_enc: jnp.ndarray) -> jnp.ndarray:
