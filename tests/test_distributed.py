@@ -50,6 +50,78 @@ def test_local_channel_indices_matches_slice():
     assert idx.tolist() == list(range(sl.start, sl.stop))
 
 
+def test_two_process_cli_encode(tmp_path):
+    """Two real jax.distributed processes through the production driver
+    (tools/distributed_encode.py): per-host channel IO assignment, one
+    output file per owned channel — byte-compared against the
+    sequential encoder."""
+    import numpy as np
+
+    from atsc_tpu import params as P
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    rng = np.random.default_rng(17)
+    t, b = 3, 4
+    ts = rng.integers(0, 256, size=(t, b, P.FIELD_TS_BYTES), dtype=np.uint8)
+    ts.reshape(t, b, P.DATA_SEGMENTS, P.MPEG2_BYTES)[..., 0] = 0x47
+    paths = []
+    for c in range(b):
+        p = tmp_path / f"in{c}.ts"
+        ts[:, c].tofile(p)
+        paths.append(str(p))
+
+    tool = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "tools", "distributed_encode.py")
+    out_tpl = str(tmp_path / "out_ch{ch}.iq")
+    env = dict(
+        os.environ,
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        JAX_PLATFORMS="cpu",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, tool, *paths,
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(i),
+             "-c", str(b), "-o", out_tpl, "--fields-per-step", "1"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"process {i}: encoded {t} fields" in out, out
+
+    from atsc_tpu.models.encoder import Encoder, iq_interleave
+
+    enc = Encoder(batch=b, donate=False)
+    n = P.SYMBOLS_PER_FIELD
+    for c in range(b):
+        got = np.fromfile(tmp_path / f"out_ch{c}.iq", np.float32).reshape(
+            t, n, 2)
+        assert got.shape[0] == t
+    seq = np.asarray(enc.encode_many(ts))          # (T, B, 2, >=N)
+    for c in range(b):
+        got = np.fromfile(tmp_path / f"out_ch{c}.iq", np.float32).reshape(
+            t, n, 2)
+        want = iq_interleave(seq[:, c])            # (T, N, 2)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_two_process_sharded_encode():
     """Two real jax.distributed processes execute one sharded encode step
     over the global mesh; each checks its addressable shards in-process."""
