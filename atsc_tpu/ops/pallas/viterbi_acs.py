@@ -1,0 +1,256 @@
+"""Fused Pallas soft-Viterbi: in-kernel ACS forward scan + traceback.
+
+The XLA formulation (ops/viterbi.py) is *issue-overhead*-bound, not
+compute-bound: each of the 21,528 sequential trellis steps is ~30 tiny
+elementwise ops on (B, 12, 4) operands, and every op pays a full XLA
+kernel-pass overhead on a few-KB array (unrolling 24 steps per scan body
+bought 13x in round 4, but the per-op cost floor remains — 37 ms/field
+at B=256). Here the whole forward scan runs inside ONE Pallas kernel:
+the (batch, encoder) axes flatten to (R, 128) vector registers
+(R = 12B/128 — zero lane padding when B % 32 == 0), the 4-state axis
+unrolls into named variables so every ACS update is straight-line VPU
+code with no gathers, shuffles, or relayouts, and decisions leave as 4
+packed trellis steps per int32 lane (8 bits/step: 2 bits per state).
+
+Numerics are deliberately IDENTICAL to the XLA path: same distance
+formula, same compare/min/select orderings, and the same re-normalize-
+every-24-steps cadence, so path metrics and decisions are bit-identical
+(f32 elementwise ops are exact on both backends) — verified in
+tests/test_viterbi.py and on chip (tools/chip_gauntlet.py).
+
+Trellis semantics anchor: reference src/atsc/trellis.h:10-51 (state
+s = 2*D1 + D2; Z0 = D1; on input X1: s' = 2*(X1^D2) + D1); the uncoded
+Z2 bit is the per-branch parallel transition resolved by the coset min.
+
+Layouts (one field, T = 21,528 symbols per encoder):
+  obs      (T, R, 128) f32   — moveaxis of the (B, 12, T) soft levels
+  metrics  (4, R, 128) f32   — state-major carried path metrics
+  decisions/bits (T//4, R, 128) int32 — byte k of word i = step 4i+k
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from atsc_tpu import params as P
+
+_LANES = 128
+_GROUP = 24          # ACS steps per re-normalization (== XLA path's UNROLL)
+_WPG = _GROUP // 4   # packed int32 words per group
+
+
+@functools.lru_cache(maxsize=1)
+def _levels8() -> tuple[float, ...]:
+    """Constellation level of symbol v = 4*Z2 + 2*X1 + Z0, pilot included."""
+    v = np.arange(8, dtype=np.float32)
+    return tuple(float(x) for x in v * 2 - 7 + np.float32(P.PILOT_OFFSET))
+
+
+def _chunk_groups(groups: int, r: int) -> int:
+    """Largest divisor of `groups` whose obs block stays <= ~4 MB of VMEM
+    (double-buffered against the dec output block by Mosaic)."""
+    budget = max(1, (4 << 20) // (_GROUP * r * _LANES * 4))
+    best = 1
+    for d in range(1, groups + 1):
+        if groups % d == 0 and d <= budget:
+            best = d
+    return best
+
+
+def _acs_update(m, obs):
+    """One add-compare-select, gather-free: m = (m0, m1, m2, m3) path
+    metrics, obs (R, 128) f32. Returns (new metrics tuple, decision byte
+    (R, 128) int32: bits (2s, 2s+1) = (x1, z2) of new state s)."""
+    lv = _levels8()
+    i32 = jnp.int32
+    d = [(obs - lv[v]) ** 2 for v in range(8)]
+    # parallel-branch (Z2) resolution per (x1, z0-branch) pair; the z2
+    # candidate bit is materialized as int32 immediately (Mosaic cannot
+    # select between i1 vectors: "Unsupported target bitwidth")
+    p00, zc00 = jnp.minimum(d[0], d[4]), (d[4] < d[0]).astype(i32)
+    p01, zc01 = jnp.minimum(d[1], d[5]), (d[5] < d[1]).astype(i32)
+    p10, zc10 = jnp.minimum(d[2], d[6]), (d[6] < d[2]).astype(i32)
+    p11, zc11 = jnp.minimum(d[3], d[7]), (d[7] < d[3]).astype(i32)
+    m0, m1, m2, m3 = m
+
+    def upd(c0, c1, zc0, zc1):
+        x1 = c1 < c0
+        z2 = jnp.where(x1, zc1, zc0)
+        return (jnp.minimum(c0, c1), x1.astype(i32) | (z2 << 1))
+
+    # new state s' = 2a + b: preds 2b+a (X1=0) and 2b+1-a (X1=1),
+    # branch bit Z0 = b (reference trellis.h:23-34 recurrence inverted)
+    n0, b0 = upd(m0 + p00, m1 + p10, zc00, zc10)
+    n1, b1 = upd(m2 + p01, m3 + p11, zc01, zc11)
+    n2, b2 = upd(m1 + p00, m0 + p10, zc00, zc10)
+    n3, b3 = upd(m3 + p01, m2 + p11, zc01, zc11)
+    dec = b0 | (b1 << 2) | (b2 << 4) | (b3 << 6)
+    return (n0, n1, n2, n3), dec
+
+
+def _acs_kernel(obs_ref, m_ref, dec_ref, mout_ref, msc_ref, *, groups):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        msc_ref[...] = m_ref[...]
+
+    def body(g, _):
+        m = (msc_ref[0], msc_ref[1], msc_ref[2], msc_ref[3])
+        for j in range(_WPG):
+            word = None
+            for k in range(4):
+                obs = obs_ref[pl.ds(g * _GROUP + j * 4 + k, 1)][0]
+                m, dec = _acs_update(m, obs)
+                word = dec if word is None else word | (dec << (8 * k))
+            dec_ref[pl.ds(g * _WPG + j, 1)] = word[None]
+        # re-normalize once per group (identical cadence to the XLA path)
+        mn = jnp.minimum(jnp.minimum(m[0], m[1]), jnp.minimum(m[2], m[3]))
+        msc_ref[0] = m[0] - mn
+        msc_ref[1] = m[1] - mn
+        msc_ref[2] = m[2] - mn
+        msc_ref[3] = m[3] - mn
+        return 0
+
+    jax.lax.fori_loop(0, groups, body, 0)
+    mout_ref[...] = msc_ref[...]
+
+
+def _tb_kernel(dec_ref, start_ref, bits_ref, ssc_ref, *, words):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        ssc_ref[...] = start_ref[...]
+
+    def body(g, _):
+        idx = words - 1 - g
+        w = dec_ref[pl.ds(idx, 1)][0]
+        s = ssc_ref[...]
+        out = None
+        for k in (3, 2, 1, 0):
+            byte = (w >> (8 * k)) & 0xFF
+            sel = (byte >> (s << 1)) & 3
+            x1 = sel & 1
+            z2 = (sel >> 1) & 1
+            ob = (x1 | (z2 << 1)) << (8 * k)
+            out = ob if out is None else out | ob
+            s = ((s & 1) << 1) | ((s >> 1) ^ x1)
+        ssc_ref[...] = s
+        bits_ref[pl.ds(idx, 1)] = out[None]
+        return 0
+
+    jax.lax.fori_loop(0, words, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def acs_forward(obs: jnp.ndarray, metrics: jnp.ndarray,
+                interpret: bool = False):
+    """Forward ACS over obs (T, R, 128) f32 from metrics (4, R, 128) f32.
+    Returns (decisions (T//4, R, 128) int32, final metrics (4, R, 128))."""
+    t, r, lanes = obs.shape
+    assert lanes == _LANES and t % _GROUP == 0, obs.shape
+    groups = t // _GROUP
+    gc = _chunk_groups(groups, r)
+    nch = groups // gc
+    dec, mout = pl.pallas_call(
+        functools.partial(_acs_kernel, groups=gc),
+        grid=(nch,),
+        in_specs=[
+            pl.BlockSpec((gc * _GROUP, r, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((4, r, _LANES), lambda i: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((gc * _WPG, r, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((4, r, _LANES), lambda i: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t // 4, r, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((4, r, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((4, r, _LANES), jnp.float32)],
+        interpret=interpret,
+    )(obs, metrics)
+    return dec, mout
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def traceback(dec: jnp.ndarray, start: jnp.ndarray,
+              interpret: bool = False) -> jnp.ndarray:
+    """Reverse traceback over packed decisions from start (R, 128) int32.
+    Returns bit words (T//4, R, 128) int32: byte k of word i = the
+    (x1 | z2<<1) pair of trellis step 4i+k."""
+    words, r, lanes = dec.shape
+    assert lanes == _LANES, dec.shape
+    gc = _chunk_groups(words // _WPG, r)
+    nch = words // (gc * _WPG)
+    wc = gc * _WPG
+    return pl.pallas_call(
+        functools.partial(_tb_kernel, words=wc),
+        grid=(nch,),
+        in_specs=[
+            pl.BlockSpec((wc, r, _LANES), lambda i, n=nch: (n - 1 - i, 0, 0)),
+            pl.BlockSpec((r, _LANES), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (wc, r, _LANES), lambda i, n=nch: (n - 1 - i, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((words, r, _LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((r, _LANES), jnp.int32)],
+        interpret=interpret,
+    )(dec, start)
+
+
+def pack_bits_to_bytes(bits: jnp.ndarray, z2_prev_row: jnp.ndarray):
+    """Packed traceback words -> trellis bytes, all on packed operands.
+
+    bits (W, R, 128) int32 (byte k = x1 | z2<<1 of step 4i+k);
+    z2_prev_row (R, 128) int32 in {0, 1} — the carried precoder state.
+    Returns (bytes (W, R, 128) int32 in [0, 256), z2_last (R, 128)).
+    The differential decode x2_t = z2_t ^ z2_{t-1} runs on whole packed
+    words (byte-shift within the word + a one-word roll for the
+    boundary), and the MSB-first 4-pair byte assembly is a short
+    elementwise chain XLA fuses into one pass — ~20x less traffic than
+    unpacking to per-symbol planes first.
+    """
+    ones = jnp.int32(0x01010101)
+    x1w = bits & ones
+    z2w = (bits >> 1) & ones
+    hi = (z2w >> 24) & 1                     # byte 3 -> next word's byte 0
+    carry = jnp.concatenate([z2_prev_row[None], hi[:-1]], axis=0)
+    x2w = z2w ^ (((z2w << 8) | carry) & ones)
+    acc = jnp.zeros_like(bits)
+    for k in range(4):
+        # pair k of the byte sits at bits (7-2k, 6-2k), MSB-first
+        acc = acc | (((x2w >> (8 * k)) & 1) << (7 - 2 * k))
+        acc = acc | (((x1w >> (8 * k)) & 1) << (6 - 2 * k))
+    return acc, hi[-1]
+
+
+def viterbi_field_pallas(
+    levels: jnp.ndarray, z2_prev: jnp.ndarray, metrics: jnp.ndarray,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused-kernel twin of ops.viterbi.viterbi_decode_field (exact MLSE,
+    bit-identical output; requires B*12 % 128 == 0 and T % 24 == 0).
+
+    levels: (B, 12, T) float32 soft levels; z2_prev: (B, 12) int32;
+    metrics: (B, 12, 4) float32. Returns (bytes (B, 12, T//4) uint8,
+    new z2_prev, new metrics)."""
+    b, ne, t = levels.shape
+    assert (b * ne) % _LANES == 0 and t % _GROUP == 0, levels.shape
+    r = b * ne // _LANES
+    obs = jnp.moveaxis(levels, -1, 0).reshape(t, r, _LANES)
+    m0 = jnp.moveaxis(metrics, -1, 0).reshape(4, r, _LANES)
+    dec, mout = acs_forward(obs, m0, interpret=interpret)
+    start = jnp.argmin(mout, axis=0).astype(jnp.int32)
+    bits = traceback(dec, start, interpret=interpret)
+    z2p = z2_prev.astype(jnp.int32).reshape(r, _LANES)
+    bytes_w, z2_last = pack_bits_to_bytes(bits, z2p)
+    bytes_out = jnp.transpose(bytes_w.astype(jnp.uint8).reshape(t // 4, b, ne),
+                              (1, 2, 0))
+    new_z2 = z2_last.reshape(b, ne).astype(jnp.int32)
+    new_metrics = jnp.transpose(mout.reshape(4, b, ne), (1, 2, 0))
+    return bytes_out, new_z2, new_metrics

@@ -282,6 +282,22 @@ def pack_trellis_bytes(x2: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x2p * weights2 + x1p * weights1, axis=-1).astype(jnp.uint8)
 
 
+def _use_pallas_viterbi(levels: jnp.ndarray) -> bool:
+    """The fused Pallas ACS/traceback kernel (ops/pallas/viterbi_acs.py)
+    runs on real TPU backends when the (batch*12) axis tiles into 128
+    lanes exactly; measured 5x over the unrolled XLA scan (PERF.md
+    round 4: 35.5 -> 7.0 ms/field at B=256), bit-identical output.
+    Override with ATSC_TPU_FUSED_VITERBI=0/1."""
+    import os
+
+    b, ne, t = levels.shape
+    shapes_ok = (b * ne) % 128 == 0 and t % UNROLL == 0
+    env = os.environ.get("ATSC_TPU_FUSED_VITERBI")
+    if env is not None:
+        return env not in ("0", "false", "") and shapes_ok
+    return shapes_ok and jax.default_backend() != "cpu"
+
+
 def viterbi_decode_field(
     levels: jnp.ndarray, z2_prev: jnp.ndarray, metrics: jnp.ndarray,
     n_chunks: int = 1, unroll: int = UNROLL,
@@ -293,6 +309,10 @@ def viterbi_decode_field(
     metrics. Returns (bytes (B, 12, 5382) uint8, new z2_prev, new
     metrics). n_chunks > 1: chunk-parallel near-MLSE (see viterbi_bits).
     """
+    if n_chunks <= 1 and _use_pallas_viterbi(levels):
+        from atsc_tpu.ops.pallas.viterbi_acs import viterbi_field_pallas
+
+        return viterbi_field_pallas(levels, z2_prev, metrics)
     x1, z2, new_metrics = viterbi_bits(levels, metrics, n_chunks,
                                        unroll=unroll)
     z2_shifted = jnp.concatenate([z2_prev[..., None], z2[..., :-1]], axis=-1)

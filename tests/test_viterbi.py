@@ -133,3 +133,70 @@ def test_chunked_viterbi_matches_full():
             bpf, zpf, mpf = viterbi_pr_decode_field(y, zpf, mpf)
             bpc, zpc, mpc = viterbi_pr_decode_field(y, zpc, mpc, n_chunks=24)
             np.testing.assert_array_equal(np.asarray(bpf), np.asarray(bpc))
+
+
+def test_pallas_viterbi_kernel_bit_identical():
+    """The fused Pallas ACS/traceback kernel (interpret mode here; the
+    real-chip twin is tools/chip_gauntlet.py) is bit-identical to the
+    XLA scan path: same metrics, decisions, packed bytes, and carried
+    state — by construction (identical f32 op orderings), verified."""
+    import jax.numpy as jnp
+
+    from atsc_tpu.ops.pallas.viterbi_acs import viterbi_field_pallas
+    from atsc_tpu.ops.viterbi import (
+        init_metrics,
+        viterbi_bits,
+    )
+
+    b, ne, t = 32, P.TRELLIS_ENCODERS, 96   # B*12 % 128 == 0, t % 96 == 0
+    rng = np.random.default_rng(7)
+    ideal = rng.integers(0, 8, size=(b, ne, t)) * 2 - 7 + P.PILOT_OFFSET
+    levels = jnp.asarray(
+        (ideal + rng.normal(0, 1.0, ideal.shape)).astype(np.float32)
+    )
+    metrics = init_metrics(b)
+    z2_prev = jnp.asarray(rng.integers(0, 2, (b, ne)), jnp.int32)
+
+    by_p, z2_p, m_p = viterbi_field_pallas(
+        levels, z2_prev, metrics, interpret=True
+    )
+
+    x1, z2, m_x = viterbi_bits(levels, metrics)
+    z2s = jnp.concatenate([z2_prev[..., None], z2[..., :-1]], axis=-1)
+    x2 = np.asarray(z2 ^ z2s).reshape(b, ne, t // 4, 4)
+    x1p = np.asarray(x1).reshape(b, ne, t // 4, 4)
+    w2 = np.array([128, 32, 8, 2])
+    w1 = np.array([64, 16, 4, 1])
+    bytes_x = (x2 * w2 + x1p * w1).sum(-1).astype(np.uint8)
+
+    np.testing.assert_array_equal(np.asarray(by_p), bytes_x)
+    np.testing.assert_array_equal(np.asarray(z2_p), np.asarray(z2)[..., -1])
+    np.testing.assert_array_equal(np.asarray(m_p), np.asarray(m_x))
+
+
+def test_pallas_viterbi_metric_carry_across_fields():
+    """Carried path metrics and precoder state chain across consecutive
+    fields exactly as the XLA path's do (the trellis never resets)."""
+    import jax.numpy as jnp
+
+    from atsc_tpu.ops.pallas.viterbi_acs import viterbi_field_pallas
+    from atsc_tpu.ops.viterbi import init_metrics, viterbi_bits
+
+    b, ne, t = 32, P.TRELLIS_ENCODERS, 48
+    rng = np.random.default_rng(11)
+    metrics_p = metrics_x = init_metrics(b)
+    z2_p = z2_x = jnp.zeros((b, ne), jnp.int32)
+    for _ in range(3):
+        ideal = rng.integers(0, 8, size=(b, ne, t)) * 2 - 7 + P.PILOT_OFFSET
+        levels = jnp.asarray(
+            (ideal + rng.normal(0, 0.8, ideal.shape)).astype(np.float32)
+        )
+        by, z2_p, metrics_p = viterbi_field_pallas(
+            levels, z2_p, metrics_p, interpret=True
+        )
+        x1, z2, metrics_x = viterbi_bits(levels, metrics_x)
+        np.testing.assert_array_equal(
+            np.asarray(metrics_p), np.asarray(metrics_x)
+        )
+        z2_x = z2[..., -1]
+        np.testing.assert_array_equal(np.asarray(z2_p), np.asarray(z2_x))
