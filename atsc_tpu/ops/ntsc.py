@@ -256,6 +256,14 @@ def viterbi_pr_decode_field(
     """PR twin of ops.viterbi.viterbi_decode_field: combed observations
     in, trellis bytes out. Returns (bytes (B, 12, 5382) uint8, new
     z2_prev (B, 12) int32, new metrics (B, 12, 16))."""
+    from atsc_tpu.ops.viterbi import _use_pallas_viterbi
+
+    if n_chunks <= 1 and _use_pallas_viterbi(y):
+        # fused Pallas 16-state ACS/traceback: bit-identical, measured
+        # 15x over the unrolled XLA scan (112.8 -> 7.4 ms/field at B=64)
+        from atsc_tpu.ops.pallas.viterbi_acs import viterbi_pr_field_pallas
+
+        return viterbi_pr_field_pallas(y, z2_prev, metrics)
     x1, z2, new_metrics = viterbi_pr_bits(y, metrics, n_chunks)
     z2_shifted = jnp.concatenate([z2_prev[..., None], z2[..., :-1]], axis=-1)
     x2 = z2 ^ z2_shifted

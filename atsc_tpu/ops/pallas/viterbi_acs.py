@@ -229,6 +229,219 @@ def pack_bits_to_bytes(bits: jnp.ndarray, z2_prev_row: jnp.ndarray):
     return acc, hi[-1]
 
 
+# -- 16-state NTSC partial-response tier ---------------------------------
+#
+# Same construction for ops/ntsc.py's combined-state PR Viterbi: 16 named
+# metric variables, one branch-metric square per (emitted-level v,
+# predecessor-symbol w) pair (all 64 occur), argmin over the 4 symbol
+# hypotheses as a compare/select tree with jnp.argmin's first-min tie
+# rule. The per-step segment-sync "reset" (the comb reference landing on
+# a known sync symbol, ops/ntsc.py _pr_reset_tables) arrives as a packed
+# int32 side input: bit 0 = reset, bit 1 = sync-level sign (+5/-5).
+# One decision word per step holds all 16 states' 2-bit h_prev picks.
+
+def _pr_update(m, obs, rc):
+    """m: tuple of 16 path metrics; obs, rc (R, 128) f32/int32.
+    Returns (new metrics tuple, decision word (R, 128) int32)."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    reset = (rc & 1) == 1
+    const = jnp.where((rc >> 1) == 1, f32(5.0), f32(-5.0))
+    # a_v = obs - emitted_level(v); pe_w = delayed-reference level per
+    # predecessor-symbol index w = 2h + j (j = pred trellis state's D1)
+    a = [obs - f32(2 * v - 7) for v in range(8)]
+    pe = [jnp.where(reset, const, f32(2 * w - 7)) for w in range(8)]
+    # combined state u = s2*4 + h': v = 2h' + (s2&1), x1 = h'&1,
+    # pred trellis state = PRED0[s2]^x1 (PRED0 = [0,2,1,3]), j = pred&1
+    word = None
+    new = []
+    for u in range(16):
+        s2, h1 = u >> 2, u & 3
+        v = 2 * h1 + (s2 & 1)
+        x1 = h1 & 1
+        sp = (2 * (s2 & 1) + (s2 >> 1)) ^ x1
+        j = sp & 1
+        cand = [m[sp * 4 + h] + (a[v] + pe[2 * h + j]) ** 2
+                for h in range(4)]
+        m01 = jnp.minimum(cand[0], cand[1])
+        i01 = (cand[1] < cand[0]).astype(i32)
+        m23 = jnp.minimum(cand[2], cand[3])
+        i23 = (cand[3] < cand[2]).astype(i32)
+        pick = m23 < m01
+        new.append(jnp.minimum(m01, m23))
+        idx = jnp.where(pick, 2 + i23, i01)
+        w_u = idx << (2 * u) if u else idx
+        word = w_u if word is None else word | w_u
+    return tuple(new), word
+
+
+def _pr_acs_kernel(obs_ref, rc_ref, m_ref, dec_ref, mout_ref, msc_ref, *,
+                   groups):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        msc_ref[...] = m_ref[...]
+
+    def group(g, _):
+        def step(i, m):
+            t = g * _GROUP + i
+            m, word = _pr_update(m, obs_ref[pl.ds(t, 1)][0],
+                                 rc_ref[pl.ds(t, 1)][0])
+            dec_ref[pl.ds(t, 1)] = word[None]
+            return m
+
+        m = jax.lax.fori_loop(
+            0, _GROUP, step, tuple(msc_ref[u] for u in range(16))
+        )
+        mn = m[0]
+        for u in range(1, 16):
+            mn = jnp.minimum(mn, m[u])
+        for u in range(16):
+            msc_ref[u] = m[u] - mn
+        return 0
+
+    jax.lax.fori_loop(0, groups, group, 0)
+    mout_ref[...] = msc_ref[...]
+
+
+def _pr_tb_kernel(dec_ref, start_ref, bits_ref, ssc_ref, *, steps):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        ssc_ref[...] = start_ref[...]
+
+    def body(g, _):
+        # 4 reverse trellis steps -> one packed output word (byte k of
+        # word i = the (x1 | z2<<1) pair of step 4i+k, as in _tb_kernel)
+        widx = steps // 4 - 1 - g
+        s = ssc_ref[...]
+        out = None
+        for k in (3, 2, 1, 0):
+            w = dec_ref[pl.ds(widx * 4 + k, 1)][0]
+            h_prev = (w >> (s << 1)) & 3
+            x1 = s & 1
+            z2 = (s >> 1) & 1
+            ob = (x1 | (z2 << 1)) << (8 * k)
+            out = ob if out is None else out | ob
+            s2 = s >> 2
+            pred_s = ((2 * (s2 & 1)) | (s2 >> 1)) ^ x1
+            s = (pred_s << 2) | h_prev
+        ssc_ref[...] = s
+        bits_ref[pl.ds(widx, 1)] = out[None]
+        return 0
+
+    jax.lax.fori_loop(0, steps // 4, body, 0)
+
+
+def _pr_chunk_groups(groups: int, r: int) -> int:
+    """Chunking for the PR kernel: obs f32 + rc i32 + dec i32 blocks are
+    3 words per symbol-lane -> smaller chunks than the 4-state kernel."""
+    budget = max(1, (4 << 20) // (_GROUP * r * _LANES * 12))
+    best = 1
+    for d in range(1, groups + 1):
+        if groups % d == 0 and d <= budget:
+            best = d
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pr_acs_forward(obs: jnp.ndarray, rc: jnp.ndarray, metrics: jnp.ndarray,
+                   interpret: bool = False):
+    """PR forward ACS: obs/rc (T, R, 128) f32/int32, metrics (16, R, 128).
+    Returns (decisions (T, R, 128) int32, final metrics (16, R, 128))."""
+    t, r, lanes = obs.shape
+    assert lanes == _LANES and t % _GROUP == 0, obs.shape
+    groups = t // _GROUP
+    gc = _pr_chunk_groups(groups, r)
+    nch = groups // gc
+    return pl.pallas_call(
+        functools.partial(_pr_acs_kernel, groups=gc),
+        grid=(nch,),
+        in_specs=[
+            pl.BlockSpec((gc * _GROUP, r, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gc * _GROUP, r, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((16, r, _LANES), lambda i: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((gc * _GROUP, r, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((16, r, _LANES), lambda i: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, r, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((16, r, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((16, r, _LANES), jnp.float32)],
+        interpret=interpret,
+    )(obs, rc, metrics)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pr_traceback(dec: jnp.ndarray, start: jnp.ndarray,
+                 interpret: bool = False) -> jnp.ndarray:
+    """PR reverse traceback: dec (T, R, 128) int32 (one word per step),
+    start (R, 128) int32 combined state. Returns packed bit words
+    (T//4, R, 128) int32 in the _tb_kernel layout."""
+    t, r, lanes = dec.shape
+    assert lanes == _LANES and t % _GROUP == 0, dec.shape
+    gc = _pr_chunk_groups(t // _GROUP, r)
+    nch = t // (gc * _GROUP)
+    sc = gc * _GROUP
+    return pl.pallas_call(
+        functools.partial(_pr_tb_kernel, steps=sc),
+        grid=(nch,),
+        in_specs=[
+            pl.BlockSpec((sc, r, _LANES), lambda i, n=nch: (n - 1 - i, 0, 0)),
+            pl.BlockSpec((r, _LANES), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (sc // 4, r, _LANES), lambda i, n=nch: (n - 1 - i, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((t // 4, r, _LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((r, _LANES), jnp.int32)],
+        interpret=interpret,
+    )(dec, start)
+
+
+@functools.lru_cache(maxsize=1)
+def _pr_rc_table() -> np.ndarray:
+    """(T, 12) int32 packed reset/const: bit 0 = comb reference lands on
+    a segment-sync symbol, bit 1 = that symbol's level sign (+5)."""
+    from atsc_tpu.ops.ntsc import _pr_reset_tables
+
+    reset, const = _pr_reset_tables()          # (T, 12) each
+    return (reset.astype(np.int32)
+            | ((const > 0).astype(np.int32) << 1))
+
+
+def viterbi_pr_field_pallas(
+    y: jnp.ndarray, z2_prev: jnp.ndarray, metrics: jnp.ndarray,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused-kernel twin of ops.ntsc.viterbi_pr_decode_field (exact
+    16-state PR MLSE, bit-identical; B*12 % 128 == 0, T % 24 == 0).
+
+    y: (B, 12, T) float32 combed observations; z2_prev: (B, 12) int32;
+    metrics: (B, 12, 16) float32. Returns (bytes (B, 12, T//4) uint8,
+    new z2_prev, new metrics)."""
+    b, ne, t = y.shape
+    assert (b * ne) % _LANES == 0 and t % _GROUP == 0, y.shape
+    r = b * ne // _LANES
+    obs = jnp.moveaxis(y, -1, 0).reshape(t, r, _LANES)
+    rc_t = jnp.asarray(_pr_rc_table()[:t])                  # (T, 12)
+    rc = jnp.broadcast_to(rc_t[:, None, :], (t, b, ne)).reshape(
+        t, r, _LANES
+    )
+    m0 = jnp.moveaxis(metrics, -1, 0).reshape(16, r, _LANES)
+    dec, mout = pr_acs_forward(obs, rc, m0, interpret=interpret)
+    start = jnp.argmin(mout, axis=0).astype(jnp.int32)
+    bits = pr_traceback(dec, start, interpret=interpret)
+    z2p = z2_prev.astype(jnp.int32).reshape(r, _LANES)
+    bytes_w, z2_last = pack_bits_to_bytes(bits, z2p)
+    bytes_out = jnp.transpose(bytes_w.astype(jnp.uint8).reshape(t // 4, b, ne),
+                              (1, 2, 0))
+    new_z2 = z2_last.reshape(b, ne).astype(jnp.int32)
+    new_metrics = jnp.transpose(mout.reshape(16, b, ne), (1, 2, 0))
+    return bytes_out, new_z2, new_metrics
+
+
 def viterbi_field_pallas(
     levels: jnp.ndarray, z2_prev: jnp.ndarray, metrics: jnp.ndarray,
     interpret: bool = False,

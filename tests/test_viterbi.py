@@ -200,3 +200,55 @@ def test_pallas_viterbi_metric_carry_across_fields():
         )
         z2_x = z2[..., -1]
         np.testing.assert_array_equal(np.asarray(z2_p), np.asarray(z2_x))
+
+
+def test_pallas_pr_viterbi_kernel_bit_identical():
+    """The fused 16-state partial-response kernel (NTSC tier) matches
+    the XLA scan path bit-for-bit, including segment-sync reset steps
+    (8 land inside this window)."""
+    import jax.numpy as jnp
+
+    from atsc_tpu.ops.ntsc import (
+        _pr_acs_scan,
+        _pr_reset_tables,
+        _pr_traceback_step,
+        init_pr_metrics,
+    )
+    from atsc_tpu.ops.pallas.viterbi_acs import viterbi_pr_field_pallas
+    from atsc_tpu.ops.viterbi import _traceback_scan
+
+    b, ne, t = 32, P.TRELLIS_ENCODERS, 96
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.normal(0, 6.0, size=(b, ne, t)).astype(np.float32))
+    metrics = init_pr_metrics(b)
+    z2_prev = jnp.asarray(rng.integers(0, 2, (b, ne)), jnp.int32)
+
+    reset, const = _pr_reset_tables()
+    assert reset[:t].sum() > 0     # the reset branch is exercised
+    xs = (jnp.moveaxis(y, -1, 0), jnp.asarray(reset[:t]),
+          jnp.asarray(const[:t]))
+    m_x, decs_x = _pr_acs_scan(metrics, xs, unroll=24)
+    start = jnp.argmin(m_x, axis=-1).astype(jnp.int32)
+    x1, z2 = _traceback_scan(start, decs_x, unroll=24,
+                             step=_pr_traceback_step)
+    x1 = jnp.moveaxis(x1, 0, -1)
+    z2 = jnp.moveaxis(z2, 0, -1)
+
+    by_p, z2_p, m_p = viterbi_pr_field_pallas(
+        y, z2_prev, metrics, interpret=True
+    )
+    z2s = jnp.concatenate([z2_prev[..., None], z2[..., :-1]], axis=-1)
+    x2 = np.asarray(z2 ^ z2s).reshape(b, ne, t // 4, 4)
+    x1p = np.asarray(x1).reshape(b, ne, t // 4, 4)
+    bytes_x = (x2 * np.array([128, 32, 8, 2])
+               + x1p * np.array([64, 16, 4, 1])).sum(-1).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(by_p), bytes_x)
+    np.testing.assert_array_equal(np.asarray(z2_p), np.asarray(z2)[..., -1])
+    # CPU-only seam: XLA's CPU codegen FMA-fuses the kernel's
+    # metric + (a+pe)^2 accumulate when compiling the interpreted kernel,
+    # so PR metrics can differ by ~1 ulp-of-branch-metric here (the
+    # 4-state kernel's adds are separated by a min, so it is immune).
+    # On the TPU backend both paths are bit-identical — asserted by the
+    # on-chip probes (PERF.md round 4) and tools/chip_gauntlet.py.
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_x),
+                               rtol=1e-4, atol=1e-3)
