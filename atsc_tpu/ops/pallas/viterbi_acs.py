@@ -411,12 +411,37 @@ def _pr_rc_table() -> np.ndarray:
             | ((const > 0).astype(np.int32) << 1))
 
 
+def _pad_batch(fn):
+    """Round the batch up to a multiple of 32 channels (so B*12 tiles
+    into 128 lanes exactly), run the kernel wrapper, slice the result.
+    Padded channels carry zero levels/state — their trellises decode
+    garbage that is simply dropped. Even at B=1 the 32x padded kernel
+    beats the XLA scan ~4x (the scan's cost is sequential-step-bound,
+    not lane-bound, at small batch)."""
+
+    @functools.wraps(fn)
+    def wrapped(levels, z2_prev, metrics, interpret=False):
+        b = levels.shape[0]
+        pad = (-b) % 32
+        if pad == 0:
+            return fn(levels, z2_prev, metrics, interpret)
+        levels = jnp.pad(levels, ((0, pad), (0, 0), (0, 0)))
+        z2_prev = jnp.pad(z2_prev, ((0, pad), (0, 0)))
+        metrics = jnp.pad(metrics, ((0, pad), (0, 0), (0, 0)))
+        by, z2, m = fn(levels, z2_prev, metrics, interpret)
+        return by[:b], z2[:b], m[:b]
+
+    return wrapped
+
+
+@_pad_batch
 def viterbi_pr_field_pallas(
     y: jnp.ndarray, z2_prev: jnp.ndarray, metrics: jnp.ndarray,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused-kernel twin of ops.ntsc.viterbi_pr_decode_field (exact
-    16-state PR MLSE, bit-identical; B*12 % 128 == 0, T % 24 == 0).
+    16-state PR MLSE, bit-identical; T % 24 == 0; batches not divisible
+    by 32 are zero-padded — see _pad_batch).
 
     y: (B, 12, T) float32 combed observations; z2_prev: (B, 12) int32;
     metrics: (B, 12, 16) float32. Returns (bytes (B, 12, T//4) uint8,
@@ -442,12 +467,14 @@ def viterbi_pr_field_pallas(
     return bytes_out, new_z2, new_metrics
 
 
+@_pad_batch
 def viterbi_field_pallas(
     levels: jnp.ndarray, z2_prev: jnp.ndarray, metrics: jnp.ndarray,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused-kernel twin of ops.viterbi.viterbi_decode_field (exact MLSE,
-    bit-identical output; requires B*12 % 128 == 0 and T % 24 == 0).
+    bit-identical output; T % 24 == 0; batches not divisible by 32 are
+    zero-padded — see _pad_batch).
 
     levels: (B, 12, T) float32 soft levels; z2_prev: (B, 12) int32;
     metrics: (B, 12, 4) float32. Returns (bytes (B, 12, T//4) uint8,

@@ -284,14 +284,16 @@ def pack_trellis_bytes(x2: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
 
 def _use_pallas_viterbi(levels: jnp.ndarray) -> bool:
     """The fused Pallas ACS/traceback kernel (ops/pallas/viterbi_acs.py)
-    runs on real TPU backends when the (batch*12) axis tiles into 128
-    lanes exactly; measured 5x over the unrolled XLA scan (PERF.md
-    round 4: 35.5 -> 7.0 ms/field at B=256), bit-identical output.
+    runs on real TPU backends; measured 5x over the unrolled XLA scan
+    (PERF.md round 4: 35.5 -> 7.0 ms/field at B=256), bit-identical
+    output. Batches that do not tile into 128 lanes are zero-padded to
+    the next multiple of 32 channels inside the kernel wrapper (a padded
+    B=1 CLI decode still beats the XLA scan ~4x).
     Override with ATSC_TPU_FUSED_VITERBI=0/1."""
     import os
 
-    b, ne, t = levels.shape
-    shapes_ok = (b * ne) % 128 == 0 and t % UNROLL == 0
+    t = levels.shape[-1]
+    shapes_ok = t % UNROLL == 0
     env = os.environ.get("ATSC_TPU_FUSED_VITERBI")
     if env is not None:
         return env not in ("0", "false", "") and shapes_ok
