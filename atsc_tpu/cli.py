@@ -1596,6 +1596,14 @@ def _analyze_iq(iq: np.ndarray, cfo_search: float,
             mask = bflags.astype(bool)
             clean[mask] = sliced[mask]       # zero the burst residuals
             out["mer_clean_db"] = round(float(mer_db(clean)[0]), 2)
+
+        # analog co-channel triage: compare slicer residuals on the
+        # plain vs 12-symbol-combed field (ops/ntsc.py detect_ntsc —
+        # the comb's ~3 dB white-noise penalty is baked into the vote,
+        # so clean/AWGN captures never trip it)
+        from atsc_tpu.ops.ntsc import detect_ntsc
+
+        out["ntsc_detected"] = bool(detect_ntsc(lev_used[:, :n]))
     else:
         out["note"] = ("capture too short after alignment for a MER "
                        "field; raise --fields")
@@ -1630,6 +1638,13 @@ def _analyze_iq(iq: np.ndarray, cfo_search: float,
         mer = out.get("mer_db")
     if mer is not None and mer < 20.0:
         flags.append("--trellis viterbi")
+    if out.get("ntsc_detected"):
+        # the comb tier supersedes both: its PR Viterbi is already ML,
+        # and the burst detector assumes the plain 8-level slicer
+        # (IqReceiver rejects --ntsc + --erasures for that reason)
+        flags = [f for f in flags
+                 if f not in ("--trellis viterbi", "--erasures burst")]
+        flags.append("--ntsc auto")
     out["decode_flags"] = " ".join(flags)
     return out
 

@@ -241,6 +241,89 @@ def measure_rx_soft(batch: int = 64, iters: int = 10,
     }
 
 
+def measure_rx_soft_noisy(batch: int = 256, iters: int = 10,
+                          snr_db: float = 13.0) -> dict:
+    """Threshold-SNR ML receive: soft eq + Viterbi + RS correction all
+    firing — the full noisy-capture path at 1 dB above the measured
+    12 dB soft threshold. The Viterbi kernels' cost is SNR-independent;
+    this records the end-to-end step with the corrector engaged."""
+    from atsc_tpu.models.decoder import SoftDecoder
+    from atsc_tpu.models.receiver import device_eq_step
+    from atsc_tpu.ops.rs_decode import rs_correct_field_jit
+
+    win0, osc0 = _rx_inputs(batch, field_idx=0)
+    win1, osc1 = _rx_inputs(batch, field_idx=1)
+    key0, key1 = jax.random.split(jax.random.PRNGKey(1))
+    sig_pow = float(jnp.mean(win1.astype(jnp.float32) ** 2))
+    sigma = float(np.sqrt(sig_pow / 10 ** (snr_db / 10)))
+    win0 = win0 + sigma * jax.random.normal(key0, win0.shape, jnp.float32)
+    win1 = win1 + sigma * jax.random.normal(key1, win1.shape, jnp.float32)
+    eq = device_eq_step(True)
+    dec = SoftDecoder(batch=batch)
+    dec._state, _, _ = dec._step(dec._state, eq(win0, osc0))
+
+    def step():
+        levels = eq(win1, osc1)
+        _, cw, syn = dec._step(dec._state, levels)
+        cw2, nerr = rs_correct_field_jit(cw, syn)
+        return syn, nerr
+
+    syn, nerr = step()
+    _barrier(nerr)
+    dirty = np.asarray(jnp.any(syn != 0, axis=-1))
+    nerr_h = np.asarray(nerr)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        syn, nerr = step()
+    _barrier(nerr)
+    dt = (time.perf_counter() - t0) / iters
+    fps = batch / dt
+    return {
+        "batch": batch,
+        "snr_db": snr_db,
+        "step_ms": round(dt * 1e3, 3),
+        "dirty_segment_pct": round(100.0 * dirty.mean(), 1),
+        "corrected_segments_per_step": int((nerr_h > 0).sum()),
+        "uncorrectable_segments_per_step": int((nerr_h < 0).sum()),
+        "fields_per_s": round(fps, 1),
+        "realtime_channels": round(fps / FIELD_RATE, 1),
+    }
+
+
+def measure_rx_ntsc(batch: int = 64, iters: int = 10) -> dict:
+    """NTSC-rejection tier cores: soft eq + comb + 16-state PR Viterbi
+    field decoder (the analog co-channel path, ops/ntsc.py)."""
+    from atsc_tpu.models.decoder import NtscDecoder
+    from atsc_tpu.models.receiver import device_eq_step
+
+    win, oscj = _rx_inputs(batch)
+    eq = device_eq_step(True)
+    levels = eq(win, oscj)
+    _barrier(levels)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        levels = eq(win, oscj)
+    _barrier(levels)
+    eq_dt = (time.perf_counter() - t0) / iters
+
+    dec = NtscDecoder(batch=batch)
+    st, cw, syn = dec._step(dec._state, levels)
+    _barrier(syn)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, cw, syn = dec._step(dec._state, levels)
+    _barrier(syn)
+    dec_dt = (time.perf_counter() - t0) / iters
+    fps = batch / (eq_dt + dec_dt)
+    return {
+        "batch": batch,
+        "eq_soft_ms": round(eq_dt * 1e3, 3),
+        "pr_decoder_ms": round(dec_dt * 1e3, 3),
+        "fields_per_s": round(fps, 1),
+        "realtime_channels": round(fps / FIELD_RATE, 1),
+    }
+
+
 def _tpu_alive(timeout_s: int = 240) -> bool:
     """Probe backend registration in a subprocess: a wedged device tunnel
     HANGS jax.devices() rather than failing (observed repeatedly), which
@@ -382,6 +465,15 @@ def main() -> None:
     if soft_rows:
         extras["rx_soft"] = max(soft_rows, key=lambda r: r["fields_per_s"])
         extras["rx_soft_sweep"] = soft_rows
+
+    soft_noisy = probe("rx_soft_noisy_b256",
+                       lambda: measure_rx_soft_noisy(256))
+    if soft_noisy is not None:
+        extras["rx_soft_noisy"] = soft_noisy
+
+    ntsc = probe("rx_ntsc_b64", lambda: measure_rx_ntsc(64))
+    if ntsc is not None:
+        extras["rx_ntsc"] = ntsc
 
     if best_fps > 0.0:
         batch, fmt = best_desc

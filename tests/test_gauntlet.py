@@ -162,3 +162,49 @@ def test_cli_analyze_on_gauntlet_capture(tmp_path):
     #                                  equalized MER well above threshold
     for f in ("--sro auto", "--cfo auto", "--align auto"):
         assert f in out["decode_flags"], out
+
+
+def test_cli_analyze_ntsc_advice_enables_decode(tmp_path):
+    """Advice-to-outcome contract for the NTSC tier: a co-channel tone
+    at 0.5x signal RMS must make analyze advise `--ntsc auto` (and drop
+    the erasure/soft-trellis advice it supersedes), the unadvised decode
+    must fail, and decoding with the advised flags must recover the TS
+    exactly."""
+    from atsc_tpu.cli import (
+        build_analyze_argparser,
+        build_decode_argparser,
+        run_analyze,
+        run_decode,
+    )
+
+    rng = np.random.default_rng(149)
+    ts = _random_ts(rng, 4, 1)
+    iq = _encode_iq(ts)[0].copy()
+    rms = np.sqrt(np.mean(np.abs(iq) ** 2))
+    f = P.SAMPLE_RATE / 12 + P.OSC_FREQUENCY
+    n = np.arange(iq.shape[-1])
+    iq = iq + 0.5 * rms * np.exp(2j * np.pi * f * n / P.SAMPLE_RATE + 0.4j)
+    cap = tmp_path / "cap.iq"
+    np.stack([iq.real, iq.imag], axis=-1).astype(np.float32).tofile(cap)
+
+    rep = run_analyze(build_analyze_argparser().parse_args([str(cap)]))
+    assert rep["ntsc_detected"], rep
+    assert "--ntsc auto" in rep["decode_flags"], rep
+    assert "--trellis viterbi" not in rep["decode_flags"], rep
+    assert "--erasures burst" not in rep["decode_flags"], rep
+
+    out_plain = tmp_path / "plain.ts"
+    s_plain = run_decode(build_decode_argparser().parse_args(
+        [str(cap), "-o", str(out_plain), "--stats"]
+    ))
+    assert s_plain["segments_uncorrectable"] > 0, s_plain
+
+    out_adv = tmp_path / "adv.ts"
+    argv = ([str(cap), "-o", str(out_adv), "--stats"]
+            + rep["decode_flags"].split())
+    s_adv = run_decode(build_decode_argparser().parse_args(argv))
+    assert s_adv["segments_uncorrectable"] == 0, s_adv
+    assert s_adv["ntsc_comb"] is True, s_adv
+    got = np.fromfile(out_adv, dtype=np.uint8)
+    want = ts[: s_adv["fields_decoded"], 0].reshape(-1)
+    np.testing.assert_array_equal(got, want)
