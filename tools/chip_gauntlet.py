@@ -11,7 +11,13 @@ the attached chip and asserts exact TS recovery:
   awgn15_vit   — 15 dB AWGN, soft fused eq + Viterbi (3 dB above the
                  CPU-measured 12 dB soft threshold)
   awgn13_vit   — 13 dB AWGN, 1 dB above threshold
+  cci_ntsc     — 0.5x-RMS co-channel tone at the comb null, ntsc="comb"
+                 (16-state PR Viterbi)
   multipath_dd — multipath+complex gain, adaptive-dd equalizer (XLA path)
+
+The B=1 soft/NTSC probes run the fused Pallas ACS/traceback kernels via
+the batch-padding wrapper (ops/pallas/viterbi_acs.py _pad_batch), so
+this gauntlet compiles and proves them on the real device every run.
 
 Usage: python tools/chip_gauntlet.py
 Prints one JSON line per probe; exits non-zero if any probe fails.
@@ -92,6 +98,17 @@ def main() -> None:
         results.append(_check(f"awgn{snr:g}_viterbi",
                               r.push(noisy.astype(np.complex64)) + r.flush(),
                               ts))
+
+    # analog co-channel tone at the comb's first null, NTSC-rejection
+    # tier (comb + fused 16-state PR Viterbi kernel)
+    n = np.arange(iq.shape[1])
+    f = P.SAMPLE_RATE / 12 + P.OSC_FREQUENCY
+    rms = np.sqrt(p_sig)
+    cci = 0.5 * rms * np.exp(2j * np.pi * f * n / P.SAMPLE_RATE + 0.4j)
+    r = IqReceiver(batch=1, ntsc="comb")
+    results.append(_check("cci_ntsc",
+                          r.push((iq + cci).astype(np.complex64))
+                          + r.flush(), ts))
 
     # multipath + complex gain, adaptive decision-directed equalizer
     y = np.convolve(iq[0], [0.9 * np.exp(0.6j), 0, 0.1 * np.exp(-1.0j)])
