@@ -526,12 +526,17 @@ def build_decode_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--forgetting", type=float, default=1.0,
                     help="adaptive equalizer memory: 1.0 = average all "
                          "fields (static channel), 0.0 = retrain per field")
-    ap.add_argument("--trellis", default="hard", choices=("hard", "viterbi"),
+    ap.add_argument("--trellis", default="hard",
+                    choices=("hard", "viterbi", "viterbi-i8"),
                     help="'hard': slice symbols then invert the trellis "
                          "algebraically (exact on clean captures); "
                          "'viterbi': soft-decision maximum-likelihood "
                          "trellis decoding (~3.5 dB coding gain on noisy "
-                         "captures)")
+                         "captures); 'viterbi-i8': the same ML decode on "
+                         "int8-quantized soft levels — ~35%% more "
+                         "throughput at large batch, same measured "
+                         "sensitivity (incompatible with --erasures/"
+                         "--ntsc/--measure-mer)")
     ap.add_argument("--eq-profile", default="auto",
                     choices=("auto", "exact", "fast"),
                     help="zf equalizer accuracy/speed tier: 'exact' = full "
@@ -785,12 +790,16 @@ def run_decode_mesh(args) -> dict:
     if args.trellis == "viterbi" and args.equalizer != "zf":
         raise ValueError("--mesh --trellis viterbi shards with the zf "
                          "equalizer only")
+    if args.trellis == "viterbi-i8":
+        raise ValueError("--mesh supports --trellis hard/viterbi (the "
+                         "quantized tier is single-mesh only)")
     rx = ShardedReceiver(
         make_mesh(n_time, n_ch), batch=b,
         fields_per_device=max(1, args.fields_per_step // n_time),
         first_field=args.first_field, eq_profile=args.eq_profile,
         equalizer=args.equalizer,
-        trellis="soft" if args.trellis == "viterbi" else "hard",
+        trellis={"viterbi": "soft", "viterbi-i8": "soft-i8"}.get(
+                args.trellis, "hard"),
     )
     t = rx.t_total
     fmt = args.in_format
@@ -918,7 +927,8 @@ def run_decode_demux(args) -> dict:
                          "resume into a single interleaved output")
     if args.channels != 1:
         raise ValueError("--demux sets the channel count itself")
-    if (args.viterbi_chunks > 1 and args.trellis != "viterbi"
+    if (args.viterbi_chunks > 1
+            and not args.trellis.startswith("viterbi")
             and args.ntsc == "off"):
         raise ValueError("--viterbi-chunks needs a soft trellis path: "
                          "add --trellis viterbi or --ntsc comb/auto")
@@ -936,7 +946,8 @@ def run_decode_demux(args) -> dict:
                      else "adaptive"),
             forgetting=args.forgetting,
             first_field=first_field,
-            trellis="soft" if args.trellis == "viterbi" else "hard",
+            trellis={"viterbi": "soft", "viterbi-i8": "soft-i8"}.get(
+                args.trellis, "hard"),
             erasures=None if args.erasures == "off" else args.erasures,
             ntsc=None if args.ntsc == "off" else args.ntsc,
             viterbi_chunks=args.viterbi_chunks, eq_profile=args.eq_profile,
@@ -1196,7 +1207,8 @@ def run_decode(args) -> dict:
     block = P.SYMBOLS_PER_FIELD * BYTES_PER_SAMPLE[fmt] * args.channels
     if (align or cfo_auto) and args.channels != 1:
         raise ValueError("--align/--cfo auto are single-channel only")
-    if (args.viterbi_chunks > 1 and args.trellis != "viterbi"
+    if (args.viterbi_chunks > 1
+            and not args.trellis.startswith("viterbi")
             and args.ntsc == "off"):
         raise ValueError("--viterbi-chunks needs a soft trellis path: "
                          "add --trellis viterbi or --ntsc comb/auto")
@@ -1298,7 +1310,8 @@ def run_decode(args) -> dict:
             batch=args.channels, first_field=first_field,
             backend=equalizer if equalizer != "zf" else "device",
             forgetting=args.forgetting,
-            trellis="soft" if args.trellis == "viterbi" else "hard",
+            trellis={"viterbi": "soft", "viterbi-i8": "soft-i8"}.get(
+                args.trellis, "hard"),
             erasures=None if args.erasures == "off" else args.erasures,
             wire_format=fmt if codes_path else "cf32",
             eq_profile=args.eq_profile,

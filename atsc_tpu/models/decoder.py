@@ -106,7 +106,12 @@ def soft_decode_field(
     """
     from atsc_tpu.ops.viterbi import viterbi_decode_field
 
-    soft = decommutate_field(levels.astype(jnp.float32))
+    if levels.dtype == jnp.int8:
+        # quantized soft-level codes (ops.quantize SOFT_LEVEL_SCALE):
+        # gather and transpose stay int8; the Viterbi kernel dequantizes
+        soft = decommutate_field(levels)
+    else:
+        soft = decommutate_field(levels.astype(jnp.float32))
     bytes_enc, z2_new, metrics = viterbi_decode_field(
         soft, state.z2_prev, state.metrics, n_chunks
     )

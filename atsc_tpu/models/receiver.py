@@ -190,7 +190,7 @@ def _wl_eq_taps(eq_k: int = _EQ_K) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _eq_step_fn(soft: bool = False, dequant: float = 1.0,
-                profile: str = "auto"):
+                profile: str = "auto", soft_q: bool = False):
     """Pure (unjitted) device equalizer step — also traced inside
     shard_map by parallel/rx_shard.py's multi-device receiver.
 
@@ -224,6 +224,10 @@ def _eq_step_fn(soft: bool = False, dequant: float = 1.0,
         else:
             lev = (banded_fir_taps(ur, p_taps, _N, precision=precision)
                    + banded_fir_taps(ui, q_taps, _N, precision=precision))
+        if soft and soft_q:
+            from atsc_tpu.ops.quantize import quantize_soft_levels
+
+            return quantize_soft_levels(lev)
         if soft:
             return lev.astype(jnp.float32)
         from atsc_tpu.ops.slicer import slice_symbols
@@ -235,8 +239,8 @@ def _eq_step_fn(soft: bool = False, dequant: float = 1.0,
 
 @functools.lru_cache(maxsize=16)
 def _device_eq_step(soft: bool = False, dequant: float = 1.0,
-                    profile: str = "auto"):
-    return jax.jit(_eq_step_fn(soft, dequant, profile))
+                    profile: str = "auto", soft_q: bool = False):
+    return jax.jit(_eq_step_fn(soft, dequant, profile, soft_q))
 
 
 def _fused_eq_enabled(profile: str = "auto") -> bool:
@@ -268,16 +272,18 @@ def eq_window_bounds(profile: str = "auto") -> tuple[int, int]:
 
 
 def device_eq_step(soft: bool = False, dequant: float = 1.0,
-                   profile: str = "auto"):
+                   profile: str = "auto", soft_q: bool = False):
     """The production jitted equalizer step for windows shaped per
     eq_window_bounds(profile): (B, 2, length), (2, length) ->
-    (B, 260416) int8 symbols / float32 soft levels.
+    (B, 260416) int8 symbols / float32 soft levels (soft_q=True: int8
+    soft-level codes at ops.quantize.SOFT_LEVEL_SCALE — the quantized
+    throughput tier consumed by the fused Viterbi kernel).
 
     The fused-kernel gate is part of the cache key, so toggling
     ATSC_TPU_FUSED mid-process keeps this function and
     eq_window_bounds() consistent."""
     return _device_eq_step_impl(soft, dequant, profile,
-                                _fused_eq_enabled(profile))
+                                _fused_eq_enabled(profile), soft_q)
 
 
 # kept for tests that need to drop interpret-mode steps after
@@ -287,9 +293,9 @@ device_eq_step.cache_clear = lambda: _device_eq_step_impl.cache_clear()
 
 @functools.lru_cache(maxsize=16)
 def _device_eq_step_impl(soft: bool, dequant: float, profile: str,
-                         fused: bool):
+                         fused: bool, soft_q: bool = False):
     if not fused:
-        return _device_eq_step(soft, dequant, profile)
+        return _device_eq_step(soft, dequant, profile, soft_q)
     from atsc_tpu.ops.pallas.eq_fir import eq_fir_fused
 
     key = DEFAULT_EQ_PROFILE if profile == "auto" else profile
@@ -299,7 +305,7 @@ def _device_eq_step_impl(soft: bool, dequant: float, profile: str,
     @jax.jit
     def step(win: jnp.ndarray, osc: jnp.ndarray) -> jnp.ndarray:
         out = eq_fir_fused(win, osc, eq_k=eq_k, soft=soft,
-                           dequant=dequant, exact=exact)
+                           dequant=dequant, exact=exact, soft_q=soft_q)
         return jax.lax.slice_in_dim(out, 0, _N, axis=-1)
 
     return step
@@ -769,8 +775,20 @@ class IqReceiver:
             raise ValueError(f"unknown equalizer backend {backend!r}")
         if eq_profile != "auto" and eq_profile not in EQ_PROFILES:
             raise ValueError(f"unknown eq profile {eq_profile!r}")
-        if trellis not in ("hard", "soft"):
+        if trellis not in ("hard", "soft", "soft-i8"):
             raise ValueError(f"unknown trellis mode {trellis!r}")
+        if trellis == "soft-i8":
+            # the quantized-levels tier moves int8 codes end-to-end; the
+            # float-level consumers cannot read them
+            if measure_mer or erasures is not None or ntsc is not None:
+                raise ValueError("trellis='soft-i8' is the quantized "
+                                 "throughput tier: incompatible with "
+                                 "measure_mer/erasures/ntsc (they consume "
+                                 "float levels) — use trellis='soft'")
+            if backend != "device":
+                raise ValueError("trellis='soft-i8' needs the device "
+                                 "equalizer backend (the quantization "
+                                 "happens in its kernel)")
         if erasures not in (None, "burst"):
             raise ValueError(f"unknown erasure mode {erasures!r}")
         if ntsc not in (None, "comb", "auto"):
@@ -853,7 +871,7 @@ class IqReceiver:
             from atsc_tpu.models.decoder import NtscDecoder
             return NtscDecoder(batch=self.batch,
                                viterbi_chunks=self.viterbi_chunks)
-        if self.trellis == "soft":
+        if self.trellis.startswith("soft"):
             from atsc_tpu.models.decoder import SoftDecoder
             return SoftDecoder(batch=self.batch,
                                viterbi_chunks=self.viterbi_chunks)
@@ -919,7 +937,7 @@ class IqReceiver:
             need = g0 + _N if final else g0 + _N + self.margin
             if self._stream.end < need:
                 break
-            soft = self.trellis == "soft"
+            soft = self.trellis.startswith("soft")
             want_levels = (soft or self.erasures is not None
                            or self._ntsc_pending or self.ntsc_active
                            or self.measure_mer)
@@ -957,7 +975,8 @@ class IqReceiver:
                 osc = _osc_planar(rel0 + lo_off, rel0 + lo_off + wlen,
                                   self.first_field)
                 step = device_eq_step(want_levels, self._dequant,
-                                      self.eq_profile)
+                                      self.eq_profile,
+                                      soft_q=self.trellis == "soft-i8")
                 field = step(jnp.asarray(win), jnp.asarray(osc))
             if self.measure_mer:
                 sig, err = _mer_components_dev(jnp.asarray(field))

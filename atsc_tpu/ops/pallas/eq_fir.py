@@ -80,7 +80,7 @@ def _band_weights(eq_k: int, dtype: str = "bfloat16") -> np.ndarray:
 
 
 def _kernel(win_ref, whalo_ref, osc_ref, ohalo_ref, w_ref, out_ref, *,
-            rows, bands, inv_p2, soft, exact=False):
+            rows, bands, inv_p2, soft, exact=False, soft_q=False):
     f32 = jnp.float32
     lk = bands - 1
     wr = win_ref[0, 0].astype(f32)
@@ -114,7 +114,15 @@ def _kernel(win_ref, whalo_ref, osc_ref, ohalo_ref, w_ref, out_ref, *,
              jax.lax.slice_in_dim(uib, b_, b_ + rows, axis=0)], axis=1)
         lev = lev + jnp.dot(a2, w_ref[b_], precision=prec,
                             preferred_element_type=f32)
-    if soft:
+    if soft and soft_q:
+        # int8 soft-level codes (ops.quantize SOFT_LEVEL_SCALE): quarters
+        # the levels' HBM traffic through eq-write/gather/transpose; the
+        # Viterbi kernel dequantizes per step
+        from atsc_tpu.ops.quantize import SOFT_LEVEL_SCALE
+
+        q = jnp.clip(jnp.round(lev * f32(SOFT_LEVEL_SCALE)), -127, 127)
+        out_ref[0] = q.astype(jnp.int8)
+    elif soft:
         out_ref[0] = lev
     else:
         sym = jnp.clip(
@@ -124,7 +132,8 @@ def _kernel(win_ref, whalo_ref, osc_ref, ohalo_ref, w_ref, out_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eq_k", "soft", "dequant", "interpret", "exact"))
+    static_argnames=("eq_k", "soft", "dequant", "interpret", "exact",
+                     "soft_q"))
 def eq_fir_fused(
     win: jnp.ndarray,
     osc: jnp.ndarray,
@@ -133,6 +142,7 @@ def eq_fir_fused(
     dequant: float = 1.0,
     interpret: bool = False,
     exact: bool = False,
+    soft_q: bool = False,
 ) -> jnp.ndarray:
     """win: (B, 2, win_len(eq_k)) planar window (float32 or cs16/cs8
     integer codes) covering stream span [g0 - eq_k, ...); osc: (2, same)
@@ -140,6 +150,9 @@ def eq_fir_fused(
 
     Returns (B, 262144): int8 hard symbols (soft=False) or float32 soft
     levels; samples [0, 260416) are the field starting at g0.
+    soft_q=True (soft only): int8 soft-level codes at
+    ops.quantize.SOFT_LEVEL_SCALE — the throughput tier's wire format
+    between the equalizer and the Viterbi kernel.
     """
     from atsc_tpu.models.receiver import _DEV_MARGIN  # noqa: F401 (doc)
 
@@ -167,8 +180,8 @@ def eq_fir_fused(
 
     kernel = functools.partial(
         _kernel, rows=_ROWS, bands=bands, inv_p2=inv_p2, soft=soft,
-        exact=exact)
-    out_dtype = jnp.float32 if soft else jnp.int8
+        exact=exact, soft_q=soft_q)
+    out_dtype = jnp.float32 if (soft and not soft_q) else jnp.int8
     out = pl.pallas_call(
         kernel,
         grid=(_NCHUNK, b),

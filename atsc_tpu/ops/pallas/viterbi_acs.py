@@ -94,7 +94,8 @@ def _acs_update(m, obs):
     return (n0, n1, n2, n3), dec
 
 
-def _acs_kernel(obs_ref, m_ref, dec_ref, mout_ref, msc_ref, *, groups):
+def _acs_kernel(obs_ref, m_ref, dec_ref, mout_ref, msc_ref, *, groups,
+                inv_scale=None):
     @pl.when(pl.program_id(0) == 0)
     def _():
         msc_ref[...] = m_ref[...]
@@ -105,6 +106,10 @@ def _acs_kernel(obs_ref, m_ref, dec_ref, mout_ref, msc_ref, *, groups):
             word = None
             for k in range(4):
                 obs = obs_ref[pl.ds(g * _GROUP + j * 4 + k, 1)][0]
+                if inv_scale is not None:
+                    # quantized soft-level codes: one fused dequant
+                    # multiply per step (ops.quantize SOFT_LEVEL_INV)
+                    obs = obs.astype(jnp.float32) * jnp.float32(inv_scale)
                 m, dec = _acs_update(m, obs)
                 word = dec if word is None else word | (dec << (8 * k))
             dec_ref[pl.ds(g * _WPG + j, 1)] = word[None]
@@ -145,10 +150,11 @@ def _tb_kernel(dec_ref, start_ref, bits_ref, ssc_ref, *, words):
     jax.lax.fori_loop(0, words, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "inv_scale"))
 def acs_forward(obs: jnp.ndarray, metrics: jnp.ndarray,
-                interpret: bool = False):
-    """Forward ACS over obs (T, R, 128) f32 from metrics (4, R, 128) f32.
+                interpret: bool = False, inv_scale: float | None = None):
+    """Forward ACS over obs (T, R, 128) f32 — or int8 level codes
+    dequantized in-kernel by inv_scale — from metrics (4, R, 128) f32.
     Returns (decisions (T//4, R, 128) int32, final metrics (4, R, 128))."""
     t, r, lanes = obs.shape
     assert lanes == _LANES and t % _GROUP == 0, obs.shape
@@ -156,7 +162,7 @@ def acs_forward(obs: jnp.ndarray, metrics: jnp.ndarray,
     gc = _chunk_groups(groups, r)
     nch = groups // gc
     dec, mout = pl.pallas_call(
-        functools.partial(_acs_kernel, groups=gc),
+        functools.partial(_acs_kernel, groups=gc, inv_scale=inv_scale),
         grid=(nch,),
         in_specs=[
             pl.BlockSpec((gc * _GROUP, r, _LANES), lambda i: (i, 0, 0)),
@@ -482,9 +488,16 @@ def viterbi_field_pallas(
     b, ne, t = levels.shape
     assert (b * ne) % _LANES == 0 and t % _GROUP == 0, levels.shape
     r = b * ne // _LANES
+    inv = None
+    if levels.dtype == jnp.int8:
+        # quantized soft-level codes: the gather upstream and this
+        # transpose moved int8 (4x less HBM traffic); dequant in-kernel
+        from atsc_tpu.ops.quantize import SOFT_LEVEL_INV
+
+        inv = float(SOFT_LEVEL_INV)
     obs = jnp.moveaxis(levels, -1, 0).reshape(t, r, _LANES)
     m0 = jnp.moveaxis(metrics, -1, 0).reshape(4, r, _LANES)
-    dec, mout = acs_forward(obs, m0, interpret=interpret)
+    dec, mout = acs_forward(obs, m0, interpret=interpret, inv_scale=inv)
     start = jnp.argmin(mout, axis=0).astype(jnp.int32)
     bits = traceback(dec, start, interpret=interpret)
     z2p = z2_prev.astype(jnp.int32).reshape(r, _LANES)

@@ -93,3 +93,30 @@ def unpack_wire(packed: np.ndarray, fmt: str) -> np.ndarray:
     raw = np.ascontiguousarray(packed)
     pair = raw.view(np.dtype(DTYPE[fmt])).reshape(*raw.shape, 2)
     return np.moveaxis(pair, -1, -2)
+
+
+# -- quantized soft levels (the receive-side throughput tier) -------------
+#
+# The soft-Viterbi path's large-batch cost is dominated by moving f32
+# equalized levels through HBM (eq write -> de-commutate gather ->
+# T-major transpose, PERF.md round 4). Levels span the +-8.25
+# constellation plus noise excursions; +-12 full scale covers ~4 sigma
+# of channel noise at the 12 dB threshold, and the int8 LSB (0.094)
+# contributes ~0.027 rms — ~30 dB below threshold channel noise, so the
+# tier's measured sensitivity is unchanged. The Viterbi kernel
+# dequantizes per step (one fused multiply), keeping every branch
+# metric in f32.
+
+SOFT_LEVEL_MAX = 12.0
+SOFT_LEVEL_SCALE = 127.0 / SOFT_LEVEL_MAX
+#: the dequantization multiplier — use THIS constant on both the
+#: XLA and Pallas dequant sites so the tiers stay bit-identical
+SOFT_LEVEL_INV = SOFT_LEVEL_MAX / 127.0
+
+
+def quantize_soft_levels(lev: jnp.ndarray) -> jnp.ndarray:
+    """float32 equalized levels -> int8 codes at SOFT_LEVEL_SCALE
+    (round-to-nearest-even + clip; the XLA twin of the fused equalizer
+    kernel's soft_q path)."""
+    s = jnp.float32(SOFT_LEVEL_SCALE)
+    return jnp.clip(jnp.round(lev * s), -127, 127).astype(jnp.int8)

@@ -315,6 +315,12 @@ def viterbi_decode_field(
         from atsc_tpu.ops.pallas.viterbi_acs import viterbi_field_pallas
 
         return viterbi_field_pallas(levels, z2_prev, metrics)
+    if levels.dtype == jnp.int8:
+        # quantized soft-level codes: dequantize with the same f32
+        # multiply the Pallas kernel uses (bit-identical tiers)
+        from atsc_tpu.ops.quantize import SOFT_LEVEL_INV
+
+        levels = levels.astype(jnp.float32) * jnp.float32(SOFT_LEVEL_INV)
     x1, z2, new_metrics = viterbi_bits(levels, metrics, n_chunks,
                                        unroll=unroll)
     z2_shifted = jnp.concatenate([z2_prev[..., None], z2[..., :-1]], axis=-1)

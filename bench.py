@@ -241,6 +241,41 @@ def measure_rx_soft(batch: int = 64, iters: int = 10,
     }
 
 
+def measure_rx_soft_i8(batch: int = 512, iters: int = 10) -> dict:
+    """Quantized soft tier (trellis='soft-i8'): int8 level codes through
+    eq-write/gather/transpose, dequantized inside the Viterbi kernel —
+    same measured 12 dB threshold as the f32 tier (tools/rx_threshold)."""
+    from atsc_tpu.models.decoder import SoftDecoder
+    from atsc_tpu.models.receiver import device_eq_step
+
+    win, oscj = _rx_inputs(batch)
+    eq = device_eq_step(True, soft_q=True)
+    codes = eq(win, oscj)
+    _barrier(codes)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        codes = eq(win, oscj)
+    _barrier(codes)
+    eq_dt = (time.perf_counter() - t0) / iters
+
+    dec = SoftDecoder(batch=batch)
+    st, cw, syn = dec._step(dec._state, codes)
+    _barrier(syn)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, cw, syn = dec._step(dec._state, codes)
+    _barrier(syn)
+    dec_dt = (time.perf_counter() - t0) / iters
+    fps = batch / (eq_dt + dec_dt)
+    return {
+        "batch": batch,
+        "eq_soft_i8_ms": round(eq_dt * 1e3, 3),
+        "viterbi_i8_ms": round(dec_dt * 1e3, 3),
+        "fields_per_s": round(fps, 1),
+        "realtime_channels": round(fps / FIELD_RATE, 1),
+    }
+
+
 def measure_rx_soft_noisy(batch: int = 256, iters: int = 10,
                           snr_db: float = 13.0) -> dict:
     """Threshold-SNR ML receive: soft eq + Viterbi + RS correction all
@@ -465,6 +500,15 @@ def main() -> None:
     if soft_rows:
         extras["rx_soft"] = max(soft_rows, key=lambda r: r["fields_per_s"])
         extras["rx_soft_sweep"] = soft_rows
+
+    i8_rows = []
+    for sb in (256, 512):
+        row = probe(f"rx_soft_i8_b{sb}", lambda b=sb: measure_rx_soft_i8(b))
+        if row is not None:
+            i8_rows.append(row)
+    if i8_rows:
+        extras["rx_soft_i8"] = max(i8_rows, key=lambda r: r["fields_per_s"])
+        extras["rx_soft_i8_sweep"] = i8_rows
 
     soft_noisy = probe("rx_soft_noisy_b256",
                        lambda: measure_rx_soft_noisy(256))

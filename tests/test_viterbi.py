@@ -252,3 +252,67 @@ def test_pallas_pr_viterbi_kernel_bit_identical():
     # on-chip probes (PERF.md round 4) and tools/chip_gauntlet.py.
     np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_x),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_iq_receiver_soft_i8_tier():
+    """The quantized soft-level tier (trellis='soft-i8') decodes the
+    same noisy capture the f32 soft tier does — int8 level codes move
+    through eq/gather/transpose, dequantized inside the Viterbi step."""
+    from atsc_tpu.models.receiver import IqReceiver
+    from tests.test_receiver import _encode_iq
+
+    rng = np.random.default_rng(97)
+    ts = _random_ts(rng, 3, 1)
+    iq = _encode_iq(ts)
+    noise = (rng.normal(size=iq.shape) + 1j * rng.normal(size=iq.shape))
+    y = iq + noise * 0.035
+
+    rx = IqReceiver(batch=1, trellis="soft-i8")
+    got = rx.push(y) + rx.flush()
+    assert len(got) == 2
+    for k, (out, nerr) in enumerate(got):
+        assert (nerr >= 0).all(), f"uncorrectable segments in field {k}"
+        np.testing.assert_array_equal(out, ts[k])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="soft-i8"):
+        IqReceiver(batch=1, trellis="soft-i8", erasures="burst")
+    with pytest.raises(ValueError, match="soft-i8"):
+        IqReceiver(batch=1, trellis="soft-i8", backend="adaptive")
+
+
+def test_pallas_viterbi_i8_bit_identical_to_xla_i8():
+    """On int8 level codes the Pallas kernel and the XLA fallback
+    dequantize with the same f32 multiply, so the two quantized tiers
+    are bit-identical to each other (interpret mode)."""
+    import jax.numpy as jnp
+
+    from atsc_tpu.ops.pallas.viterbi_acs import viterbi_field_pallas
+    from atsc_tpu.ops.quantize import SOFT_LEVEL_INV, quantize_soft_levels
+    from atsc_tpu.ops.viterbi import init_metrics, viterbi_bits
+
+    b, ne, t = 32, P.TRELLIS_ENCODERS, 96
+    rng = np.random.default_rng(13)
+    ideal = rng.integers(0, 8, size=(b, ne, t)) * 2 - 7 + P.PILOT_OFFSET
+    lev_f32 = jnp.asarray(
+        (ideal + rng.normal(0, 1.0, ideal.shape)).astype(np.float32)
+    )
+    codes = quantize_soft_levels(lev_f32)
+    assert codes.dtype == jnp.int8
+    metrics = init_metrics(b)
+    z2_prev = jnp.zeros((b, ne), jnp.int32)
+
+    by_p, z2_p, m_p = viterbi_field_pallas(
+        codes, z2_prev, metrics, interpret=True
+    )
+
+    deq = codes.astype(jnp.float32) * jnp.float32(SOFT_LEVEL_INV)
+    x1, z2, m_x = viterbi_bits(deq, metrics)
+    z2s = jnp.concatenate([z2_prev[..., None], z2[..., :-1]], axis=-1)
+    x2 = np.asarray(z2 ^ z2s).reshape(b, ne, t // 4, 4)
+    x1p = np.asarray(x1).reshape(b, ne, t // 4, 4)
+    bytes_x = (x2 * np.array([128, 32, 8, 2])
+               + x1p * np.array([64, 16, 4, 1])).sum(-1).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(by_p), bytes_x)
+    np.testing.assert_array_equal(np.asarray(m_p), np.asarray(m_x))

@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--fields", type=int, default=4)
     ap.add_argument("--snrs", default="22,20,18,17,16,15,14")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--modes", default="hard,soft",
+                    help="comma list of trellis modes to sweep "
+                         "(hard, soft, soft-i8)")
     ap.add_argument("--backend", default="device",
                     choices=("device", "adaptive", "adaptive-dd"),
                     help="equalizer under test: the known-chain ZF device "
@@ -56,7 +59,7 @@ def main() -> None:
     p_sig = float(np.mean(np.abs(iq) ** 2))
 
     thresholds = {}
-    for mode in ("hard", "soft"):
+    for mode in args.modes.split(","):
         thresholds[mode] = None
         for snr in snrs:
             sigma = np.sqrt(p_sig / 10 ** (snr / 10) / 2)
