@@ -426,6 +426,14 @@ def run(cfg: EncoderConfig, input_paths, max_fields: int = 0,
     return summary
 
 
+#: CLI --trellis value -> IqReceiver trellis mode
+_TRELLIS_MODE = {"hard": "hard", "viterbi": "soft", "viterbi-i8": "soft-i8"}
+
+
+def _trellis_mode(args) -> str:
+    return _TRELLIS_MODE[args.trellis]
+
+
 def build_decode_argparser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="atsc_tpu decode",
@@ -536,7 +544,7 @@ def build_decode_argparser() -> argparse.ArgumentParser:
                          "int8-quantized soft levels — ~35%% more "
                          "throughput at large batch, same measured "
                          "sensitivity (incompatible with --erasures/"
-                         "--ntsc/--measure-mer)")
+                         "--ntsc; --stats omits mer_db)")
     ap.add_argument("--eq-profile", default="auto",
                     choices=("auto", "exact", "fast"),
                     help="zf equalizer accuracy/speed tier: 'exact' = full "
@@ -798,8 +806,7 @@ def run_decode_mesh(args) -> dict:
         fields_per_device=max(1, args.fields_per_step // n_time),
         first_field=args.first_field, eq_profile=args.eq_profile,
         equalizer=args.equalizer,
-        trellis={"viterbi": "soft", "viterbi-i8": "soft-i8"}.get(
-                args.trellis, "hard"),
+        trellis=_trellis_mode(args),
     )
     t = rx.t_total
     fmt = args.in_format
@@ -932,6 +939,10 @@ def run_decode_demux(args) -> dict:
             and args.ntsc == "off"):
         raise ValueError("--viterbi-chunks needs a soft trellis path: "
                          "add --trellis viterbi or --ntsc comb/auto")
+    if args.trellis == "viterbi-i8":
+        raise ValueError("--demux decodes with the adaptive equalizer; "
+                         "the quantized tier needs the device equalizer "
+                         "— use --trellis viterbi")
     b = args.demux
     if b < 1:
         raise ValueError(f"--demux wants a slot count >= 1, got {b}")
@@ -946,12 +957,11 @@ def run_decode_demux(args) -> dict:
                      else "adaptive"),
             forgetting=args.forgetting,
             first_field=first_field,
-            trellis={"viterbi": "soft", "viterbi-i8": "soft-i8"}.get(
-                args.trellis, "hard"),
+            trellis=_trellis_mode(args),
             erasures=None if args.erasures == "off" else args.erasures,
             ntsc=None if args.ntsc == "off" else args.ntsc,
             viterbi_chunks=args.viterbi_chunks, eq_profile=args.eq_profile,
-            measure_mer=args.stats,
+            measure_mer=args.stats and args.trellis != "viterbi-i8",
             resync=None if args.resync == "off" else args.resync,
         )
     wb_read = 0  # wideband multiplex samples consumed (resume cursor)
@@ -975,7 +985,7 @@ def run_decode_demux(args) -> dict:
                              f"!= --equalizer {args.equalizer!r}")
         dmx.set_state(carry)
         wb_read = int(rx.checkpoint_extra.get("wideband_read", 0))
-        rx.measure_mer = args.stats
+        rx.measure_mer = args.stats and rx.trellis != "soft-i8"
     else:
         # construct (and therefore flag-validate) the receiver BEFORE
         # opening the output: a usage error must not truncate a file.
@@ -1259,7 +1269,7 @@ def run_decode(args) -> dict:
         cfo_hz = (float(args.cfo) if args.cfo != "0"
                   else float(rx.checkpoint_extra.get("cfo_hz", 0.0)))
         correct = CfoCorrector(cfo_hz)
-        rx.measure_mer = args.stats
+        rx.measure_mer = args.stats and rx.trellis != "soft-i8"
         # skip input already consumed by the checkpointed stream
         consumed = rx._stream.end
         skip = consumed * BYTES_PER_SAMPLE[fmt] * args.channels
@@ -1310,14 +1320,15 @@ def run_decode(args) -> dict:
             batch=args.channels, first_field=first_field,
             backend=equalizer if equalizer != "zf" else "device",
             forgetting=args.forgetting,
-            trellis={"viterbi": "soft", "viterbi-i8": "soft-i8"}.get(
-                args.trellis, "hard"),
+            trellis=_trellis_mode(args),
             erasures=None if args.erasures == "off" else args.erasures,
             wire_format=fmt if codes_path else "cf32",
             eq_profile=args.eq_profile,
             ntsc=None if args.ntsc == "off" else args.ntsc,
             viterbi_chunks=args.viterbi_chunks,
-            measure_mer=args.stats,
+            # the i8 tier's int8 level codes cannot feed the MER
+            # accumulator; --stats still reports everything else
+            measure_mer=args.stats and args.trellis != "viterbi-i8",
             resync=None if args.resync == "off" else args.resync,
         )
         fout = _TsOut(args.output, args.channels)

@@ -52,10 +52,13 @@ def _levels8() -> tuple[float, ...]:
     return tuple(float(x) for x in v * 2 - 7 + np.float32(P.PILOT_OFFSET))
 
 
-def _chunk_groups(groups: int, r: int) -> int:
-    """Largest divisor of `groups` whose obs block stays <= ~4 MB of VMEM
-    (double-buffered against the dec output block by Mosaic)."""
-    budget = max(1, (4 << 20) // (_GROUP * r * _LANES * 4))
+def _chunk_groups(groups: int, r: int, lane_bytes: int = 4) -> int:
+    """Largest divisor of `groups` whose per-chunk blocks stay <= ~4 MB
+    of VMEM (double-buffered by Mosaic). lane_bytes: bytes per
+    symbol-lane across ALL of the kernel's blocks — 4 for the 4-state
+    tier (f32 obs in, packed int32 decisions out at 1/4 rate), 12 for
+    the 16-state PR tier (f32 obs + int32 reset + int32 decisions)."""
+    budget = max(1, (4 << 20) // (_GROUP * r * _LANES * lane_bytes))
     best = 1
     for d in range(1, groups + 1):
         if groups % d == 0 and d <= budget:
@@ -337,17 +340,6 @@ def _pr_tb_kernel(dec_ref, start_ref, bits_ref, ssc_ref, *, steps):
     jax.lax.fori_loop(0, steps // 4, body, 0)
 
 
-def _pr_chunk_groups(groups: int, r: int) -> int:
-    """Chunking for the PR kernel: obs f32 + rc i32 + dec i32 blocks are
-    3 words per symbol-lane -> smaller chunks than the 4-state kernel."""
-    budget = max(1, (4 << 20) // (_GROUP * r * _LANES * 12))
-    best = 1
-    for d in range(1, groups + 1):
-        if groups % d == 0 and d <= budget:
-            best = d
-    return best
-
-
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pr_acs_forward(obs: jnp.ndarray, rc: jnp.ndarray, metrics: jnp.ndarray,
                    interpret: bool = False):
@@ -356,7 +348,7 @@ def pr_acs_forward(obs: jnp.ndarray, rc: jnp.ndarray, metrics: jnp.ndarray,
     t, r, lanes = obs.shape
     assert lanes == _LANES and t % _GROUP == 0, obs.shape
     groups = t // _GROUP
-    gc = _pr_chunk_groups(groups, r)
+    gc = _chunk_groups(groups, r, lane_bytes=12)
     nch = groups // gc
     return pl.pallas_call(
         functools.partial(_pr_acs_kernel, groups=gc),
@@ -387,7 +379,7 @@ def pr_traceback(dec: jnp.ndarray, start: jnp.ndarray,
     (T//4, R, 128) int32 in the _tb_kernel layout."""
     t, r, lanes = dec.shape
     assert lanes == _LANES and t % _GROUP == 0, dec.shape
-    gc = _pr_chunk_groups(t // _GROUP, r)
+    gc = _chunk_groups(t // _GROUP, r, lane_bytes=12)
     nch = t // (gc * _GROUP)
     sc = gc * _GROUP
     return pl.pallas_call(

@@ -297,7 +297,9 @@ def _use_pallas_viterbi(levels: jnp.ndarray) -> bool:
     env = os.environ.get("ATSC_TPU_FUSED_VITERBI")
     if env is not None:
         return env not in ("0", "false", "") and shapes_ok
-    return shapes_ok and jax.default_backend() != "cpu"
+    # "tpu" exactly: the kernels are Mosaic-lowered (pltpu scratch) —
+    # on gpu/other plugin backends the XLA scan path is the right one
+    return shapes_ok and jax.default_backend() == "tpu"
 
 
 def viterbi_decode_field(
