@@ -265,7 +265,12 @@ class ShardedDecoder:
             is_leaf=lambda x: isinstance(x, PSpec),
         )
         self.fields_sharding = NamedSharding(mesh, fields_spec)
-        self._state = jax.device_put(init_state, self.state_sharding)
+        # put_global, not device_put: in a multi-process runtime the
+        # state sharding spans remote devices device_put cannot address
+        # (parallel/distributed.py put_global); identical single-process
+        from atsc_tpu.parallel.distributed import put_global
+
+        self._state = put_global(init_state, self.state_sharding)
 
     @property
     def state(self) -> DecoderState:
@@ -440,7 +445,12 @@ class ShardedReceiver:
         )
         self._win_sharding = NamedSharding(mesh, win_spec)
         self._osc_sharding = NamedSharding(mesh, osc_spec)
-        self._state = jax.device_put(init_state, self.state_sharding)
+        # put_global, not device_put: in a multi-process runtime the
+        # state sharding spans remote devices device_put cannot address
+        # (parallel/distributed.py put_global); identical single-process
+        from atsc_tpu.parallel.distributed import put_global
+
+        self._state = put_global(init_state, self.state_sharding)
 
     def decode_iq(
         self, iq: np.ndarray, with_context: bool = False

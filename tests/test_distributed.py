@@ -156,3 +156,67 @@ def test_two_process_sharded_encode():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"child-ok {i}" in out, out
+
+
+def test_two_process_cli_decode(tmp_path):
+    """Receive twin of test_two_process_cli_encode: two real
+    jax.distributed processes through tools/distributed_decode.py —
+    per-host channel IO, sharded equalize+decode, per-host RS/derand —
+    byte-compared against the transmitted transport streams."""
+    import numpy as np
+
+    from atsc_tpu import params as P
+    from atsc_tpu.models.encoder import Encoder, iq_interleave
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    rng = np.random.default_rng(23)
+    t, b = 4, 4
+    ts = rng.integers(0, 256, size=(t, b, P.FIELD_TS_BYTES), dtype=np.uint8)
+    ts.reshape(t, b, P.DATA_SEGMENTS, P.MPEG2_BYTES)[..., 0] = 0x47
+    enc = Encoder(batch=b, donate=False)
+    seq = np.asarray(enc.encode_many(ts))          # (T, B, 2, >=N)
+    for c in range(b):
+        iq_interleave(seq[:, c]).tofile(tmp_path / f"cap_ch{c}.iq")
+
+    tool = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "tools", "distributed_decode.py")
+    env = dict(
+        os.environ,
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        JAX_PLATFORMS="cpu",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, tool, str(tmp_path / "cap_ch{ch}.iq"),
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(i),
+             "-c", str(b), "-o", str(tmp_path / "out_ch{ch}.ts"),
+             "--fields-per-step", "2"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"process {i}: decoded {t} fields" in out, out
+
+    for c in range(b):
+        got = np.fromfile(tmp_path / f"out_ch{c}.ts", np.uint8).reshape(
+            -1, P.FIELD_TS_BYTES)
+        assert got.shape[0] == t - 1, got.shape
+        for k in range(t - 1):
+            np.testing.assert_array_equal(got[k], ts[k, c])
