@@ -11,6 +11,8 @@ the attached chip and asserts exact TS recovery:
   awgn15_vit   — 15 dB AWGN, soft fused eq + Viterbi (3 dB above the
                  CPU-measured 12 dB soft threshold)
   awgn13_vit   — 13 dB AWGN, 1 dB above threshold
+  awgn13_i8    — 13 dB AWGN, quantized soft tier (trellis="soft-i8":
+                 int8 level codes, in-kernel dequant)
   cci_ntsc     — 0.5x-RMS co-channel tone at the comb null, ntsc="comb"
                  (16-state PR Viterbi)
   multipath_dd — multipath+complex gain, adaptive-dd equalizer (XLA path)
@@ -98,6 +100,15 @@ def main() -> None:
         results.append(_check(f"awgn{snr:g}_viterbi",
                               r.push(noisy.astype(np.complex64)) + r.flush(),
                               ts))
+
+    # quantized soft tier at 13 dB: int8 level codes end-to-end
+    sigma = np.sqrt(p_sig / 10 ** (13.0 / 10.0) / 2.0)
+    noisy = iq + (rng.normal(size=iq.shape)
+                  + 1j * rng.normal(size=iq.shape)) * sigma
+    r = IqReceiver(batch=1, trellis="soft-i8")
+    results.append(_check("awgn13_viterbi_i8",
+                          r.push(noisy.astype(np.complex64)) + r.flush(),
+                          ts))
 
     # analog co-channel tone at the comb's first null, NTSC-rejection
     # tier (comb + fused 16-state PR Viterbi kernel)
