@@ -25,7 +25,10 @@ skip even that.
 The soft (Viterbi) tier shards too: see _local_step_soft — path
 metrics are the one state component that recurses through decoded
 data, handled with a warmup ring-permute at shard seams (the
-chunked-MLSE argument).
+chunked-MLSE argument). On TPU meshes the per-device Viterbi runs the
+fused Pallas kernels (ops/pallas/viterbi_acs.py) inside shard_map —
+pallas_call is a per-device op, so the sharding layer is unaffected;
+the CPU dryrun exercises the XLA fallback branch of the same step.
 """
 
 from __future__ import annotations
