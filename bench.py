@@ -515,9 +515,14 @@ def main() -> None:
     if soft_noisy is not None:
         extras["rx_soft_noisy"] = soft_noisy
 
-    ntsc = probe("rx_ntsc_b64", lambda: measure_rx_ntsc(64))
-    if ntsc is not None:
-        extras["rx_ntsc"] = ntsc
+    ntsc_rows = []
+    for nb in (64, 256):
+        row = probe(f"rx_ntsc_b{nb}", lambda b=nb: measure_rx_ntsc(b))
+        if row is not None:
+            ntsc_rows.append(row)
+    if ntsc_rows:
+        extras["rx_ntsc"] = max(ntsc_rows, key=lambda r: r["fields_per_s"])
+        extras["rx_ntsc_sweep"] = ntsc_rows
 
     if best_fps > 0.0:
         batch, fmt = best_desc
