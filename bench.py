@@ -102,6 +102,22 @@ def _rx_inputs(batch: int, field_idx: int = 0, n_fields: int = 2):
     return win, oscj
 
 
+def _composed_dt(eq, dec, win, oscj, iters: int = 10) -> float:
+    """Steady-state composed receive loop: eq and decoder dispatches of
+    consecutive fields PIPELINE on-device (the host enqueues ahead), so
+    the production throughput is the chained-loop rate, not the sum of
+    the isolated stage times (measured ~10% better at B=512)."""
+    field = eq(win, oscj)
+    st, cw, syn = dec._step(dec._state, field)
+    _barrier(syn)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        field = eq(win, oscj)
+        st, cw, syn = dec._step(dec._state, field)
+    _barrier(syn)
+    return (time.perf_counter() - t0) / iters
+
+
 def measure_rx(batch: int = 64, iters: int = 10) -> dict:
     """Receive-path device cores at `batch` channels: jitted equalizer
     step + symbol-field decoder step, timed separately and combined."""
@@ -127,12 +143,13 @@ def measure_rx(batch: int = 64, iters: int = 10) -> dict:
     _barrier(syn)
     dec_dt = (time.perf_counter() - t0) / iters
 
-    step_dt = eq_dt + dec_dt
-    fps = batch / step_dt
+    comp_dt = _composed_dt(eq, dec, win, oscj, iters)
+    fps = batch / comp_dt
     return {
         "batch": batch,
         "eq_ms": round(eq_dt * 1e3, 3),
         "decoder_ms": round(dec_dt * 1e3, 3),
+        "composed_ms": round(comp_dt * 1e3, 3),
         "fields_per_s": round(fps, 1),
         "samples_per_s": round(fps * P.SYMBOLS_PER_FIELD, 1),
         "realtime_channels": round(fps / FIELD_RATE, 1),
@@ -230,12 +247,14 @@ def measure_rx_soft(batch: int = 64, iters: int = 10,
     _barrier(syn)
     dec_dt = (time.perf_counter() - t0) / iters
 
-    fps = batch / (eq_dt + dec_dt)
+    comp_dt = _composed_dt(eq, dec, win, oscj, iters)
+    fps = batch / comp_dt
     return {
         "batch": batch,
         "viterbi_chunks": chunks,
         "eq_soft_ms": round(eq_dt * 1e3, 3),
         "viterbi_ms": round(dec_dt * 1e3, 3),
+        "composed_ms": round(comp_dt * 1e3, 3),
         "fields_per_s": round(fps, 1),
         "realtime_channels": round(fps / FIELD_RATE, 1),
     }
@@ -266,11 +285,13 @@ def measure_rx_soft_i8(batch: int = 512, iters: int = 10) -> dict:
         st, cw, syn = dec._step(dec._state, codes)
     _barrier(syn)
     dec_dt = (time.perf_counter() - t0) / iters
-    fps = batch / (eq_dt + dec_dt)
+    comp_dt = _composed_dt(eq, dec, win, oscj, iters)
+    fps = batch / comp_dt
     return {
         "batch": batch,
         "eq_soft_i8_ms": round(eq_dt * 1e3, 3),
         "viterbi_i8_ms": round(dec_dt * 1e3, 3),
+        "composed_ms": round(comp_dt * 1e3, 3),
         "fields_per_s": round(fps, 1),
         "realtime_channels": round(fps / FIELD_RATE, 1),
     }
@@ -349,11 +370,13 @@ def measure_rx_ntsc(batch: int = 64, iters: int = 10) -> dict:
         st, cw, syn = dec._step(dec._state, levels)
     _barrier(syn)
     dec_dt = (time.perf_counter() - t0) / iters
-    fps = batch / (eq_dt + dec_dt)
+    comp_dt = _composed_dt(eq, dec, win, oscj, iters)
+    fps = batch / comp_dt
     return {
         "batch": batch,
         "eq_soft_ms": round(eq_dt * 1e3, 3),
         "pr_decoder_ms": round(dec_dt * 1e3, 3),
+        "composed_ms": round(comp_dt * 1e3, 3),
         "fields_per_s": round(fps, 1),
         "realtime_channels": round(fps / FIELD_RATE, 1),
     }
