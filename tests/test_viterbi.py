@@ -316,3 +316,45 @@ def test_pallas_viterbi_i8_bit_identical_to_xla_i8():
                + x1p * np.array([64, 16, 4, 1])).sum(-1).astype(np.uint8)
     np.testing.assert_array_equal(np.asarray(by_p), bytes_x)
     np.testing.assert_array_equal(np.asarray(m_p), np.asarray(m_x))
+
+
+def test_chunked_viterbi_i8_matches_full():
+    """int8 level codes dequantize identically on both XLA branches
+    (full and chunk-parallel `--viterbi-chunks`): each is byte-for-byte
+    equal to a manual f32 dequantization of the same codes, across a
+    field boundary. (Chunked vs full may legitimately differ in a
+    handful of warmup-seam bytes at threshold noise — the documented
+    RS-absorbed case — so the dequantization contract is what this test
+    pins.)"""
+    import jax.numpy as jnp
+
+    from atsc_tpu.ops.decode import decommutate_field
+    from atsc_tpu.ops.quantize import SOFT_LEVEL_INV, quantize_soft_levels
+    from atsc_tpu.ops.viterbi import init_metrics, viterbi_decode_field
+
+    rng = np.random.default_rng(103)
+    ts = _random_ts(rng, 2, 2)
+    fields = _encode_symbol_fields(ts)
+    b = fields.shape[1]
+    # four independent carried states: (i8, f32) x (full, chunked)
+    st = {key: (jnp.zeros((b, 12), jnp.int32), init_metrics(b))
+          for key in ("i8f", "f32f", "i8c", "f32c")}
+    for k in range(fields.shape[0]):
+        lev = fields[k].astype(np.float64) * 2 - 7 + P.PILOT_OFFSET
+        sig = np.mean((fields[k] * 2 - 7.0) ** 2)
+        lev = lev + rng.normal(0, np.sqrt(sig / 10 ** 1.4), lev.shape)
+        codes = quantize_soft_levels(jnp.asarray(lev.astype(np.float32)))
+        soft = decommutate_field(codes)
+        assert soft.dtype == jnp.int8
+        deq = soft.astype(jnp.float32) * jnp.float32(SOFT_LEVEL_INV)
+        by = {}
+        for key, obs, chunks in (("i8f", soft, 1), ("f32f", deq, 1),
+                                 ("i8c", soft, 24), ("f32c", deq, 24)):
+            z, m = st[key]
+            by[key], z, m = viterbi_decode_field(obs, z, m,
+                                                 n_chunks=chunks)
+            st[key] = (z, m)
+        np.testing.assert_array_equal(np.asarray(by["i8f"]),
+                                      np.asarray(by["f32f"]))
+        np.testing.assert_array_equal(np.asarray(by["i8c"]),
+                                      np.asarray(by["f32c"]))
