@@ -277,7 +277,8 @@ class AdaptiveEqualizer:
         win_planar: (B, 2, N + 2*margin) float32 planar IQ; osc_planar:
         (2, same) planar oscillator; parity: this field's sync parity
         (0 = even). Returns (B, 260416) int8 hard symbols, or float32
-        soft levels when soft=True.
+        soft levels when soft=True — as a DEVICE array (downstream
+        decoder steps consume it in place; np.asarray() to fetch).
         """
         _, targets = _training_set()
         win = jnp.asarray(win_planar)
@@ -303,4 +304,9 @@ class AdaptiveEqualizer:
                 apply_precision=self._apply_precision,
             )
         self.taps = np.asarray(w)
-        return np.asarray(sym)
+        # return the DEVICE array: the receiver's decoder step consumes
+        # it in place — materializing np here cost a pointless
+        # (B, 260416) D2H + H2D round trip per field (measured ~800 ms
+        # over the dev tunnel at B=64; a real PCIe pays ~2 ms for
+        # nothing). Callers that want host data np.asarray() it.
+        return sym
