@@ -382,6 +382,48 @@ def measure_rx_ntsc(batch: int = 64, iters: int = 10) -> dict:
     }
 
 
+def measure_rx_adaptive(batch: int = 64, iters: int = 5) -> dict:
+    """Adaptive (sync-trained WL-RLS) equalizer tier: per-field
+    normal-equation accumulation + Cholesky solve + per-channel banded
+    apply, device-resident (the unknown-channel conditioning path —
+    production receivers retrain less than every field)."""
+    from atsc_tpu.ops.adaptive_eq import AdaptiveEqualizer
+
+    # the adaptive window contract is +-384 around the field (wider than
+    # the fused-eq window, which starts only eq_k=128 early) — build it
+    # directly from a device-encoded loopback capture
+    from atsc_tpu.models.encoder import Encoder, iq_to_complex
+    from atsc_tpu.models.receiver import _DEV_MARGIN, field_window
+
+    rng = np.random.default_rng(3)
+    ts = rng.integers(0, 256, size=(2, 1, P.FIELD_TS_BYTES), dtype=np.uint8)
+    ts[..., ::188] = 0x47
+    enc = Encoder(batch=1, donate=False)
+    iq = np.concatenate(
+        [iq_to_complex(np.asarray(enc.encode(ts[k]))) for k in range(2)],
+        axis=-1)
+    w1, o1 = field_window(iq, 0, margin=_DEV_MARGIN,
+                          length=P.SYMBOLS_PER_FIELD + 2 * _DEV_MARGIN)
+    w = jnp.tile(jnp.asarray(w1), (batch, 1, 1))
+    o = jnp.asarray(o1)
+    _barrier(w)
+    eq = AdaptiveEqualizer(batch=batch)
+    out = eq.process_field(w, o, 0)
+    _barrier(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = eq.process_field(w, o, 0)
+    _barrier(out)
+    dt = (time.perf_counter() - t0) / iters
+    fps = batch / dt
+    return {
+        "batch": batch,
+        "train_solve_apply_ms": round(dt * 1e3, 3),
+        "fields_per_s": round(fps, 1),
+        "realtime_channels": round(fps / FIELD_RATE, 1),
+    }
+
+
 def _tpu_alive(timeout_s: int = 240) -> bool:
     """Probe backend registration in a subprocess: a wedged device tunnel
     HANGS jax.devices() rather than failing (observed repeatedly), which
@@ -532,6 +574,10 @@ def main() -> None:
     if i8_rows:
         extras["rx_soft_i8"] = max(i8_rows, key=lambda r: r["fields_per_s"])
         extras["rx_soft_i8_sweep"] = i8_rows
+
+    adaptive = probe("rx_adaptive_b64", lambda: measure_rx_adaptive(64))
+    if adaptive is not None:
+        extras["rx_adaptive"] = adaptive
 
     soft_noisy = probe("rx_soft_noisy_b256",
                        lambda: measure_rx_soft_noisy(256))
