@@ -271,7 +271,7 @@ class AdaptiveEqualizer:
     def process_field(
         self, win_planar: np.ndarray, osc_planar: np.ndarray, parity: int,
         soft: bool = False,
-    ) -> np.ndarray:
+    ) -> jnp.ndarray:
         """Train on this field's sync symbols, then equalize it.
 
         win_planar: (B, 2, N + 2*margin) float32 planar IQ; osc_planar:

@@ -455,11 +455,37 @@ class ShardedReceiver:
 
         self._state = put_global(init_state, self.state_sharding)
 
+    @property
+    def eq_margin(self) -> int:
+        """Samples of left context the equalizer window needs before a
+        field's first sample (the window covers
+        [g0 - eq_margin, g0 - eq_margin + window))."""
+        return self._eq_margin
+
+    @property
+    def win_sharding(self):
+        """NamedSharding for the (T, B, 2, window) per-step windows —
+        build global inputs with parallel.distributed.put_global in a
+        multi-process runtime (see tools/distributed_decode.py)."""
+        return self._win_sharding
+
+    @property
+    def osc_sharding(self):
+        """NamedSharding for the (T, 2, window) oscillator spans."""
+        return self._osc_sharding
+
     def decode_iq(
         self, iq: np.ndarray, with_context: bool = False
     ) -> tuple[np.ndarray, np.ndarray]:
         """iq: (B, T*260416) complex baseband — the next T = t_total
-        consecutive fields of the stream, field-aligned. With
+        consecutive fields of the stream, field-aligned.
+
+        SINGLE-PROCESS convenience entry: it device_puts the full global
+        window and fetches the full output, which a multi-process
+        runtime cannot do (remote shards are unaddressable). Multi-host
+        drivers assemble windows per host and run the sharded step
+        directly — tools/distributed_decode.py is the production
+        pattern (put_global(win_sharding) in, addressable shards out). With
         with_context=True, iq instead carries 384 extra samples on each
         side ((B, T*260416 + 768)) so the equalizer sees real context at
         the step edges; otherwise edge context is zero-filled (the

@@ -74,10 +74,12 @@ def measure_tx(batch: int, out_format: str = "cf32",
     return batch / dt
 
 
-def _rx_inputs(batch: int, field_idx: int = 0, n_fields: int = 2):
+def _rx_inputs(batch: int, field_idx: int = 0, n_fields: int = 2,
+               margin: int | None = None, length: int | None = None):
     """Loopback equalizer inputs for the RX probes: an n-field capture is
     encoded at B=1 on the device, field `field_idx` windowed per the
-    production eq_window_bounds contract, and tiled to `batch` ON the
+    production eq_window_bounds contract (or an explicit margin/length —
+    the adaptive tier's +-384 window), and tiled to `batch` ON the
     device — ~2 MB of H2D total, so the axon tunnel's host-link
     bandwidth (PERF.md's H2D trap) never enters the timing."""
     from atsc_tpu.models.encoder import Encoder, iq_to_complex
@@ -93,9 +95,11 @@ def _rx_inputs(batch: int, field_idx: int = 0, n_fields: int = 2):
          for k in range(n_fields)],
         axis=-1,
     )
-    lo_off, wlen = eq_window_bounds()     # fused kernel window on TPU
+    if margin is None:
+        lo_off, length = eq_window_bounds()   # fused kernel window on TPU
+        margin = -lo_off
     win1, osc = field_window(iq, field_idx * P.SYMBOLS_PER_FIELD,
-                             margin=-lo_off, length=wlen)
+                             margin=margin, length=length)
     win = jnp.tile(jnp.asarray(win1), (batch, 1, 1))
     oscj = jnp.asarray(osc)
     _barrier(win)
@@ -389,24 +393,12 @@ def measure_rx_adaptive(batch: int = 64, iters: int = 5) -> dict:
     production receivers retrain less than every field)."""
     from atsc_tpu.ops.adaptive_eq import AdaptiveEqualizer
 
-    # the adaptive window contract is +-384 around the field (wider than
-    # the fused-eq window, which starts only eq_k=128 early) — build it
-    # directly from a device-encoded loopback capture
-    from atsc_tpu.models.encoder import Encoder, iq_to_complex
-    from atsc_tpu.models.receiver import _DEV_MARGIN, field_window
+    # the adaptive window contract is +-384 around the field (wider
+    # than the fused-eq window, which starts only eq_k=128 early)
+    from atsc_tpu.models.receiver import _DEV_MARGIN
 
-    rng = np.random.default_rng(3)
-    ts = rng.integers(0, 256, size=(2, 1, P.FIELD_TS_BYTES), dtype=np.uint8)
-    ts[..., ::188] = 0x47
-    enc = Encoder(batch=1, donate=False)
-    iq = np.concatenate(
-        [iq_to_complex(np.asarray(enc.encode(ts[k]))) for k in range(2)],
-        axis=-1)
-    w1, o1 = field_window(iq, 0, margin=_DEV_MARGIN,
-                          length=P.SYMBOLS_PER_FIELD + 2 * _DEV_MARGIN)
-    w = jnp.tile(jnp.asarray(w1), (batch, 1, 1))
-    o = jnp.asarray(o1)
-    _barrier(w)
+    w, o = _rx_inputs(batch, margin=_DEV_MARGIN,
+                      length=P.SYMBOLS_PER_FIELD + 2 * _DEV_MARGIN)
     eq = AdaptiveEqualizer(batch=batch)
     out = eq.process_field(w, o, 0)
     _barrier(out)

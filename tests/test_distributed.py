@@ -174,7 +174,9 @@ def test_two_process_cli_decode(tmp_path):
     s.close()
 
     rng = np.random.default_rng(23)
-    t, b = 4, 4
+    t, b = 5, 4          # NOT a multiple of --fields-per-step: the
+    #                      driver must pad the final partial step and
+    #                      still emit t-1 TS fields
     ts = rng.integers(0, 256, size=(t, b, P.FIELD_TS_BYTES), dtype=np.uint8)
     ts.reshape(t, b, P.DATA_SEGMENTS, P.MPEG2_BYTES)[..., 0] = 0x47
     enc = Encoder(batch=b, donate=False)

@@ -109,29 +109,33 @@ def main(argv: list[str] | None = None) -> None:
              for c in range(sl.start, sl.stop)}
     derand = jax.jit(derandomize_field)
     next_field = args.first_field
-    emitted = 0          # TS fields written per channel so far
-    fields_done = 0      # input fields consumed
+    emitted = 0          # decoder output fields produced so far
+    fields_done = 0      # real input fields consumed
 
-    def run_step(iq_local: np.ndarray, keep: int) -> int:
-        """One sharded step over `iq_local` (bl, t*N) complex64; write up
-        to `keep` of the emitted TS fields (dropping the cold-start
-        virtual field). Returns fields written."""
+    def run_step(iq_ext: np.ndarray, valid: int) -> None:
+        """One sharded step over iq_ext (bl, l_ctx + t*N + r_ctx)
+        complex64 — t fields plus REAL stream context on both edges (the
+        receiver's FIR support; zero-filled only at the true capture
+        ends, matching the sequential CLI). Writes the TS of the first
+        `valid` emitted fields (minus the cold-start virtual field)."""
         nonlocal next_field, emitted
         wins = np.zeros((t, args.channels, 2, rx.window), np.float32)
         oscs = np.empty((t, 2, rx.window), np.float32)
         for f in range(t):
-            w, o = field_window(iq_local, f * n, first_field=next_field,
-                                margin=rx._eq_margin, length=rx.window)
+            w, o = field_window(iq_ext, f * n, first_field=next_field,
+                                stream_offset=-l_ctx,
+                                margin=rx.eq_margin, length=rx.window)
             wins[f, sl] = w
             oscs[f] = o
         parity = jnp.int32(next_field % 2)
         next_field += t
-        wj = put_global(wins, rx._win_sharding)
-        oj = put_global(oscs, rx._osc_sharding)
+        wj = put_global(wins, rx.win_sharding)
+        oj = put_global(oscs, rx.osc_sharding)
         rx._state, cw_g, syn_g = rx._step(rx._state, wj, oj, parity)
-        # which of this step's t emitted fields to write: skip the
-        # cold-start virtual field (global emitted index 0), cap at keep
-        ks = [k for k in range(t) if emitted + k != 0][:keep]
+        # emitted field k (of this step) = TS field (emitted + k - 1),
+        # which needs received fields through emitted + k: valid for
+        # k < `valid`; skip the cold-start virtual field (index 0)
+        ks = [k for k in range(valid) if emitted + k != 0]
         # correct + derandomize this host's own shards only
         for cw_s, syn_s in zip(cw_g.addressable_shards,
                                syn_g.addressable_shards):
@@ -148,22 +152,51 @@ def main(argv: list[str] | None = None) -> None:
                 for j in range(ts.shape[1]):
                     sinks[ch0 + j].write(ts[k, j].tobytes())
         emitted += t
-        return len(ks)
 
+    # rolling sample buffer: l_ctx of left context carries across steps
+    # and r_ctx of lookahead is read ahead, so every window sees REAL
+    # stream context at step seams (zero-fill only at the capture ends)
+    l_ctx = rx.eq_margin
+    r_ctx = rx.window - n - l_ctx
+    left = np.zeros((bl, l_ctx), np.complex64)
+    pend = np.zeros((bl, 0), np.complex64)
+    eof = False
     while True:
-        bufs = [r.read(t * n * 8) for r in readers]
-        whole = min(len(b) // (n * 8) for b in bufs)
-        if whole < t:
+        while not eof and pend.shape[1] < t * n + r_ctx:
+            bufs = [rd.read(t * n * 8) for rd in readers]
+            got = min(len(b) // 8 for b in bufs)
+            if got:
+                new = np.empty((bl, got), np.complex64)
+                for j, b_ in enumerate(bufs):
+                    pairs = np.frombuffer(
+                        b_[: got * 8], np.float32).reshape(got, 2)
+                    new[j] = pairs[:, 0] + 1j * pairs[:, 1]
+                pend = np.concatenate([pend, new], axis=1)
+            if min(len(b) for b in bufs) < t * n * 8:
+                eof = True
+        local_whole = min(t, pend.shape[1] // n)
+        if args.num_processes > 1:
+            # every process must run the SAME number of sharded steps
+            # (the decode body contains collectives): agree on the step
+            # size so a short capture on one host cannot wedge the rest
+            from jax.experimental import multihost_utils
+
+            whole = int(multihost_utils.process_allgather(
+                np.asarray(local_whole)).min())
+        else:
+            whole = local_whole
+        if whole == 0:
             break
-        iq_local = np.empty((bl, t * n), np.complex64)
-        for j, b_ in enumerate(bufs):
-            pairs = np.frombuffer(b_, np.float32).reshape(t * n, 2)
-            iq_local[j] = pairs[:, 0] + 1j * pairs[:, 1]
-        run_step(iq_local, keep=t)
-        fields_done += t
-    # no flush: TS field m's bytes ride transmitted fields m and m+1
-    # (the convolutional interleaver's two-field span), so T received
-    # fields yield T-1 TS fields — same contract as the sequential CLI
+        ext = np.zeros((bl, l_ctx + t * n + r_ctx), np.complex64)
+        ext[:, :l_ctx] = left
+        take = min(pend.shape[1], t * n + r_ctx)
+        ext[:, l_ctx : l_ctx + take] = pend[:, :take]
+        run_step(ext, valid=whole)
+        fields_done += whole
+        if whole < t:
+            break        # final partial step (tail state saw zero pads)
+        left = ext[:, whole * n : whole * n + l_ctx]
+        pend = pend[:, whole * n :]
     for f in readers:
         f.close()
     for f in sinks.values():
