@@ -289,7 +289,8 @@ def _use_pallas_viterbi(levels: jnp.ndarray) -> bool:
     output. Batches that do not tile into 128 lanes are zero-padded to
     the next multiple of 32 channels inside the kernel wrapper (a padded
     B=1 CLI decode still beats the XLA scan ~4x).
-    Override with ATSC_TPU_FUSED_VITERBI=0/1."""
+    Override with ATSC_TPU_FUSED_VITERBI=0/1 (forcing 1 on a non-TPU
+    backend fails loudly at lowering — the kernels are Mosaic-only)."""
     import os
 
     t = levels.shape[-1]
