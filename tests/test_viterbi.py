@@ -358,3 +358,34 @@ def test_chunked_viterbi_i8_matches_full():
                                       np.asarray(by["f32f"]))
         np.testing.assert_array_equal(np.asarray(by["i8c"]),
                                       np.asarray(by["f32c"]))
+
+
+def test_pallas_viterbi_pads_odd_batches():
+    """Batches not divisible by 32 are zero-padded into the kernel and
+    sliced back — output identical to the XLA path at B=5 (the class of
+    shapes a B=1 CLI decode hits)."""
+    import jax.numpy as jnp
+
+    from atsc_tpu.ops.pallas.viterbi_acs import viterbi_field_pallas
+    from atsc_tpu.ops.viterbi import init_metrics, viterbi_bits
+
+    b, ne, t = 5, P.TRELLIS_ENCODERS, 48
+    rng = np.random.default_rng(17)
+    ideal = rng.integers(0, 8, size=(b, ne, t)) * 2 - 7 + P.PILOT_OFFSET
+    levels = jnp.asarray(
+        (ideal + rng.normal(0, 1.0, ideal.shape)).astype(np.float32)
+    )
+    metrics = init_metrics(b)
+    z2_prev = jnp.asarray(rng.integers(0, 2, (b, ne)), jnp.int32)
+    by_p, z2_p, m_p = viterbi_field_pallas(
+        levels, z2_prev, metrics, interpret=True
+    )
+    assert by_p.shape == (b, ne, t // 4)
+    x1, z2, m_x = viterbi_bits(levels, metrics)
+    z2s = jnp.concatenate([z2_prev[..., None], z2[..., :-1]], axis=-1)
+    x2 = np.asarray(z2 ^ z2s).reshape(b, ne, t // 4, 4)
+    x1p = np.asarray(x1).reshape(b, ne, t // 4, 4)
+    bytes_x = (x2 * np.array([128, 32, 8, 2])
+               + x1p * np.array([64, 16, 4, 1])).sum(-1).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(by_p), bytes_x)
+    np.testing.assert_array_equal(np.asarray(m_p), np.asarray(m_x))
