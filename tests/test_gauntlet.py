@@ -164,6 +164,53 @@ def test_cli_analyze_on_gauntlet_capture(tmp_path):
         assert f in out["decode_flags"], out
 
 
+def test_cli_analyze_soft_advice_enables_decode(tmp_path):
+    """Advice-to-outcome contract for the soft tier: on an AWGN capture
+    near the hard-slicing threshold, analyze must advise `--trellis
+    viterbi` (measured MER below the ~20 dB advice gate) and neither
+    burst nor NTSC advice, the unadvised (hard) decode must leave
+    uncorrectable segments, and decoding with exactly the advised flag
+    set must recover the exact TS — the ~3.5 dB Viterbi coding gain is
+    what closes the gap."""
+    from atsc_tpu.cli import (
+        build_analyze_argparser,
+        build_decode_argparser,
+        run_analyze,
+        run_decode,
+    )
+
+    rng = np.random.default_rng(157)
+    ts = _random_ts(rng, 4, 1)
+    iq = _encode_iq(ts)[0]
+    p_sig = float(np.mean(np.abs(iq) ** 2))
+    sigma = np.sqrt(p_sig / 10 ** (13.0 / 10.0) / 2.0)  # 13 dB SNR
+    y = iq + (rng.normal(size=iq.size)
+              + 1j * rng.normal(size=iq.size)) * sigma
+    cap = tmp_path / "cap.iq"
+    np.stack([y.real, y.imag], axis=-1).astype(np.float32).tofile(cap)
+
+    rep = run_analyze(build_analyze_argparser().parse_args([str(cap)]))
+    assert rep["mer_db"] < 20.0, rep
+    assert "--trellis viterbi" in rep["decode_flags"], rep
+    assert "--erasures burst" not in rep["decode_flags"], rep
+    assert "--ntsc auto" not in rep["decode_flags"], rep
+
+    out_plain = tmp_path / "plain.ts"
+    s_plain = run_decode(build_decode_argparser().parse_args(
+        [str(cap), "-o", str(out_plain), "--stats"]
+    ))
+    assert s_plain["segments_uncorrectable"] > 0, s_plain
+
+    out_adv = tmp_path / "adv.ts"
+    argv = ([str(cap), "-o", str(out_adv), "--stats"]
+            + rep["decode_flags"].split())
+    s_adv = run_decode(build_decode_argparser().parse_args(argv))
+    assert s_adv["segments_uncorrectable"] == 0, s_adv
+    got = np.fromfile(out_adv, dtype=np.uint8)
+    want = ts[: s_adv["fields_decoded"], 0].reshape(-1)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_cli_analyze_ntsc_advice_enables_decode(tmp_path):
     """Advice-to-outcome contract for the NTSC tier: a co-channel tone
     at 0.5x signal RMS must make analyze advise `--ntsc auto` (and drop
