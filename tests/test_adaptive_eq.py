@@ -282,3 +282,41 @@ def test_decision_directed_extends_sensitivity():
     assert dd.decoder.segments_uncorrectable == 0
     for k, (out, nerr) in enumerate(got):
         np.testing.assert_array_equal(out, ts[k])
+
+
+def test_slice_built_windows_match_gather():
+    """The slice/reshape-built design-matrix windows (_training_windows,
+    _strided_windows — the gather-free TPU path) are bit-identical to
+    the jnp.take formulation they replaced, on both the sync training
+    set and the decision-directed stride-8 set."""
+    import jax.numpy as jnp
+
+    from atsc_tpu.ops.adaptive_eq import (
+        EQ_HALF,
+        EQ_TAPS,
+        WINDOW_MARGIN,
+        _strided_windows,
+        _training_set,
+        _training_window_plan,
+        _training_windows,
+    )
+
+    assert _training_window_plan() is not None  # the structure holds
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(
+        rng.normal(size=(2, N + 2 * WINDOW_MARGIN)).astype(np.float32))
+
+    pos, _ = _training_set()
+    idx = (np.asarray(pos)[:, None] + (WINDOW_MARGIN - EQ_HALF)
+           + np.arange(EQ_TAPS))
+    ref = jnp.take(u, jnp.asarray(idx), axis=-1)
+    np.testing.assert_array_equal(
+        np.asarray(_training_windows(u, WINDOW_MARGIN)), np.asarray(ref))
+
+    stride = 8
+    dd_pos = np.arange(EQ_HALF, N - EQ_HALF, stride)
+    idx2 = (dd_pos[:, None] + (WINDOW_MARGIN - EQ_HALF)
+            + np.arange(EQ_TAPS))
+    ref2 = jnp.take(u, jnp.asarray(idx2), axis=-1)
+    got2 = _strided_windows(u, WINDOW_MARGIN, len(dd_pos), stride, EQ_TAPS)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
