@@ -137,13 +137,11 @@ def _training_windows(u: jnp.ndarray, margin: int) -> jnp.ndarray:
     ncols = rl - 1 + EQ_TAPS
     assert ncols <= stride, (ncols, stride)
     base = s1 + margin - EQ_HALF
-    span = (nr - 1) * stride + ncols
     v = jax.lax.slice_in_dim(u, base, min(base + nr * stride,
                                           u.shape[-1]), axis=-1)
     pad = nr * stride - v.shape[-1]
     if pad > 0:
         v = jnp.pad(v, ((0, 0),) * (v.ndim - 1) + ((0, pad),))
-    del span
     v = v.reshape(*u.shape[:-1], nr, stride)[..., :ncols]
     seg = jnp.stack([v[..., j : j + EQ_TAPS] for j in range(rl)], axis=-2)
     seg = seg.reshape(*u.shape[:-1], nr * rl, EQ_TAPS)
