@@ -80,7 +80,13 @@ def _strided_windows(u: jnp.ndarray, start: int, n: int, step: int,
     window rows are consecutive folded rows, then stack the
     ceil(t/step) shifted row-slices and trim to t columns. Copies run
     at full HBM bandwidth.
+
+    Every requested window must lie inside u: an out-of-range window
+    would be ZERO-padded here, where the jnp.take formulation this
+    replaced clamps indices — the assert keeps the difference moot.
     """
+    assert 0 <= start and start + (n - 1) * step + t <= u.shape[-1], (
+        start, n, step, t, u.shape)
     n_a = (t - 1) // step + 1
     rows = n + n_a - 1
     v = jax.lax.slice_in_dim(u, start, min(start + rows * step,
@@ -98,8 +104,9 @@ def _training_window_plan() -> tuple[int, int, int, int, int, int] | None:
     """Slice plan for the training positions, or None if the sync
     template ever stops matching the expected shape (one contiguous
     field-sync run + equal-length segment-sync runs on a uniform
-    stride): (run0_start, run0_len, seg_start, seg_stride, seg_len,
-    n_seg_runs). Verified against _training_set() exactly."""
+    stride, with the tap span fitting inside one stride): (run0_start,
+    run0_len, seg_start, seg_stride, seg_len, n_seg_runs). Verified
+    against _training_set() exactly."""
     pos, _ = _training_set()
     runs = np.split(pos, np.nonzero(np.diff(pos) > 1)[0] + 1)
     r0, rest = runs[0], runs[1:]
@@ -113,6 +120,11 @@ def _training_window_plan() -> tuple[int, int, int, int, int, int] | None:
         return None
     plan = (int(r0[0]), len(r0), int(starts[0]),
             int(stride[0]) if stride.size else 0, len(rest[0]), len(rest))
+    # the fold in _training_windows needs each run's window span to fit
+    # inside one stride (rl - 1 + T <= stride); an oversized tap span
+    # takes the gather fallback rather than an invalid fold
+    if plan[4] - 1 + EQ_TAPS > plan[3]:
+        return None
     # paranoia: reconstruct and compare
     a0, n0, s1, st, rl, nr = plan
     rebuilt = np.concatenate(

@@ -13,6 +13,7 @@ is transposed back once (6.7 MB, cheap).
 Run on the attached chip:  python tools/rs_layout_probe.py [B]
 """
 
+import os
 import sys
 import time
 
@@ -20,13 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, __import__("os").path.dirname(
-    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from atsc_tpu import params as P
 from atsc_tpu.ops.rs_decode import (
     _NROOTS, _N, _alpha_j, _bit_matmul, _eval_bit_matrix, _gf_inv_dev,
-    _gf_mul_dev, _xor_reduce, rs_correct_field, syndrome_field,
+    _gf_mul_dev, rs_correct_field, syndrome_field,
 )
 from atsc_tpu.ops.rs_encode import rs_encode_field
 
