@@ -16,7 +16,7 @@ all: native
 native: atsc_tpu/runtime/libtsio.so
 
 atsc_tpu/runtime/libtsio.so: atsc_tpu/runtime/tsio.cpp
-	g++ -O2 -std=c++17 -shared -fPIC -pthread $< -o $@
+	g++ -O2 -std=c++17 -ffp-contract=off -shared -fPIC -pthread $< -o $@
 
 # Sanitized builds of the threaded native IO runtime (threaded SPSC rings,
 # UDP/RTP parsing — exactly the code class sanitizers exist for; the
@@ -27,11 +27,11 @@ atsc_tpu/runtime/libtsio.so: atsc_tpu/runtime/tsio.cpp
 # itself aborts with the ASan interceptors preloaded; the instrumented
 # library is what's under test, loaded via its explicit path.
 atsc_tpu/runtime/libtsio_asan.so: atsc_tpu/runtime/tsio.cpp
-	g++ -O1 -g -std=c++17 -shared -fPIC -pthread \
+	g++ -O1 -g -std=c++17 -ffp-contract=off -shared -fPIC -pthread \
 	    -fsanitize=address,undefined -fno-omit-frame-pointer $< -o $@
 
 atsc_tpu/runtime/libtsio_tsan.so: atsc_tpu/runtime/tsio.cpp
-	g++ -O1 -g -std=c++17 -shared -fPIC -pthread \
+	g++ -O1 -g -std=c++17 -ffp-contract=off -shared -fPIC -pthread \
 	    -fsanitize=thread -fno-omit-frame-pointer $< -o $@
 
 sanitize: sanitize-asan sanitize-tsan

@@ -74,12 +74,32 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.iq_sink_bytes.restype = ctypes.c_uint64
         lib.iq_sink_bytes.argtypes = [ctypes.c_void_p]
         lib.iq_sink_close.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "phasor_replay"):    # absent in stale .so builds
+            lib.phasor_replay.restype = None
+            lib.phasor_replay.argtypes = [
+                ctypes.c_float, ctypes.c_float, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_float)]
         _lib = lib
         return _lib
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def phasor_replay_native(scale: complex, k: int) -> complex | None:
+    """Replay k float32 phasor-recurrence steps in the native runtime
+    (~4 ms at k = 1e6 vs ~1 s for the Python scalar loop) — or None when
+    the library is unavailable or predates the symbol. The caller
+    (tables/oscillator.py) verifies bit-identity against the numpy
+    replay once per process before trusting it."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "phasor_replay"):
+        return None
+    out = (ctypes.c_float * 2)()
+    lib.phasor_replay(ctypes.c_float(scale.real), ctypes.c_float(scale.imag),
+                      ctypes.c_uint64(k), out)
+    return complex(np.complex64(out[0] + 1j * out[1]))
 
 
 def _rtp_strip(dgram: bytes) -> bytes:

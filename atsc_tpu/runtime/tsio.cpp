@@ -389,6 +389,25 @@ uint64_t iq_sink_bytes(void* h) {
     return static_cast<IqSink*>(h)->bytes_out.load();
 }
 
+// Replay k steps of the float32 phasor recurrence z <- z * s from z = 1
+// (the per-field oscillator advance, tables/oscillator.py — the quirky
+// float32 rounding is the numeric contract, so there is no closed form;
+// this is the O(ms)-at-k=1e6 path where a Python scalar loop costs
+// seconds). Must be compiled WITHOUT fp contraction (-ffp-contract=off:
+// an FMA would round differently from numpy's complex64 multiply); the
+// Python loader cross-checks native == numpy at import-use time.
+void phasor_replay(float sr, float si, uint64_t k, float* out) {
+    float zr = 1.0f, zi = 0.0f;
+    for (uint64_t i = 0; i < k; i++) {
+        float nr = zr * sr - zi * si;
+        float ni = zr * si + zi * sr;
+        zr = nr;
+        zi = ni;
+    }
+    out[0] = zr;
+    out[1] = zi;
+}
+
 void iq_sink_close(void* h) {
     auto* s = static_cast<IqSink*>(h);
     s->stop.store(true);

@@ -179,3 +179,50 @@ def test_rrc_taps_shipped_contract():
     np.testing.assert_array_equal(mine[: P.RRC_NTAPS],
                                   mine[P.RRC_NTAPS - 1 :: -1])
     assert abs(float(mine.sum()) - P.RRC_GAIN) < 1e-7
+
+
+def test_phasor_native_replay_bit_identical():
+    """The native-runtime phasor replay (runtime/tsio.cpp phasor_replay,
+    the O(ms)-resume-at-field-1e6 path) must reproduce the numpy float32
+    recurrence bit-for-bit — at small k, across stride jumps, and at a
+    deep index. Per-step rounding divergence compounds within a handful
+    of steps, so the ladder catches any contraction/vectorization
+    difference with certainty. Skips cleanly if no native toolchain."""
+    from atsc_tpu.runtime.io import phasor_replay_native
+    from atsc_tpu.tables.oscillator import (
+        _phasor_replay_np,
+        field_scale,
+        phasor_for_field,
+    )
+
+    s = field_scale()
+    if phasor_replay_native(s, 1) is None:
+        import pytest
+
+        pytest.skip("native tsio runtime unavailable")
+    for k in (0, 1, 2, 3, 17, 255, 256, 257, 1000, 4096, 20000):
+        assert phasor_replay_native(s, k) == _phasor_replay_np(k), k
+        assert phasor_for_field(k) == _phasor_replay_np(k), k
+
+
+def test_phasor_amplitude_drift_clip_free():
+    """Long-run phasor soak (the carried per-field oscillator state):
+    |scale| is 1 - 1.52e-8 in float32, so the phasor amplitude SHRINKS
+    monotonically (~0.13%/hour) and can never exceed the quantizer's
+    +1e-4 clip-free slack (ops/quantize.iq_peak) at ANY field index —
+    the reference's own recurrence (offset.h:97-101 multiplies its table
+    by the same scale each field) drifts identically. Verifies the
+    clip-free bound and the linear-shrink model out to 2^20 fields
+    (~7 hours of stream)."""
+    import numpy as np
+
+    from atsc_tpu.tables.oscillator import field_scale, phasor_for_field
+
+    rate = abs(complex(np.complex64(field_scale()))) - 1.0
+    assert rate < 0, "scale must shrink for the clip-free argument"
+    for k in (1_000, 10_000, 65_536, 262_144, 1_048_576):
+        amp = abs(phasor_for_field(k))
+        assert amp <= 1.0 + 1e-4, (k, amp)          # never clips
+        model = (1.0 + rate) ** k
+        assert abs(amp - model) < 5e-4 + 0.1 * (1 - model), (
+            k, amp, model)                          # linear-shrink model
