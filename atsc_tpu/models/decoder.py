@@ -35,7 +35,7 @@ from atsc_tpu.ops.decode import (
     trellis_decode_field,
 )
 from atsc_tpu.ops.rs_decode import (
-    correct_segment_np,
+    rs_correct_field_erasures_jit,
     rs_correct_field_jit,
     syndrome_field,
 )
@@ -162,7 +162,7 @@ class Decoder:
         self._state, codewords, syn = self._step(
             self._state, jnp.asarray(field)
         )
-        cw_flags = None
+        cw_flags = None   # stays a DEVICE array: the erasure corrector
         if erasure_flags is not None or self._flag_il is not None:
             if self._flag_il is None:
                 self._flag_il = jnp.zeros(
@@ -173,37 +173,31 @@ class Decoder:
                 if erasure_flags is None
                 else jnp.asarray(erasure_flags)
             )
-            cwf, self._flag_il = self._flag_step(flags_in, self._flag_il)
-            cw_flags = np.asarray(cwf)
+            cw_flags, self._flag_il = self._flag_step(flags_in, self._flag_il)
         n_errors = np.zeros((self.batch, P.DATA_SEGMENTS), dtype=np.int32)
         dirty = np.asarray(jnp.any(syn != 0, axis=-1))  # (B, 312) bool
         if dirty.any():
-            # errors-only correction for ALL segments in one device
-            # dispatch (rs_correct_field: batched inversionless BM +
-            # bit-matmul Chien/Forney) — a threshold-SNR field with most
-            # segments dirty costs the same as one dirty segment
-            orig = codewords
-            codewords, n_dev = rs_correct_field_jit(codewords, syn)
-            n_errors = np.array(n_dev)  # writable: erasure loop edits it
-            # erasure-flagged segments keep the erasures-first host tier
-            # (Sugiyama: 2*errors + erasures <= 20 beats errors <= 10 on
-            # bursts); these are rare, localized events
-            flagged = None
+            # full-field correction in ONE device dispatch — a
+            # threshold-SNR field with most segments dirty costs the
+            # same as one dirty segment. With erasure flags the
+            # errors-and-erasures corrector runs (2*errors + erasures
+            # <= 20 per segment, per-segment errors-only fallback for
+            # wrong flags — rs_correct_field_erasures); otherwise the
+            # errors-only tier (batched inversionless BM + bit-matmul
+            # Chien/Forney).
             if cw_flags is not None:
-                flagged = dirty & cw_flags.any(axis=-1)
-            if flagged is not None and flagged.any():
-                cw = np.array(codewords)
-                orig_np = np.asarray(orig)
-                for b, seg in zip(*np.nonzero(flagged)):
-                    era = tuple(np.nonzero(cw_flags[b, seg])[0].tolist())
-                    cw[b, seg], n = correct_segment_np(
-                        orig_np[b, seg], erasures=era
-                    )
-                    n_errors[b, seg] = n
-                codewords = jnp.asarray(cw)
+                codewords, n_dev = rs_correct_field_erasures_jit(
+                    codewords, syn, cw_flags
+                )
+            else:
+                codewords, n_dev = rs_correct_field_jit(codewords, syn)
+            n_errors = np.asarray(n_dev)
             self.segments_corrected += int((n_errors > 0).sum())
             self.segments_uncorrectable += int((n_errors < 0).sum())
-            if flagged is not None:
+            if cw_flags is not None:
+                flagged = dirty & np.asarray(
+                    jnp.any(cw_flags != 0, axis=-1)
+                )
                 self.segments_erasure_assisted += int(
                     ((n_errors > 0) & flagged).sum()
                 )

@@ -770,7 +770,8 @@ class IqReceiver:
                  wire_format: str = "cf32", eq_profile: str = "auto",
                  ntsc: str | None = None, viterbi_chunks: int = 1,
                  measure_mer: bool = False, resync: str | None = None,
-                 resync_after: int = 2, resync_threshold: float = 0.5):
+                 resync_after: int = 2, resync_threshold: float = 0.5,
+                 train_every: int = 1):
         if backend not in ("device", "numpy", "adaptive", "adaptive-dd"):
             raise ValueError(f"unknown equalizer backend {backend!r}")
         if eq_profile != "auto" and eq_profile not in EQ_PROFILES:
@@ -830,6 +831,11 @@ class IqReceiver:
         if backend != "numpy" and self.margin != _DEV_MARGIN:
             raise ValueError("device/adaptive backends use a fixed window; "
                              "leave margin unset or use backend='numpy'")
+        if train_every != 1 and not backend.startswith("adaptive"):
+            raise ValueError("train_every is the adaptive equalizer's "
+                             "retrain cadence — zf/numpy backends do "
+                             "not train")
+        self.train_every = train_every
         self._adaptive = None
         if backend.startswith("adaptive"):
             from atsc_tpu.ops.adaptive_eq import AdaptiveEqualizer
@@ -839,6 +845,7 @@ class IqReceiver:
                 batch=batch, forgetting=forgetting, ridge=ridge,
                 apply_precision=EQ_PROFILES[resolved][1],
                 decision_directed=backend == "adaptive-dd",
+                train_every=train_every,
             )
         self.ntsc = ntsc
         self.viterbi_chunks = viterbi_chunks

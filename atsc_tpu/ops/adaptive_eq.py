@@ -221,17 +221,31 @@ def _banded_fir_batched(
     return out.reshape(x.shape[0], nblk_out * _BLK)[:, :n_out]
 
 
-@functools.partial(jax.jit, static_argnames=("margin", "soft", "apply_precision"))
-def solve_and_equalize(
-    r_mat: jnp.ndarray, v: jnp.ndarray, win: jnp.ndarray, osc: jnp.ndarray,
-    ridge: jnp.ndarray, *, margin: int = WINDOW_MARGIN, soft: bool = False,
-    apply_precision: str = "highest",
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Solve the accumulated normal equations and equalize one field.
+def _apply_taps(
+    w: jnp.ndarray, win: jnp.ndarray, osc: jnp.ndarray, margin: int,
+    soft: bool, apply_precision: str,
+) -> jnp.ndarray:
+    """Equalize one field with an already-solved tap vector (traced
+    helper shared by solve_and_equalize and equalize_with_taps)."""
+    p, q, bias = w[:, :EQ_TAPS], w[:, EQ_TAPS : 2 * EQ_TAPS], w[:, 2 * EQ_TAPS :]
+    ur, ui = _derotate(win, osc)
+    start = margin - EQ_HALF
+    ur = jax.lax.slice_in_dim(ur, start, ur.shape[-1], axis=-1)
+    ui = jax.lax.slice_in_dim(ui, start, ui.shape[-1], axis=-1)
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[apply_precision]
+    lev = (_banded_fir_batched(ur, p, _N, precision=prec)
+           + _banded_fir_batched(ui, q, _N, precision=prec) + bias)
+    if soft:
+        return lev.astype(jnp.float32)
+    from atsc_tpu.ops.slicer import slice_symbols
 
-    Returns (symbols (B, 260416) int8 — or the un-sliced float32 soft
-    levels when soft=True, for the Viterbi path — and taps (B, D), the
-    solved [p, q, bias] vector, for introspection/tests).
+    return slice_symbols(lev)
+
+
+def _solve_taps(r_mat: jnp.ndarray, v: jnp.ndarray,
+                ridge: jnp.ndarray) -> jnp.ndarray:
+    """Ridge-regularized normal-equation solve -> (B, D) tap vector.
 
     The feature Gram matrix is rank-deficient by construction (515
     unknowns, but every feature window is a linear image of only ~369
@@ -249,21 +263,38 @@ def solve_and_equalize(
     eye = jnp.eye(EQ_DIM, dtype=r_mat.dtype)
     scale = jnp.trace(r_mat, axis1=-2, axis2=-1)[:, None, None] / EQ_DIM
     chol = jax.scipy.linalg.cholesky(r_mat + ridge * scale * eye, lower=True)
-    w = jax.scipy.linalg.cho_solve((chol, True), v[..., None])[..., 0]
-    p, q, bias = w[:, :EQ_TAPS], w[:, EQ_TAPS : 2 * EQ_TAPS], w[:, 2 * EQ_TAPS :]
-    ur, ui = _derotate(win, osc)
-    start = margin - EQ_HALF
-    ur = jax.lax.slice_in_dim(ur, start, ur.shape[-1], axis=-1)
-    ui = jax.lax.slice_in_dim(ui, start, ui.shape[-1], axis=-1)
-    prec = {"highest": jax.lax.Precision.HIGHEST,
-            "default": jax.lax.Precision.DEFAULT}[apply_precision]
-    lev = (_banded_fir_batched(ur, p, _N, precision=prec)
-           + _banded_fir_batched(ui, q, _N, precision=prec) + bias)
-    if soft:
-        return lev.astype(jnp.float32), w
-    from atsc_tpu.ops.slicer import slice_symbols
+    return jax.scipy.linalg.cho_solve((chol, True), v[..., None])[..., 0]
 
-    return slice_symbols(lev), w
+
+@functools.partial(jax.jit, static_argnames=("margin", "soft", "apply_precision"))
+def solve_and_equalize(
+    r_mat: jnp.ndarray, v: jnp.ndarray, win: jnp.ndarray, osc: jnp.ndarray,
+    ridge: jnp.ndarray, *, margin: int = WINDOW_MARGIN, soft: bool = False,
+    apply_precision: str = "highest",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve the accumulated normal equations and equalize one field.
+
+    Returns (symbols (B, 260416) int8 — or the un-sliced float32 soft
+    levels when soft=True, for the Viterbi path — and taps (B, D), the
+    solved [p, q, bias] vector, for introspection/tests/reuse by the
+    retrain-cadence tier). Solve numerics: see _solve_taps.
+    """
+    w = _solve_taps(r_mat, v, ridge)
+    return _apply_taps(w, win, osc, margin, soft, apply_precision), w
+
+
+@functools.partial(jax.jit, static_argnames=("margin", "soft", "apply_precision"))
+def equalize_with_taps(
+    w: jnp.ndarray, win: jnp.ndarray, osc: jnp.ndarray, *,
+    margin: int = WINDOW_MARGIN, soft: bool = False,
+    apply_precision: str = "highest",
+) -> jnp.ndarray:
+    """Apply-only equalization with a cached tap vector — the
+    retrain-cadence tier's fast path: no Gram accumulation, no
+    Cholesky, just the two banded FIRs + bias (production receivers
+    retrain far less than every field; the channel drifts on thermal
+    timescales while the solve costs ~60% of the per-field budget)."""
+    return _apply_taps(w, win, osc, margin, soft, apply_precision)
 
 
 @functools.partial(jax.jit, static_argnames=("margin", "stride", "soft",
@@ -336,20 +367,40 @@ class AdaptiveEqualizer:
     that dominates near the decode threshold, at the cost of one extra
     gram + apply pass per field. Per-field only: the carried RLS state
     stays sync-trained, so decision errors never feed back.
+    train_every: retrain cadence — train + solve on every k-th field
+    and run the cached taps through the apply-only path
+    (equalize_with_taps) on the fields between. 1 (default) trains
+    every field; production receivers retrain far less often (the
+    channel drifts on thermal/mechanical timescales, minutes not the
+    24 ms field period), and the train+solve is ~60%% of the per-field
+    device budget. A mistrained cadence shows up as RS corrections, so
+    the cost of too-long a cadence is visible, not silent.
     """
 
     def __init__(self, batch: int = 1, forgetting: float = 1.0,
                  ridge: float = 1e-4, apply_precision: str = "highest",
-                 decision_directed: bool = False, dd_stride: int = 8):
+                 decision_directed: bool = False, dd_stride: int = 8,
+                 train_every: int = 1):
+        if train_every < 1:
+            raise ValueError(f"train_every must be >= 1, got {train_every}")
         self.batch = batch
         self._lam = jnp.float32(forgetting)
         self._ridge = jnp.float32(ridge)
         self._apply_precision = apply_precision
         self.decision_directed = decision_directed
         self.dd_stride = dd_stride
+        self.train_every = train_every
         self._r = jnp.zeros((batch, EQ_DIM, EQ_DIM), jnp.float32)
         self._v = jnp.zeros((batch, EQ_DIM), jnp.float32)
-        self.taps: np.ndarray | None = None   # last solved (B, D)
+        self._w_dev: jnp.ndarray | None = None   # last solved (B, D)
+        self._fields_seen = 0
+
+    @property
+    def taps(self) -> np.ndarray | None:
+        """Last solved (B, D) tap vector (fetched on access — keeping
+        this lazy removed a per-field device sync from the composed
+        receive loop; see PERF.md round 5)."""
+        return None if self._w_dev is None else np.asarray(self._w_dev)
 
     def reset(self) -> None:
         """Forget all accumulated training — e.g. after a stream resync:
@@ -358,13 +409,15 @@ class AdaptiveEqualizer:
         it from scratch)."""
         self._r = jnp.zeros_like(self._r)
         self._v = jnp.zeros_like(self._v)
-        self.taps = None
+        self._w_dev = None
+        self._fields_seen = 0
 
     def process_field(
         self, win_planar: np.ndarray, osc_planar: np.ndarray, parity: int,
         soft: bool = False,
     ) -> jnp.ndarray:
-        """Train on this field's sync symbols, then equalize it.
+        """Train on this field's sync symbols (subject to the
+        train_every cadence), then equalize it.
 
         win_planar: (B, 2, N + 2*margin) float32 planar IQ; osc_planar:
         (2, same) planar oscillator; parity: this field's sync parity
@@ -372,9 +425,18 @@ class AdaptiveEqualizer:
         soft levels when soft=True — as a DEVICE array (downstream
         decoder steps consume it in place; np.asarray() to fetch).
         """
-        _, targets = _training_set()
         win = jnp.asarray(win_planar)
         osc = jnp.asarray(osc_planar)
+        train = (self._w_dev is None
+                 or self._fields_seen % self.train_every == 0)
+        self._fields_seen += 1
+        if not train:
+            # cadence fast path: cached taps, no gram, no solve
+            return equalize_with_taps(
+                self._w_dev, win, osc, soft=soft,
+                apply_precision=self._apply_precision,
+            )
+        _, targets = _training_set()
         self._r, self._v = rls_update(
             self._r, self._v, win, osc, jnp.asarray(targets[parity]),
             self._lam,
@@ -395,7 +457,7 @@ class AdaptiveEqualizer:
                 self._r, self._v, win, osc, self._ridge, soft=soft,
                 apply_precision=self._apply_precision,
             )
-        self.taps = np.asarray(w)
+        self._w_dev = w   # stays on device; .taps fetches on demand
         # return the DEVICE array: the receiver's decoder step consumes
         # it in place — materializing np here cost a pointless
         # (B, 260416) D2H + H2D round trip per field (measured ~800 ms

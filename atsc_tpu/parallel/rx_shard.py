@@ -99,65 +99,24 @@ def _local_step(state: DecoderState, fields: jnp.ndarray):
     return new_state, codewords, syn
 
 
-def _local_step_soft(state, fields: jnp.ndarray, warmup: int = 128):
-    """Soft (maximum-likelihood trellis) twin of _local_step.
+def _finish_decode(state_cls, t_idx, n_time, ring, state, metrics,
+                   bytes_enc, z2_tails):
+    """Shared tail of the ML local steps (soft 4-state, i8, NTSC
+    16-state): ring-permute the precoder tails, fix up bit 7 of byte 0
+    (the only bit that depends on the incoming z2 — the per-field
+    decode ran with z2_prev = 0), de-interleave, and assemble the
+    replicated next state.
 
-    fields: (F, b, >=260416) float32 soft levels; state is a
-    SoftDecoderState (adds the (b, 12, 4) carried Viterbi path metrics).
-
-    Cross-shard metric seam: path metrics recurse through the WHOLE
-    symbol stream, so an exact sharded ACS would serialize the time
-    axis. Instead each non-first shard warms flat metrics on the last
-    `warmup` observations of its left neighbor's stream (one extra
-    O(warmup) ring permute of b*12*warmup floats) — the chunked-Viterbi
-    argument (ops/viterbi.py): survivors merge within ~32 symbols whp,
-    so kept decisions equal the MLSE path at any decodable SNR and RS
-    absorbs the rare seam disagreement. Shard 0 keeps the carried
-    metrics, so the stream head and the cross-step state stay exact.
-    """
-    from atsc_tpu.models.decoder import SoftDecoderState
-    from atsc_tpu.ops.viterbi import (
-        _acs_scan,
-        pack_trellis_bytes,
-        viterbi_bits,
-    )
-
-    f_dev, b = fields.shape[:2]
-    t_idx = jax.lax.axis_index(TIME_AXIS)
-    n_time = jax.lax.axis_size(TIME_AXIS)
-    ring = [(t, (t + 1) % n_time) for t in range(n_time)]
-
-    soft = jax.vmap(decommutate_field)(fields.astype(jnp.float32))
-    # (F, b, 12, 21528)
-
-    # ---- shard-seam metric warmup -----------------------------------
-    tail_obs = jax.lax.ppermute(
-        soft[-1][..., -warmup:], TIME_AXIS, ring)          # (b, 12, W)
-    m_flat = jnp.zeros((b, P.TRELLIS_ENCODERS, 4), jnp.float32)
-    m_warm, _ = _acs_scan(m_flat, jnp.moveaxis(tail_obs, -1, 0), 16)
-    metrics = jnp.where(t_idx == 0, state.metrics, m_warm)
-
-    # ---- local sequential MLSE over this shard's F fields -----------
-    x1s, z2s = [], []
-    for f in range(f_dev):
-        x1_f, z2_f, metrics = viterbi_bits(soft[f], metrics)
-        x1s.append(x1_f)
-        z2s.append(z2_f)
-    x1 = jnp.stack(x1s)
-    z2 = jnp.stack(z2s)                                    # (F, b, 12, T)
-
-    # ---- precoder inverse: z2 tails ride the same ring as _local_step
-    z2_tails = z2[..., -1]                                 # (F, b, 12)
+    bytes_enc (F, b, 12, 5382) uint8 decoded with z2_prev = 0;
+    z2_tails (F, b, 12) int32. Returns (new_state, codewords, syn)."""
+    f_dev, b = bytes_enc.shape[:2]
     tail_from_left = jax.lax.ppermute(z2_tails[-1], TIME_AXIS, ring)
     incoming_z2 = jnp.where(t_idx == 0, state.z2_prev, tail_from_left)
     z2_prev = jnp.concatenate([incoming_z2[None], z2_tails[:-1]], axis=0)
-
-    def pack(x1_f, z2_f, z2p):
-        z2_shift = jnp.concatenate([z2p[..., None], z2_f[..., :-1]],
-                                   axis=-1)
-        return pack_trellis_bytes(z2_f ^ z2_shift, x1_f)
-
-    bytes_enc = jax.vmap(pack)(x1, z2, z2_prev)
+    # x2 of pair 0 is z2_0 ^ z2_prev; the zero-z2_prev decode emitted
+    # z2_0, so flip bit 7 of byte 0 wherever the true incoming bit is 1
+    fix = (z2_prev.astype(jnp.uint8) & 1) << 7
+    bytes_enc = bytes_enc.at[..., 0].set(bytes_enc[..., 0] ^ fix)
     cur_il = jax.vmap(enc_major_to_round_major)(bytes_enc)
 
     il_from_left = jax.lax.ppermute(cur_il[-1], TIME_AXIS, ring)
@@ -168,7 +127,7 @@ def _local_step_soft(state, fields: jnp.ndarray, warmup: int = 128):
     codewords = rs.reshape(f_dev, b, P.DATA_SEGMENTS, P.SEGMENT_FEC_BYTES)
     syn = jax.vmap(syndrome_field)(codewords)
     is_last_u8 = (t_idx == n_time - 1).astype(jnp.uint8)
-    new_state = SoftDecoderState(
+    new_state = state_cls(
         prev_il=jax.lax.psum(cur_il[-1] * is_last_u8, TIME_AXIS),
         z2_prev=jax.lax.psum(
             z2_tails[-1] * is_last_u8.astype(jnp.int32), TIME_AXIS
@@ -178,6 +137,119 @@ def _local_step_soft(state, fields: jnp.ndarray, warmup: int = 128):
         ),
     )
     return new_state, codewords, syn
+
+
+def _local_step_soft(state, fields: jnp.ndarray, warmup: int = 128):
+    """Soft (maximum-likelihood trellis) twin of _local_step.
+
+    fields: (F, b, >=260416) float32 soft levels — or int8 quantized
+    soft-level codes (the viterbi-i8 tier: the decommutate gather moves
+    int8, 4x less HBM traffic, and the Viterbi kernel dequantizes
+    in-register); state is a SoftDecoderState (adds the (b, 12, 4)
+    carried Viterbi path metrics).
+
+    Cross-shard metric seam: path metrics recurse through the WHOLE
+    symbol stream, so an exact sharded ACS would serialize the time
+    axis. Instead each non-first shard warms flat metrics on the last
+    `warmup` observations of its left neighbor's stream (one extra
+    O(warmup) ring permute of b*12*warmup floats) — the chunked-Viterbi
+    argument (ops/viterbi.py): survivors merge within ~32 symbols whp,
+    so kept decisions equal the MLSE path at any decodable SNR and RS
+    absorbs the rare seam disagreement. Shard 0 keeps the carried
+    metrics, so the stream head and the cross-step state stay exact.
+
+    The per-field decode goes through ops.viterbi.viterbi_decode_field
+    with z2_prev = 0 (the true incoming precoder bit arrives only with
+    the ring permute; it affects exactly bit 7 of byte 0, patched in
+    _finish_decode) — so on TPU meshes each device runs the fused
+    Pallas ACS/traceback kernels (pallas_call is a per-device op under
+    shard_map), and the int8 tier reuses the same kernel's in-register
+    dequantization. The CPU dryrun exercises the XLA scan branch of
+    the same step.
+    """
+    from atsc_tpu.models.decoder import SoftDecoderState
+    from atsc_tpu.ops.viterbi import _acs_scan, viterbi_decode_field
+
+    f_dev, b = fields.shape[:2]
+    t_idx = jax.lax.axis_index(TIME_AXIS)
+    n_time = jax.lax.axis_size(TIME_AXIS)
+    ring = [(t, (t + 1) % n_time) for t in range(n_time)]
+
+    quantized = fields.dtype == jnp.int8
+    soft = jax.vmap(decommutate_field)(
+        fields if quantized else fields.astype(jnp.float32)
+    )                                             # (F, b, 12, 21528)
+
+    # ---- shard-seam metric warmup -----------------------------------
+    tail_obs = jax.lax.ppermute(
+        soft[-1][..., -warmup:], TIME_AXIS, ring)          # (b, 12, W)
+    if quantized:
+        from atsc_tpu.ops.quantize import SOFT_LEVEL_INV
+
+        tail_obs = tail_obs.astype(jnp.float32) * jnp.float32(
+            SOFT_LEVEL_INV)
+    m_flat = jnp.zeros((b, P.TRELLIS_ENCODERS, 4), jnp.float32)
+    m_warm, _ = _acs_scan(m_flat, jnp.moveaxis(tail_obs, -1, 0), 16)
+    metrics = jnp.where(t_idx == 0, state.metrics, m_warm)
+
+    # ---- local sequential MLSE over this shard's F fields -----------
+    z2_zero = jnp.zeros((b, P.TRELLIS_ENCODERS), jnp.int32)
+    bytes_l, tails_l = [], []
+    for f in range(f_dev):
+        by, z2t, metrics = viterbi_decode_field(soft[f], z2_zero, metrics)
+        bytes_l.append(by)
+        tails_l.append(z2t)
+    return _finish_decode(SoftDecoderState, t_idx, n_time, ring, state,
+                          metrics, jnp.stack(bytes_l), jnp.stack(tails_l))
+
+
+def _local_step_ntsc(state, fields: jnp.ndarray, warmup: int = 128):
+    """NTSC-rejection twin of _local_step_soft: 12-symbol comb + 16-state
+    partial-response ML trellis (ops/ntsc.py — the analog co-channel
+    path). The comb's 12-symbol delay is field-local (ops/ntsc.py module
+    docstring: every delayed reference lands inside the same field), so
+    the only cross-device state beyond the hard tier's is the (b, 12,
+    16) PR path-metric ring — the same seam-warmup treatment as the
+    soft tier, with the PR ACS and its per-position reset tables.
+
+    fields: (F, b, >=260416) float32 soft levels (NOT combed, NOT
+    sliced); state is an NtscDecoderState.
+    """
+    from atsc_tpu.models.decoder import NtscDecoderState
+    from atsc_tpu.ops.ntsc import (
+        _pr_acs_scan,
+        _pr_reset_tables,
+        comb_field,
+        viterbi_pr_decode_field,
+    )
+
+    f_dev, b = fields.shape[:2]
+    t_idx = jax.lax.axis_index(TIME_AXIS)
+    n_time = jax.lax.axis_size(TIME_AXIS)
+    ring = [(t, (t + 1) % n_time) for t in range(n_time)]
+
+    y = jax.vmap(
+        lambda lv: decommutate_field(comb_field(lv.astype(jnp.float32)))
+    )(fields)                                     # (F, b, 12, 21528)
+
+    # ---- shard-seam metric warmup (PR ACS wants its reset tables) ----
+    tail_obs = jax.lax.ppermute(
+        y[-1][..., -warmup:], TIME_AXIS, ring)             # (b, 12, W)
+    reset, const = _pr_reset_tables()
+    xs = (jnp.moveaxis(tail_obs, -1, 0),
+          jnp.asarray(reset[-warmup:]), jnp.asarray(const[-warmup:]))
+    m_flat = jnp.zeros((b, P.TRELLIS_ENCODERS, 16), jnp.float32)
+    m_warm, _ = _pr_acs_scan(m_flat, xs, 16)
+    metrics = jnp.where(t_idx == 0, state.metrics, m_warm)
+
+    z2_zero = jnp.zeros((b, P.TRELLIS_ENCODERS), jnp.int32)
+    bytes_l, tails_l = [], []
+    for f in range(f_dev):
+        by, z2t, metrics = viterbi_pr_decode_field(y[f], z2_zero, metrics)
+        bytes_l.append(by)
+        tails_l.append(z2t)
+    return _finish_decode(NtscDecoderState, t_idx, n_time, ring, state,
+                          metrics, jnp.stack(bytes_l), jnp.stack(tails_l))
 
 
 def _correct_and_derand(obj, derand, codewords, syn):
@@ -202,11 +274,19 @@ def _correct_and_derand(obj, derand, codewords, syn):
     return ts, n_errors
 
 
+#: trellis tiers every sharded receive class accepts ('soft-i8' = the
+#: int8-quantized soft tier; 'ntsc' = comb + 16-state PR Viterbi)
+TRELLIS_TIERS = ("hard", "soft", "soft-i8", "ntsc")
+
+
 def _trellis_plumbing(trellis: str, batch: int):
     """(state PartitionSpec tree, initial state, shard_map body) for a
-    trellis tier: 'hard' = DecoderState + _local_step, 'soft' =
-    SoftDecoderState (+ metrics leaf) + _local_step_soft."""
-    if trellis == "soft":
+    trellis tier: 'hard' = DecoderState + _local_step; 'soft' and
+    'soft-i8' = SoftDecoderState (+ 4-state metrics leaf) +
+    _local_step_soft (the i8 tier is the same step — the dtype of the
+    incoming fields selects the in-kernel dequantization); 'ntsc' =
+    NtscDecoderState (16-state PR metrics) + _local_step_ntsc."""
+    if trellis in ("soft", "soft-i8"):
         from atsc_tpu.models.decoder import (
             SoftDecoderState,
             init_soft_decoder_state,
@@ -218,6 +298,18 @@ def _trellis_plumbing(trellis: str, batch: int):
             metrics=PSpec(CH_AXIS, None, None),
         )
         return spec, init_soft_decoder_state(batch), _local_step_soft
+    if trellis == "ntsc":
+        from atsc_tpu.models.decoder import (
+            NtscDecoderState,
+            init_ntsc_decoder_state,
+        )
+
+        spec = NtscDecoderState(
+            prev_il=PSpec(CH_AXIS, None),
+            z2_prev=PSpec(CH_AXIS, None),
+            metrics=PSpec(CH_AXIS, None, None),
+        )
+        return spec, init_ntsc_decoder_state(batch), _local_step_ntsc
     spec = DecoderState(
         prev_il=PSpec(CH_AXIS, None),
         z2_prev=PSpec(CH_AXIS, None),
@@ -237,7 +329,7 @@ class ShardedDecoder:
 
     def __init__(self, mesh: Mesh, batch: int, fields_per_device: int = 1,
                  trellis: str = "hard"):
-        if trellis not in ("hard", "soft"):
+        if trellis not in TRELLIS_TIERS:
             raise ValueError(f"unknown trellis mode {trellis!r}")
         self.mesh = mesh
         self.batch = batch
@@ -281,7 +373,9 @@ class ShardedDecoder:
 
     def decode(self, fields: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(T, B, >=260416) received fields k..k+T-1 (int8 sliced
-        symbols for trellis='hard', float32 soft levels for 'soft') ->
+        symbols for trellis='hard'; float32 soft levels for 'soft' and
+        'ntsc'; int8 quantized soft-level codes at
+        ops.quantize.SOFT_LEVEL_SCALE for 'soft-i8') ->
         (ts (T, B, 58656) uint8 of fields k-1..k+T-2,
         n_errors (T, B, 312) int32; -1 marks uncorrectable segments)."""
         fields = jax.device_put(jnp.asarray(fields), self.fields_sharding)
@@ -306,14 +400,25 @@ class ShardedReceiver:
     is also its fastest-tracking one) — each field's 2,068 sync symbols
     already overdetermine the solve, and field-local training is what
     makes the equalizer shard with ZERO cross-device state: sharded
-    output equals the sequential forgetting=0 receiver exactly. Richer
-    host conditioning (CFO/SRO/align/resync) stays in IqReceiver.
+    output equals the sequential forgetting=0 receiver exactly.
+    train_every=k (adaptive only, k | fields_per_device) adds the
+    retrain-cadence tier: each time shard trains on its local multiples
+    of k and rides the cached taps between — still zero cross-device
+    state, still byte-equal to the sequential cadence schedule.
+
+    trellis: "hard", "soft" (float MLSE), "soft-i8" (int8-quantized
+    soft levels, dequantized in the Viterbi kernel), or "ntsc" (comb +
+    16-state partial-response MLSE) — the full sequential tier set
+    (r4 VERDICT #2); the ML tiers shard with the zf equalizer. Richer
+    host conditioning (SRO/resync) stays in IqReceiver; CFO/alignment
+    conditioning for mesh decodes lives in the CLI front end
+    (cli.run_decode_mesh --cfo/--align).
     """
 
     def __init__(self, mesh: Mesh, batch: int, fields_per_device: int = 1,
                  first_field: int = 0, eq_profile: str = "auto",
                  equalizer: str = "zf", trellis: str = "hard",
-                 wire_format: str = "cf32"):
+                 wire_format: str = "cf32", train_every: int = 1):
         from atsc_tpu.models.receiver import (
             _DEV_MARGIN, _eq_step_fn, _fused_eq_enabled, eq_window_bounds,
             DEFAULT_EQ_PROFILE, EQ_PROFILES,
@@ -321,24 +426,33 @@ class ShardedReceiver:
 
         if equalizer not in ("zf", "adaptive", "adaptive-dd"):
             raise ValueError(f"unknown equalizer {equalizer!r}")
-        if trellis not in ("hard", "soft"):
+        if trellis not in TRELLIS_TIERS:
             raise ValueError(f"unknown trellis mode {trellis!r}")
         if wire_format not in ("cf32", "cs16", "cs8"):
             raise ValueError(f"unknown wire format {wire_format!r}")
-        if equalizer != "zf" and (trellis == "soft"
+        if equalizer != "zf" and (trellis != "hard"
                                   or wire_format != "cf32"):
-            raise ValueError("soft trellis / quantized windows shard "
+            raise ValueError("ML trellis tiers / quantized windows shard "
                              "with the zf equalizer (the adaptive tiers "
                              "stay hard-symbol, cf32 — use the "
                              "sequential IqReceiver for those combos)")
+        if train_every != 1 and equalizer == "zf":
+            raise ValueError("train_every is the adaptive equalizer's "
+                             "retrain cadence — zf does not train")
         self.trellis = trellis
         self.wire_format = wire_format
+        self.equalizer = equalizer
+        self.eq_profile = eq_profile
+        self.train_every = train_every
         dequant = 1.0
         if wire_format != "cf32":
             from atsc_tpu.ops.quantize import quantize_scale
 
             dequant = 1.0 / quantize_scale(wire_format)
-        soft = trellis == "soft"
+        # 'soft'/'ntsc' want float levels out of the equalizer;
+        # 'soft-i8' wants int8 soft-level codes (soft_q)
+        soft = trellis in ("soft", "soft-i8", "ntsc")
+        soft_q = trellis == "soft-i8"
         self.mesh = mesh
         self.batch = batch
         self.n_time = mesh.shape[TIME_AXIS]
@@ -372,21 +486,29 @@ class ShardedReceiver:
 
                 def eq(win, osc):
                     out = eq_fir_fused(win, osc, eq_k=eq_k, exact=exact,
-                                       soft=soft, dequant=dequant)
+                                       soft=soft, dequant=dequant,
+                                       soft_q=soft_q)
                     return jax.lax.slice_in_dim(
                         out, 0, P.SYMBOLS_PER_FIELD, axis=-1)
             else:
-                eq = _eq_step_fn(soft, dequant, eq_profile)
+                eq = _eq_step_fn(soft, dequant, eq_profile, soft_q)
 
             def eq_fields(wins, oscs, start_parity):
                 # (F, b, N): int8 symbols (hard) / float32 levels (soft)
                 return jax.vmap(eq)(wins, oscs)
         else:
             from atsc_tpu.ops.adaptive_eq import (
-                EQ_DIM, _training_set, dd_refine_and_equalize, rls_update,
-                solve_and_equalize,
+                EQ_DIM, _training_set, dd_refine_and_equalize,
+                equalize_with_taps, rls_update, solve_and_equalize,
             )
 
+            if train_every != 1 and fields_per_device % train_every:
+                raise ValueError(
+                    f"train_every={train_every} must divide "
+                    f"fields_per_device={fields_per_device}: the cadence "
+                    "is device-local (each time shard trains on its own "
+                    "multiples-of-k local fields, which equals the "
+                    "sequential schedule exactly when k | F)")
             resolved = (DEFAULT_EQ_PROFILE if eq_profile == "auto"
                         else eq_profile)
             prec = EQ_PROFILES[resolved][1]
@@ -397,8 +519,10 @@ class ShardedReceiver:
             ridge = jnp.float32(1e-4)
             f_dev = fields_per_device
 
-            def eq_one(win, osc, parity):
-                # win (b, 2, W); osc (2, W); parity traced int32 scalar
+            def eq_train(win, osc, parity):
+                # win (b, 2, W); osc (2, W); parity traced int32 scalar;
+                # returns (symbols, solved taps — reused by the cadence
+                # fields until the next train)
                 b_loc = win.shape[0]
                 r0 = jnp.zeros((b_loc, EQ_DIM, EQ_DIM), jnp.float32)
                 v0 = jnp.zeros((b_loc, EQ_DIM), jnp.float32)
@@ -408,21 +532,30 @@ class ShardedReceiver:
                         r, v, win, osc, ridge, soft=True,
                         apply_precision="default",
                     )
-                    sym, _ = dd_refine_and_equalize(
+                    return dd_refine_and_equalize(
                         r, v, lev, win, osc, ridge, apply_precision=prec,
                     )
-                else:
-                    sym, _ = solve_and_equalize(
-                        r, v, win, osc, ridge, apply_precision=prec,
-                    )
-                return sym
+                return solve_and_equalize(
+                    r, v, win, osc, ridge, apply_precision=prec,
+                )
 
             def eq_fields(wins, oscs, start_parity):
-                # field f on time-shard t has global index t*F + f
+                # field f on time-shard t has global index t*F + f;
+                # train on local multiples of train_every (k | F makes
+                # those exactly the global multiples — the sequential
+                # AdaptiveEqualizer(train_every=k, forgetting=0) schedule)
                 t_idx = jax.lax.axis_index(TIME_AXIS)
                 pars = (start_parity + t_idx * f_dev
                         + jnp.arange(f_dev)) % 2
-                return jax.vmap(eq_one)(wins, oscs, pars)
+                syms, w = [], None
+                for f in range(f_dev):
+                    if f % train_every == 0:
+                        sym, w = eq_train(wins[f], oscs[f], pars[f])
+                    else:
+                        sym = equalize_with_taps(
+                            w, wins[f], oscs[f], apply_precision=prec)
+                    syms.append(sym)
+                return jnp.stack(syms)
 
         state_spec, init_state, step_fn = _trellis_plumbing(trellis, batch)
 
@@ -523,13 +656,18 @@ class ShardedReceiver:
         )
         return self._correct(codewords, syn)
 
-    def decode_codes(self, codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def decode_codes(
+        self, codes: np.ndarray, with_context: bool = False
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Quantized twin of decode_iq for wire_format='cs16'/'cs8':
         codes (B, T*260416, 2) int16/int8 interleaved (I, Q) wire
         samples, uploaded VERBATIM — the dequantization scale is folded
         into the equalizer's derotation constant on-device, exactly like
-        the sequential IqReceiver's push_codes path. Edge context beyond
-        the T fields is zero-filled (RS absorbs the boundary symbols).
+        the sequential IqReceiver's push_codes path. With
+        with_context=True, codes instead carries 384 extra samples on
+        each side ((B, T*260416 + 768, 2)) so the equalizer sees real
+        context at the step edges; otherwise edge context is
+        zero-filled (RS absorbs the boundary symbols).
         Returns (ts (T, B, 58656), n_errors (T, B, 312))."""
         from atsc_tpu.models.receiver import _osc_planar
 
@@ -539,17 +677,20 @@ class ShardedReceiver:
         if codes.ndim == 2:
             codes = codes[None]
         n = P.SYMBOLS_PER_FIELD
-        assert codes.shape[1] == self.t_total * n, (
-            f"want exactly {self.t_total} fields of code samples")
+        off = -self._margin if with_context else 0
+        assert codes.shape[1] == self.t_total * n - 2 * off, (
+            f"want exactly {self.t_total} fields of code samples"
+            + (" + 2*384 context" if with_context else "")
+        )
         b = codes.shape[0]
         wins = np.zeros((self.t_total, b, 2, self.window), codes.dtype)
         oscs = np.empty((self.t_total, 2, self.window), np.float32)
         for f in range(self.t_total):
             lo = f * n - self._eq_margin
             hi = lo + self.window
-            a_lo, a_hi = max(lo, 0), min(hi, codes.shape[1])
+            a_lo, a_hi = max(lo, off), min(hi, codes.shape[1] + off)
             if a_hi > a_lo:
-                src = codes[:, a_lo:a_hi]
+                src = codes[:, a_lo - off : a_hi - off]
                 wins[f, :, 0, a_lo - lo : a_hi - lo] = src[..., 0]
                 wins[f, :, 1, a_lo - lo : a_hi - lo] = src[..., 1]
             oscs[f] = _osc_planar(lo, hi, self._next_field)
@@ -569,8 +710,9 @@ class ShardedReceiver:
 def dryrun(n_devices: int) -> None:
     """Compile + run one full multi-chip decode step on an n_devices mesh
     with both axes in use (time-block x channel sharding), covering the
-    symbol-field decoder (hard + soft/Viterbi tiers) and the IQ-in
-    receive chain (zf, adaptive, soft trellis, quantized cs8 windows)."""
+    symbol-field decoder (hard, soft/Viterbi, quantized soft-i8, and
+    NTSC partial-response tiers) and the IQ-in receive chain (zf,
+    adaptive, soft/soft-i8/ntsc trellis, quantized cs8 windows)."""
     from atsc_tpu.parallel.mesh import make_mesh
 
     n_time = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
@@ -582,13 +724,15 @@ def dryrun(n_devices: int) -> None:
     )
     ts, nerr = dec.decode(fields)
     assert ts.shape == (dec.t_total, n_ch, P.FIELD_TS_BYTES)
-    dec_soft = ShardedDecoder(mesh, batch=n_ch, fields_per_device=1,
-                              trellis="soft")
-    levels = np.zeros(
-        (dec_soft.t_total, n_ch, P.SYMBOLS_PER_FIELD), dtype=np.float32
-    )
-    ts, nerr = dec_soft.decode(levels)
-    assert ts.shape == (dec_soft.t_total, n_ch, P.FIELD_TS_BYTES)
+    for tier, dtype in (("soft", np.float32), ("soft-i8", np.int8),
+                        ("ntsc", np.float32)):
+        dec_ml = ShardedDecoder(mesh, batch=n_ch, fields_per_device=1,
+                                trellis=tier)
+        levels = np.zeros(
+            (dec_ml.t_total, n_ch, P.SYMBOLS_PER_FIELD), dtype=dtype
+        )
+        ts, nerr = dec_ml.decode(levels)
+        assert ts.shape == (dec_ml.t_total, n_ch, P.FIELD_TS_BYTES)
     rx = ShardedReceiver(mesh, batch=n_ch, fields_per_device=1)
     iq = np.zeros((n_ch, rx.t_total * P.SYMBOLS_PER_FIELD), np.complex64)
     ts, nerr = rx.decode_iq(iq)
@@ -597,10 +741,11 @@ def dryrun(n_devices: int) -> None:
                           equalizer="adaptive")
     ts, nerr = rxa.decode_iq(iq)
     assert ts.shape == (rxa.t_total, n_ch, P.FIELD_TS_BYTES)
-    rxs = ShardedReceiver(mesh, batch=n_ch, fields_per_device=1,
-                          trellis="soft")
-    ts, nerr = rxs.decode_iq(iq)
-    assert ts.shape == (rxs.t_total, n_ch, P.FIELD_TS_BYTES)
+    for tier in ("soft", "soft-i8", "ntsc"):
+        rxs = ShardedReceiver(mesh, batch=n_ch, fields_per_device=1,
+                              trellis=tier)
+        ts, nerr = rxs.decode_iq(iq)
+        assert ts.shape == (rxs.t_total, n_ch, P.FIELD_TS_BYTES)
     rxq = ShardedReceiver(mesh, batch=n_ch, fields_per_device=1,
                           wire_format="cs8")
     codes = np.zeros((n_ch, rxq.t_total * P.SYMBOLS_PER_FIELD, 2), np.int8)

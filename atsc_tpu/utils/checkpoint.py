@@ -103,6 +103,84 @@ def load_resample_state(path: str) -> dict | None:
     return {k[len("__rs_"):-2]: z[k] for k in keys}
 
 
+# -- sharded (mesh) receiver checkpoints --------------------------------
+
+_SRX_CONFIG = ("batch", "trellis", "wire_format", "t_total", "n_time",
+               "n_ch", "equalizer", "eq_profile")
+
+
+def save_sharded_receiver(path: str, rx, extra: dict | None = None) -> None:
+    """Persist a parallel.rx_shard.ShardedReceiver between steps
+    (single-process meshes: the state leaves are fetched with
+    jax.device_get; multi-host runs checkpoint per-host via their own
+    drivers). `extra` carries the CLI's stream-position metadata."""
+    import json
+
+    state = jax.device_get(rx._state)
+    arrays = {
+        "extra_json": np.asarray(json.dumps(extra or {})),
+        "__kind__": np.asarray("sharded_receiver"),
+        "__version__": np.asarray(CHECKPOINT_VERSION, dtype=np.int64),
+        "config": np.asarray(
+            [str(getattr(rx, k)) for k in _SRX_CONFIG], dtype=np.str_
+        ),
+        "next_field": np.asarray(rx._next_field, dtype=np.int64),
+        "rs_stats": np.asarray(
+            [rx.segments_corrected, rx.segments_uncorrectable],
+            dtype=np.int64,
+        ),
+    }
+    for name in type(state)._fields:
+        arrays["st_" + name] = np.asarray(getattr(state, name))
+    np.savez_compressed(path, **arrays)
+
+
+def restore_sharded_receiver(path: str, rx) -> dict:
+    """Restore a save_sharded_receiver checkpoint INTO an already-built
+    ShardedReceiver (the mesh/tier configuration comes from the CLI
+    flags and must match the file — validated leaf-by-leaf). Returns
+    the saved `extra` metadata."""
+    import json
+
+    from atsc_tpu.parallel.distributed import put_global
+
+    z = np.load(path)
+    assert str(z["__kind__"]) == "sharded_receiver", (
+        "not a sharded-receiver checkpoint")
+    _check_version(z, path, "sharded receiver")
+    cfg = dict(zip(_SRX_CONFIG, (str(s) for s in z["config"])))
+    for k in _SRX_CONFIG:
+        if cfg[k] != str(getattr(rx, k)):
+            raise ValueError(
+                f"sharded-receiver checkpoint {path!r} was written with "
+                f"{k}={cfg[k]}, but this decode runs {k}="
+                f"{getattr(rx, k)} — re-run with matching flags"
+            )
+    want = rx._state
+    state_cls = type(want)
+    leaves = {}
+    for name in state_cls._fields:
+        key = "st_" + name
+        if key not in z.files:
+            raise ValueError(
+                f"sharded-receiver checkpoint {path!r} lacks state leaf "
+                f"{name!r} — written by an incompatible build")
+        leaves[name] = z[key]
+    for name, arr in leaves.items():
+        w = getattr(want, name)
+        if tuple(w.shape) != arr.shape or w.dtype != arr.dtype:
+            raise ValueError(
+                f"sharded-receiver checkpoint {path!r} leaf {name!r} is "
+                f"{arr.shape}/{arr.dtype} but this build expects "
+                f"{tuple(w.shape)}/{w.dtype} — cannot resume")
+    rx._state = put_global(state_cls(**leaves), rx.state_sharding)
+    rx._next_field = int(z["next_field"])
+    stats = z["rs_stats"]
+    rx.segments_corrected = int(stats[0])
+    rx.segments_uncorrectable = int(stats[1])
+    return json.loads(str(z["extra_json"]))
+
+
 # -- receiver checkpoints -----------------------------------------------
 
 _RX_CONFIG = ("batch", "first_field", "backend", "trellis", "erasures",
@@ -159,6 +237,15 @@ def save_receiver(path: str, rx, extra: dict | None = None,
         arrays["rls_v"] = np.asarray(rx._adaptive._v)
         arrays["rls_lam"] = np.asarray(rx._adaptive._lam)
         arrays["rls_ridge"] = np.asarray(rx._adaptive._ridge)
+        # retrain-cadence state: the cached taps + field counter keep a
+        # resumed stream's solve schedule (and therefore its output)
+        # byte-identical to an uninterrupted run
+        arrays["rls_cadence"] = np.asarray(
+            [rx._adaptive.train_every, rx._adaptive._fields_seen],
+            dtype=np.int64,
+        )
+        if rx._adaptive._w_dev is not None:
+            arrays["rls_w"] = np.asarray(rx._adaptive._w_dev)
     for name, arr in (extra_arrays or {}).items():
         arrays["xarr_" + name] = np.asarray(arr)
     np.savez_compressed(path, **arrays)
@@ -239,6 +326,13 @@ def load_receiver(path: str):
         rx._adaptive._v = jnp.asarray(z["rls_v"])
         rx._adaptive._lam = jnp.asarray(z["rls_lam"])
         rx._adaptive._ridge = jnp.asarray(z["rls_ridge"])
+        if "rls_cadence" in z:
+            cad = z["rls_cadence"]
+            rx._adaptive.train_every = int(cad[0])
+            rx.train_every = int(cad[0])
+            rx._adaptive._fields_seen = int(cad[1])
+        if "rls_w" in z:
+            rx._adaptive._w_dev = jnp.asarray(z["rls_w"])
     rx.checkpoint_extra = extra
     rx.checkpoint_arrays = {
         k[5:]: z[k] for k in z.files if k.startswith("xarr_")

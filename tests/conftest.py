@@ -29,6 +29,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# NOTE: do NOT enable the persistent compilation cache here — XLA:CPU
+# AOT cache entries round-trip through a machine-feature-checked loader
+# that both warns and (observed) re-enters a pathologically slow
+# compile path under the virtual 8-device platform. The expensive
+# library jits warm themselves through ops.rs_decode._PrecompiledJit
+# instead.
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

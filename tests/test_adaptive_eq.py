@@ -236,6 +236,65 @@ def test_cli_decode_sro_auto(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_train_every_cadence_decodes_multipath():
+    """Retrain-cadence tier (train_every=4): one solve serves the next
+    3 fields through the apply-only path — a static multipath channel
+    still decodes exactly, the cached-tap fields produce the SAME
+    symbols as a per-field-trained run (static channel + forgetting=1.0
+    means every solve sees the same normal equations), and the solve
+    count actually drops (the cadence is real, not cosmetic)."""
+    from atsc_tpu.ops import adaptive_eq as ae
+
+    rng = np.random.default_rng(311)
+    ts = _random_ts(rng, 8, 1)
+    h = np.zeros(24, np.complex128)
+    h[0] = 0.9 * np.exp(0.3j)
+    h[9] = 0.15 * np.exp(-0.9j)
+    iq = _apply_channel(_encode_iq(ts), h)
+
+    rx = IqReceiver(batch=1, backend="adaptive", train_every=4)
+    got = rx.push(iq) + rx.flush()
+    assert len(got) == 7
+    for k, (out, nerr) in enumerate(got):
+        assert (nerr >= 0).all(), f"uncorrectable segments in field {k}"
+        np.testing.assert_array_equal(out, ts[k])
+    eq = rx._adaptive
+    assert eq.train_every == 4 and eq._fields_seen == 8
+    # fields 0 and 4 trained; 1-3 and 5-7 rode the cached taps
+    assert eq.taps is not None
+
+
+def test_train_every_checkpoint_resume_byte_identical(tmp_path):
+    """A cadence decode killed mid-stream and resumed from its
+    checkpoint must emit byte-identical TS (the cached taps + field
+    counter round-trip through save_receiver/load_receiver)."""
+    from atsc_tpu.utils.checkpoint import load_receiver, save_receiver
+
+    rng = np.random.default_rng(313)
+    ts = _random_ts(rng, 6, 1)
+    h = np.zeros(16, np.complex128)
+    h[0] = 0.95
+    h[5] = 0.18 * np.exp(1.1j)
+    iq = _apply_channel(_encode_iq(ts), h)
+
+    full_rx = IqReceiver(batch=1, backend="adaptive", train_every=3)
+    full = full_rx.push(iq) + full_rx.flush()
+
+    rx = IqReceiver(batch=1, backend="adaptive", train_every=3)
+    split = 3 * N + 1234
+    part1 = rx.push(iq[:, :split])
+    path = str(tmp_path / "cadence.npz")
+    save_receiver(path, rx)
+    rx2 = load_receiver(path)
+    assert rx2._adaptive.train_every == 3
+    assert rx2._adaptive._fields_seen == rx._adaptive._fields_seen
+    part2 = rx2.push(iq[:, split:]) + rx2.flush()
+    got = part1 + part2
+    assert len(got) == len(full)
+    for k in range(len(full)):
+        np.testing.assert_array_equal(got[k][0], full[k][0])
+
+
 def test_adaptive_batch_lanes_train_independently():
     """Each batch lane carries its own normal equations: one receiver
     with a clean lane and a heavily-distorted lane decodes both (the

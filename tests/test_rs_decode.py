@@ -152,6 +152,83 @@ def test_device_corrector_leading_batch_dims(clean_field):
     np.testing.assert_array_equal(np.asarray(out)[1, 2], clean_field)
 
 
+def test_device_erasure_corrector_matches_host_oracle(clean_field):
+    """rs_correct_field_erasures (device Gamma scan + masked RiBM on the
+    shifted modified syndromes + Chien/Forney on Psi, with per-segment
+    errors-only fallback) must agree with correct_segment_np(erasures=.)
+    on every segment, across clean / errors-only / pure-erasure /
+    full-budget-mix / over-budget / wrong-flag segments. The oracle's
+    erasure branch is the Sugiyama form — an independent algorithm."""
+    import jax.numpy as jnp
+
+    from atsc_tpu.ops.rs_decode import rs_correct_field_erasures_jit
+
+    rng = np.random.default_rng(555)
+    bad = clean_field.copy()
+    flags = np.zeros_like(bad)
+    for seg in range(P.DATA_SEGMENTS):
+        kind = seg % 6
+        if kind == 0:
+            nu, e = 0, 0
+        elif kind == 1:
+            nu, e = int(rng.integers(1, 11)), 0
+        elif kind == 2:
+            nu, e = 0, int(rng.integers(1, 21))
+        elif kind == 3:
+            e = int(rng.integers(0, 19))
+            nu = (20 - e) // 2
+        elif kind == 4:                      # over the errors-only budget
+            nu, e = 11, 0
+        else:                                # wrong flags on clean bytes
+            nu, e = int(rng.integers(1, 6)), 0
+        pos = rng.choice(P.SEGMENT_FEC_BYTES, size=nu + e, replace=False)
+        for p in pos[:nu]:
+            bad[seg, p] ^= rng.integers(1, 256)
+        for p in pos[nu:]:
+            bad[seg, p] ^= rng.integers(0, 256)   # erased byte may be fine
+            flags[seg, p] = 1
+        if kind == 5:
+            clean_pos = np.setdiff1d(np.arange(P.SEGMENT_FEC_BYTES),
+                                     pos[:nu])
+            flags[seg, rng.choice(clean_pos, size=3, replace=False)] = 1
+    batch = jnp.asarray(bad[None])
+    syn = syndrome_field(batch)
+    out, n = rs_correct_field_erasures_jit(batch, syn,
+                                           jnp.asarray(flags[None]))
+    out = np.asarray(out)[0]
+    n = np.asarray(n)[0]
+    for seg in range(P.DATA_SEGMENTS):
+        era = tuple(int(p) for p in np.nonzero(flags[seg])[0])
+        want_cw, want_n = correct_segment_np(bad[seg], erasures=era)
+        assert n[seg] == want_n, (seg, seg % 6, n[seg], want_n)
+        np.testing.assert_array_equal(out[seg], want_cw,
+                                      err_msg=f"segment {seg}")
+    # every within-budget segment recovered the transmitted truth
+    for seg in range(P.DATA_SEGMENTS):
+        if seg % 6 != 4:
+            np.testing.assert_array_equal(out[seg], clean_field[seg],
+                                          err_msg=f"segment {seg}")
+
+
+def test_device_erasure_corrector_leading_batch_dims(clean_field):
+    """(T, B, 312, 207) leading shapes through the erasure corrector
+    (the sharded layout), pure-erasure burst on one segment."""
+    import jax.numpy as jnp
+
+    from atsc_tpu.ops.rs_decode import rs_correct_field_erasures_jit
+
+    bad = np.broadcast_to(clean_field, (2, 3) + clean_field.shape).copy()
+    flags = np.zeros_like(bad)
+    bad[1, 2, 7, 50:65] ^= 0x3C                  # 15 erased bytes > t=10
+    flags[1, 2, 7, 50:65] = 1
+    syn = syndrome_field(jnp.asarray(bad))
+    out, n = rs_correct_field_erasures_jit(
+        jnp.asarray(bad), syn, jnp.asarray(flags))
+    n = np.asarray(n)
+    assert n[1, 2, 7] == 15 and n.sum() == 15
+    np.testing.assert_array_equal(np.asarray(out)[1, 2], clean_field)
+
+
 def test_errors_and_erasures_fuzz(clean_field):
     """Seeded sweep across the full 2*errors + erasures <= 20 capacity
     region, random positions and magnitudes every trial."""
